@@ -1,0 +1,189 @@
+package graft.config
+
+import scala.util.matching.Regex
+
+/** Per-table CDC config resolved from the `-table_pk` JSON parameter.
+  *
+  * Reference behavior (MySQLCDC2AWSMSK.scala:70-112):
+  *   - the JSON is an array of `{db, table, primary_key[, column_max_length]}`
+  *   - entries are keyed `"db=table"`; both halves may be REGEXES
+  *   - lookup matches keys longest-pattern-first with unanchored
+  *     `findFirstIn` over the record's `"db=table"` string (substring
+  *     semantics — pattern `a=b` matches inside `aa=bb`)
+  *   - `column_max_length` is a `"col1=10|col2=20"` list; a value is
+  *     truncated to `substring(0, max)` only when `length >= max`.
+  */
+final case class TableRule(
+    primaryKey: String,
+    columnMaxLength: String) {
+
+  /** PK column names, in declared order; empty when no PK configured. */
+  def pkColumns: Seq[String] =
+    if (primaryKey.isEmpty) Seq.empty else primaryKey.split(",").toSeq
+
+  /** (column, maxLength) truncation rules in declared order. */
+  def truncations: Seq[(String, Int)] =
+    if (columnMaxLength.isEmpty) Seq.empty
+    else columnMaxLength.split("\\|").toSeq.map { item =>
+      val parts = item.split("=")
+      (parts(0), parts(1).toInt)
+    }
+}
+
+/** Parsed table_pk config with the reference's longest-pattern-first regex
+  * dispatch. Parsed once on the driver and closed over in query plans
+  * (cheap — config maps are tiny; a broadcast variable would be overkill).
+  */
+final case class TablePkConfig(rules: Map[String, TableRule]) {
+
+  /** Keys sorted longest-first (MySQLCDC2AWSMSK.scala:86). */
+  private val orderedKeys: List[(String, Regex)] =
+    rules.keys.toList.sortBy(-_.length).map(k => (k, k.r))
+
+  /** Resolve the rule for a physical (db, table): first longest key whose
+    * regex matches *anywhere* inside `"db=table"` (unanchored findFirstIn,
+    * MySQLCDC2AWSMSK.scala:104-112).
+    */
+  def resolve(db: String, table: String): Option[TableRule] = {
+    val probe = db + "=" + table
+    orderedKeys.collectFirst {
+      case (k, reg) if reg.findFirstIn(probe).nonEmpty => rules(k)
+    }
+  }
+}
+
+object TablePkConfig {
+  val empty: TablePkConfig = TablePkConfig(Map.empty)
+
+  /** Parse the `-table_pk` JSON array. The reference strips backslash
+    * escapes before parsing (`params.tablePK.replace("\\","")`,
+    * MySQLCDC2AWSMSK.scala:71); we reproduce that.
+    *
+    * Implemented with a minimal hand-rolled JSON reader (flat array of
+    * flat string objects) so the engine has zero extra dependencies.
+    */
+  def parse(json: String): TablePkConfig = {
+    val cleaned = json.replace("\\", "")
+    val objPattern = "\\{[^{}]*\\}".r
+    val fieldPattern = "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r
+    val rules = objPattern.findAllIn(cleaned).map { obj =>
+      val fields = fieldPattern.findAllMatchIn(obj)
+        .map(m => m.group(1) -> m.group(2)).toMap
+      val key = fields.getOrElse("db", "") + "=" + fields.getOrElse("table", "")
+      key -> TableRule(
+        primaryKey = fields.getOrElse("primary_key", ""),
+        columnMaxLength = fields.getOrElse("column_max_length", ""))
+    }.toMap
+    TablePkConfig(rules)
+  }
+}
+
+/** Startup-position resolution (reference MySQLCDC2AWSMSK.scala:225-244):
+  * `-position` parses into 5 modes. In the Spark rebuild these map to
+  * Kafka source `startingOffsets` / `startingTimestamp`, or to a
+  * batch-snapshot-then-stream handoff for `initial`.
+  */
+sealed trait StartupPosition
+object StartupPosition {
+  /** Snapshot then CDC (`initial`). */
+  case object Initial extends StartupPosition
+  /** Tail from the current end (`latest`). */
+  case object Latest extends StartupPosition
+  /** Specific binlog file/offset; bare file name implies offset 4. */
+  final case class BinlogOffset(file: String, pos: Long) extends StartupPosition
+  /** GTID set (`gtid:<set>`). */
+  final case class Gtid(set: String) extends StartupPosition
+  /** Epoch-millis timestamp (`timestamp:<ms>`). */
+  final case class Timestamp(epochMs: Long) extends StartupPosition
+
+  def parse(position: String): StartupPosition = position match {
+    case "initial" => Initial
+    case "latest" => Latest
+    case s if s.startsWith("gtid:") => Gtid(s.stripPrefix("gtid:"))
+    case s if s.startsWith("timestamp:") =>
+      Timestamp(s.stripPrefix("timestamp:").toLong)
+    case s =>
+      // binlog-file[:offset]; bare file ⇒ offset 4 (binlog header size)
+      s.split(":") match {
+        case Array(file) => BinlogOffset(file, 4L)
+        case Array(file, off) => BinlogOffset(file, off.toLong)
+        case parts => BinlogOffset(parts.head, parts.last.toLong)
+      }
+  }
+
+  /** Kafka-source option equivalent (SURVEY §2 #2). */
+  def toKafkaOptions(p: StartupPosition): Map[String, String] = p match {
+    case Initial => Map("startingOffsets" -> "earliest")
+    case Latest => Map("startingOffsets" -> "latest")
+    case Timestamp(ms) => Map("startingTimestamp" -> ms.toString)
+    // Binlog/GTID positions have no Kafka analogue; a Debezium-Connect
+    // deployment maps them to connector config, not source options.
+    case BinlogOffset(_, _) | Gtid(_) => Map("startingOffsets" -> "earliest")
+  }
+}
+
+/** CLI/runtime parameters — mirrors the reference's `MySQLCDC2MSKParams`
+  * (model/ParamsModel.scala:5-16) with the same flag names (README.md:30-48).
+  */
+final case class CdcParams(
+    brokerList: String = "",
+    topic: String = "",
+    topicPrefix: String = "",
+    host: String = "",
+    port: Int = 3306,
+    username: String = "",
+    password: String = "",
+    dbList: String = ".*",
+    tbList: String = ".*",
+    position: String = "initial",
+    serverId: String = "",
+    serverTimeZone: String = "UTC",
+    tablePk: String = "[]",
+    chunkSize: Int = 8096,
+    checkpointDir: String = "",
+    checkpointInterval: Int = 60,
+    deliveryGuarantee: String = "at_least_once",
+    parallel: Int = 4,
+    disableChaining: Boolean = false,
+    kafkaProperties: Map[String, String] = Map.empty) {
+  def tablePkConfig: TablePkConfig = TablePkConfig.parse(tablePk)
+  def startupPosition: StartupPosition = StartupPosition.parse(position)
+}
+
+object CdcParams {
+  /** Parse `-flag value` pairs (ParameterTool.fromArgs style). */
+  def fromArgs(args: Array[String]): CdcParams = {
+    val kv = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("-") => k.stripPrefix("-") -> v
+    }.toMap
+    CdcParams(
+      brokerList = kv.getOrElse("broker_list", ""),
+      topic = kv.getOrElse("topic", ""),
+      topicPrefix = kv.getOrElse("topic_prefix", ""),
+      host = kv.getOrElse("host", ""),
+      port = kv.getOrElse("port", "3306").toInt,
+      username = kv.getOrElse("username", ""),
+      password = kv.getOrElse("password", ""),
+      dbList = kv.getOrElse("db_list", ".*"),
+      tbList = kv.getOrElse("tb_list", ".*"),
+      position = kv.getOrElse("position", "initial"),
+      serverId = kv.getOrElse("server_id", ""),
+      serverTimeZone = kv.getOrElse("server_time_zone", "UTC"),
+      tablePk = kv.getOrElse("table_pk", "[]"),
+      chunkSize = kv.getOrElse("chunk_size", "8096").toInt,
+      checkpointDir = kv.getOrElse("checkpoint_dir", ""),
+      checkpointInterval = kv.getOrElse("checkpoint_interval", "60").toInt,
+      deliveryGuarantee = kv.getOrElse("delivery_guarantee", "at_least_once"),
+      parallel = kv.getOrElse("parallel", "4").toInt,
+      disableChaining = kv.getOrElse("disable_chaining", "false") == "true",
+      kafkaProperties = kv.get("kafka_properties").map { props =>
+        // "k=v,k=v" pass-through producer props (MySQLCDC2AWSMSK.scala:204-212)
+        props.split(",").toIndexedSeq.flatMap { p =>
+          p.split("=") match {
+            case Array(k, v) => Some(k -> v)
+            case _ => None
+          }
+        }.toMap
+      }.getOrElse(Map.empty))
+  }
+}

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.TablePkConfig
+import graft.functions.JavaHash
+import graft.operators.{CdcEnrichment, KafkaProjection}
+import graft.sources.CdcReplay
+
+/** The reference's own operator surface (SURVEY §2.1 #1-#12), exercised
+  * end-to-end over the `events` fixture replayed as Debezium change
+  * events: envelope encode → dynamic enrichment (regex table config, PK
+  * extraction with op=="d"→before dispatch, in-place truncation) → Kafka
+  * sink projection (key/value/topic/partition with the reference's
+  * String.hashCode partitioner).
+  *
+  * Every query is batch Column-API + `mapPartitions` enrichment — the
+  * identical transform chain runs under `readStream` (see
+  * graft.streaming.CdcPipeline); batch mode is what makes the DuckDB
+  * oracle applicable.
+  */
+object CdcQueries {
+
+  /** Per-table config exercising the regex-dispatch: key pattern covers
+    * the events table, PK = event_id, truncation on event_type (max 6)
+    * and props (max 8) — lengths chosen so most fixture rows hit the
+    * `length >= max` truncation branch (MySQLCDC2AWSMSK.scala:135-136).
+    */
+  val config: TablePkConfig = TablePkConfig.parse(
+    """[{"db":"test_db","table":"eve.*","primary_key":"event_id","column_max_length":"event_type=6|props=8"}]""")
+
+  /** No-PK config: forces the `db.table.no_pk` partition-key fallback. */
+  val noPkConfig: TablePkConfig = TablePkConfig.parse("[]")
+
+  /** Enriched records for `sfDir` (the shared front of every CDC query). */
+  def enriched(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val lines = CdcReplay.batch(s, dir).as[String]
+    CdcEnrichment.enrichMySql(lines, config).toDF()
+  }
+
+  /** Flagship: the full reference pipeline shape — replay → enrich →
+    * Kafka projection with topic-prefix routing and reference-parity
+    * partition assignment (12 partitions, README.md:98).
+    */
+  def flagship(s: SparkSession, dir: String): DataFrame =
+    KafkaProjection.project(enriched(s, dir),
+      topic = "cdc_topic", topicPrefix = "flink_cdc_", numPartitions = 12)
+
+  /** DuckDB-side op derivation — must mirror CdcReplay.opExpr. */
+  private val opSql =
+    "CASE WHEN event_id % 10 = 0 THEN 'd' WHEN event_id % 10 = 1 THEN 'u' ELSE 'c' END"
+
+  /** DuckDB-side truncation (length >= max ⇒ substr(1, max)). */
+  private def truncSql(col: String, max: Int) =
+    s"CASE WHEN LENGTH($col) >= $max THEN SUBSTR($col, 1, $max) ELSE $col END"
+
+  /** Java String.hashCode in DuckDB SQL: left fold of `h*31 + c` over the
+    * UTF-16 units (ASCII here) with 32-bit wrap-around, sign-adjusted at
+    * the end — replicating the partitioner's hash bit-for-bit. `expr`
+    * names a column of the surrounding query.
+    */
+  private def javaHashSql(expr: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, LENGTH($expr) + 1),
+       |        i -> CAST(ord(SUBSTR($expr, CAST(i AS INTEGER), 1)) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % 4294967296)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------ enrichment (operator #5/#6)
+    "cdc_enrich_mysql" -> QueryDef(
+      (s, dir) => {
+        enriched(s, dir).select(
+          get_json_object(col("value"), "$.source.pos").cast("long").as("event_id"),
+          col("db"), col("table"), col("partitionKey").as("partition_key"),
+          get_json_object(col("value"), "$.op").as("op"),
+          coalesce(
+            get_json_object(col("value"), "$.after.event_type"),
+            get_json_object(col("value"), "$.before.event_type")).as("etype_trunc"),
+          coalesce(
+            get_json_object(col("value"), "$.after.props"),
+            get_json_object(col("value"), "$.before.props")).as("props_trunc"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""SELECT event_id, 'test_db' AS db, 'events' AS "table",
+        'test_db.events.' || CAST(event_id AS VARCHAR) AS partition_key,
+        $opSql AS op,
+        ${truncSql("event_type", 6)} AS etype_trunc,
+        ${truncSql("props", 8)} AS props_trunc
+        FROM events ORDER BY event_id""")),
+
+    // ------------------------- topic routing + partitioner (#8-#11)
+    "cdc_route_topic_partition" -> QueryDef(
+      (s, dir) => {
+        val proj = KafkaProjection.project(enriched(s, dir),
+          topic = "cdc_topic", topicPrefix = "flink_cdc_", numPartitions = 12)
+        proj.select(
+          col("key").cast("string").as("partition_key"),
+          col("topic"), col("partition"))
+          .orderBy(col("partition_key"))
+      },
+      Some(s"""WITH k AS (
+          SELECT 'test_db.events.' || CAST(event_id AS VARCHAR) AS partition_key FROM events),
+        h AS (SELECT partition_key, ${javaHashSql("partition_key")} AS hc FROM k)
+        SELECT partition_key, 'flink_cdc_test_db' AS topic,
+        CAST(abs((CASE WHEN hc >= 2147483648 THEN hc - 4294967296 ELSE hc END) % 12) AS INTEGER) AS partition
+        FROM h ORDER BY partition_key""")),
+
+    // ---------------------------------------- Mongo variant (#3, Mongo #5)
+    "cdc_enrich_mongo" -> QueryDef(
+      (s, dir) => {
+        implicit val spark: SparkSession = s
+        import s.implicits._
+        // events → Mongo change-stream envelopes (ns.db/ns.coll,
+        // operationType, documentKey) → enrichMongo pk-regex extraction.
+        val mongoJson = Tables.events(s, dir).select(to_json(struct(
+          concat(lit("evt_"), col("event_id")).as("_id"),
+          when(CdcReplay.opExpr(col("event_id")) === "d", "delete")
+            .when(CdcReplay.opExpr(col("event_id")) === "u", "update")
+            .otherwise("insert").as("operationType"),
+          struct(lit("test_db").as("db"), lit("events").as("coll")).as("ns"),
+          concat(lit("{\"_id\": "), col("event_id"), lit("}")).as("documentKey"),
+          (unix_timestamp(col("ts")) * 1000).as("ts_ms"))).as("line"))
+        CdcEnrichment.enrichMongo(mongoJson.as[String]).toDF()
+          .select(
+            col("db"), col("table"),
+            col("partitionKey").as("partition_key"))
+          .orderBy(length(col("partition_key")), col("partition_key"))
+      },
+      Some("""SELECT 'test_db' AS db, 'events' AS "table",
+        'test_db.events.' || CAST(event_id AS VARCHAR) AS partition_key
+        FROM events ORDER BY LENGTH(partition_key), partition_key""")),
+
+    // -------------------- datetime normalization (#12, DebeziumConverter)
+    "cdc_datetime_convert" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.select(
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("as_date"),
+          date_format(col("ts"), "HH:mm:ss").as("as_time"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("as_datetime"),
+          (unix_timestamp(col("ts")) * 1000).as("ts_ms"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+        strftime(ts, '%Y-%m-%d') AS as_date,
+        strftime(ts, '%H:%M:%S') AS as_time,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS as_datetime,
+        CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS ts_ms
+        FROM events ORDER BY event_id""")),
+
+    // --------------- golden JSON round-trip (Gson serializeNulls parity)
+    "cdc_value_golden" -> QueryDef(
+      (s, dir) => {
+        enriched(s, dir).select(
+          get_json_object(col("value"), "$.source.pos").cast("long").as("event_id"),
+          col("value").as("envelope_json"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""WITH img AS (
+        SELECT event_id,
+          '{"event_id":"' || CAST(event_id AS VARCHAR) ||
+          '","ts":"' || strftime(ts, '%Y-%m-%d %H:%M:%S') ||
+          '","user_id":"' || CAST(user_id AS VARCHAR) ||
+          '","event_type":"' || ${truncSql("event_type", 6)} ||
+          '","value":"' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) ||
+          '","props":"' || replace(${truncSql("props", 8)}, '"', '\\"') || '"}' AS image_trunc,
+          '{"event_id":"' || CAST(event_id AS VARCHAR) ||
+          '","ts":"' || strftime(ts, '%Y-%m-%d %H:%M:%S') ||
+          '","user_id":"' || CAST(user_id AS VARCHAR) ||
+          '","event_type":"' || event_type ||
+          '","value":"' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) ||
+          '","props":"' || replace(props, '"', '\\"') || '"}' AS image_raw,
+          $opSql AS op,
+          CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS ts_ms
+        FROM events)
+        -- truncation applies only to the op-selected image (before for d,
+        -- after for c/u) — the before-image of an update stays raw
+        SELECT event_id,
+        '{"before":' || CASE WHEN op = 'd' THEN image_trunc WHEN op = 'u' THEN image_raw ELSE 'null' END ||
+        ',"after":' || CASE WHEN op <> 'd' THEN image_trunc ELSE 'null' END ||
+        ',"source":{"version":"1.6.4.Final","connector":"mysql","name":"mysql_binlog_source","ts_ms":' ||
+        CAST(ts_ms AS VARCHAR) ||
+        ',"snapshot":"false","db":"test_db","sequence":null,"table":"events","server_id":57330068,"gtid":null,"file":"mysql-bin-changelog.000001","pos":' ||
+        CAST(event_id AS VARCHAR) ||
+        ',"row":0,"thread":null,"query":null},"op":"' || op ||
+        '","ts_ms":' || CAST(ts_ms AS VARCHAR) || '}' AS envelope_json
+        FROM img ORDER BY event_id""")))
+}

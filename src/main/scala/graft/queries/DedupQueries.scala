@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.JavaHash
+
+/** Deduplication operators over the `documents` / `embeddings` fixtures —
+  * the LLM-training-pipeline surface: exact (hash-groupBy), MinHash+LSH
+  * (shingle → minhash signature → band → bucket-join), SimHash (bitwise
+  * majority fingerprint), n-gram Jaccard (blocked pairwise), and
+  * embedding-cosine near-dup (blocked pairwise over exact double math).
+  *
+  * Scale design (100 TB):
+  *   - exact dedup is a single hash aggregation on the text hash — the
+  *     partial (map-side) aggregation collapses duplicates before the
+  *     shuffle, so shuffle volume is O(distinct), not O(rows)
+  *   - MinHash/LSH is the scale path for near-dup: cost is O(rows ×
+  *     shingles) for signatures, then a shuffle keyed on (band, signature)
+  *     whose buckets are tiny; no O(n²) stage exists
+  *   - pairwise Jaccard / cosine are quadratic and therefore ALWAYS
+  *     blocked (by lang / label here); at full scale the blocks come from
+  *     LSH buckets, keeping the same plan shape
+  *   - every hash is the deterministic 31-polynomial (JavaStringHash, a
+  *     codegen'd Catalyst expression) so results are reproducible across
+  *     engines and runs.
+  */
+object DedupQueries {
+
+  private val NumHashes = 16
+  private val BandSize = 4
+  private val NumBands = NumHashes / BandSize
+  /** First prime above 2^32 — the minhash modulus. */
+  private val P = 4294967311L
+  private def aCoef(i: Int): Long = 2L * i + 1
+  private def bCoef(i: Int): Long = 7919L * i + 1
+
+  /** Unsigned 32-bit view of the Java string hash. */
+  private def uhash(c: Column): Column =
+    JavaHash.javaStringHash(c).cast("long").bitwiseAND(lit(4294967295L))
+
+  /** DuckDB mirror of [[uhash]] — already-unsigned fold. */
+  private def uhashSql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, LENGTH($e) + 1),
+       |    i -> CAST(ord(SUBSTR($e, CAST(i AS INTEGER), 1)) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % 4294967296)""".stripMargin
+
+  /** doc_id + exploded distinct word-3-gram shingles, hashed. */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(trim(col("text")), " "))
+      .withColumn("shingle", explode(array_distinct(expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+          "i -> concat_ws(' ', element_at(toks, i), " +
+          "element_at(toks, least(i + 1, size(toks))), " +
+          "element_at(toks, least(i + 2, size(toks)))))"))))
+      .select(col("doc_id"), uhash(col("shingle")).as("h"))
+
+  private val shingleHashesSql: String =
+    s"""d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |  range(1, greatest(len(toks) - 1, 2)),
+       |  i -> toks[CAST(i AS INTEGER)] || ' ' ||
+       |       toks[CAST(least(i + 1, len(toks)) AS INTEGER)] || ' ' ||
+       |       toks[CAST(least(i + 2, len(toks)) AS INTEGER)]))) AS s FROM d),
+       |hh AS (SELECT doc_id, ${uhashSql("s")} AS h FROM sh)""".stripMargin
+
+  /** MinHash signatures: doc_id + NumBands band-signature strings.
+    * Explode → hash → groupBy(doc) with NumHashes partial-aggregated mins:
+    * one shuffle keyed on doc_id, map-side combined.
+    */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val minExprs = (0 until NumHashes).map(i =>
+      min((col("h") * aCoef(i) + bCoef(i)) % P).as(s"mh$i"))
+    val sig = shingleHashes(s, dir).groupBy(col("doc_id"))
+      .agg(minExprs.head, minExprs.tail: _*)
+    val bandCols = (0 until NumBands).map { b =>
+      concat_ws("-", (0 until BandSize).map(r => col(s"mh${b * BandSize + r}")): _*)
+        .as(s"band$b")
+    }
+    sig.select(col("doc_id") +: bandCols: _*)
+  }
+
+  private val signaturesSql: String = {
+    val mins = (0 until NumHashes)
+      .map(i => s"MIN((h * ${aCoef(i)} + ${bCoef(i)}) % $P) AS mh$i").mkString(", ")
+    val bands = (0 until NumBands).map { b =>
+      (0 until BandSize).map(r => s"CAST(mh${b * BandSize + r} AS VARCHAR)")
+        .mkString(" || '-' || ") + s" AS band$b"
+    }.mkString(", ")
+    s"""$shingleHashesSql,
+       |sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, $bands FROM sig)""".stripMargin
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------- exact dedup
+    "dedup_exact" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .groupBy(lower(trim(col("text"))).as("norm_text"))
+          .agg(min(col("doc_id")).as("keeper_doc_id"),
+            count(lit(1)).as("n_copies"))
+          .select(col("keeper_doc_id"), col("n_copies"))
+          .orderBy(col("keeper_doc_id"))
+      },
+      Some("""SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY lower(trim(text))
+        ORDER BY keeper_doc_id""")),
+
+    // ------------------------------------------- MinHash signatures (LSH)
+    "dedup_minhash_sig" -> QueryDef(
+      (s, dir) => signatures(s, dir).orderBy(col("doc_id")),
+      Some(s"""WITH $signaturesSql
+        SELECT * FROM bands ORDER BY doc_id""")),
+
+    // --------------------------------------- LSH candidate pairs (bucket)
+    "dedup_minhash_pairs" -> QueryDef(
+      (s, dir) => {
+        val sig = signatures(s, dir)
+        // Scale path: explode band columns into (band_id, sig) rows, then
+        // a single shuffle join keyed on the bucket — never O(n²).
+        val buckets = sig.select(col("doc_id"),
+          explode(array((0 until NumBands).map(b =>
+            struct(lit(b).as("band_id"), col(s"band$b").as("sig"))): _*))
+            .as("bucket"))
+          .select(col("doc_id"), col("bucket.band_id"), col("bucket.sig"))
+        val a = buckets.as("a")
+        val b = buckets.as("b")
+        a.join(b,
+          col("a.band_id") === col("b.band_id") &&
+            col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $signaturesSql,
+        bx AS (
+          ${(0 until NumBands)
+            .map(b => s"SELECT doc_id, $b AS band_id, band$b AS sig FROM bands")
+            .mkString(" UNION ALL ")})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bx a JOIN bx b
+          ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b""")),
+
+    // ----------------------------------------------------------- SimHash
+    "dedup_simhash" -> QueryDef(
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), " ")).as("w"))
+          .select(col("doc_id"), uhash(col("w")).as("h"))
+        val bitSums = (0 until 32).map(j =>
+          sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)).as(s"b$j"))
+        val sig = (0 until 32).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        words.groupBy(col("doc_id"))
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), sig.as("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val bitSums = (0 until 32)
+          .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+          .mkString(", ")
+        val sig = (0 until 32)
+          .map(j => s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+        hh AS (SELECT doc_id, ${uhashSql("w")} AS h FROM t),
+        bits AS (SELECT doc_id, $bitSums FROM hh GROUP BY doc_id)
+        SELECT doc_id, $sig AS simhash FROM bits ORDER BY doc_id"""
+      }),
+
+    // ------------------------------------------- n-gram Jaccard (blocked)
+    "dedup_ngram_jaccard" -> QueryDef(
+      (s, dir) => {
+        val grams = Tables.documents(s, dir)
+          .withColumn("toks", split(trim(col("text")), " "))
+          .select(col("doc_id"), col("lang"),
+            array_distinct(expr(
+              "transform(sequence(1, greatest(size(toks) - 1, 1)), " +
+                "i -> concat_ws(' ', element_at(toks, i), " +
+                "element_at(toks, least(i + 1, size(toks)))))")).as("grams"))
+        val a = grams.as("a")
+        val b = grams.as("b")
+        a.join(b, col("a.lang") === col("b.lang") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+              (size(col("a.grams")) + size(col("b.grams")) -
+                size(array_intersect(col("a.grams"), col("b.grams"))))
+                .cast("double")).as("jaccard"))
+          .filter(col("jaccard") >= 0.12)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH g AS (
+        SELECT doc_id, lang,
+          list_distinct(list_transform(
+            range(1, greatest(len(string_split(trim(text), ' ')), 2)),
+            i -> string_split(trim(text), ' ')[CAST(i AS INTEGER)] || ' ' ||
+                 string_split(trim(text), ' ')[CAST(least(i + 1, len(string_split(trim(text), ' '))) AS INTEGER)])) AS grams
+        FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE) /
+            CAST(len(a.grams) + len(b.grams) - len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE) AS jaccard
+          FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, jaccard FROM pairs
+        WHERE jaccard >= 0.12 ORDER BY doc_a, doc_b""")),
+
+    // --------------------------------- embedding-cosine near-dup (blocked)
+    "dedup_embedding" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select(
+          col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+          .withColumn("norm", sqrt(expr(
+            "aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)")))
+        val a = e.as("a")
+        val b = e.as("b")
+        a.join(b, col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(
+            col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), " +
+              "cast(0 as double), (acc, x) -> acc + x)") /
+              (col("a.norm") * col("b.norm"))).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.25)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("""WITH e AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+        n AS (SELECT vec_id, label, v,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS norm
+        FROM e)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, 65),
+              i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)])),
+            (acc, x) -> acc + x) / (a.norm * b.norm) AS cos_sim
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, 65),
+              i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)])),
+            (acc, x) -> acc + x) / (a.norm * b.norm) >= 0.25
+        ORDER BY vec_a, vec_b""")))
+}

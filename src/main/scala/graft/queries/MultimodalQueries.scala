@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treats payloads as opaque `binary` columns
+  * with typed metadata, and runs decode / feature-extract / frame-sample
+  * stages over them — the shape a training-data pipeline uses for
+  * image/audio/video shards.
+  *
+  * The container has no media codecs, so the DECODE STEP IS A STUB: the
+  * "payload" is the document text UTF-8-encoded to binary, and "features"
+  * are deterministic byte-level statistics. Everything around the stub —
+  * the binary column schema, metadata struct, per-row feature projection,
+  * and the explode-based frame sampler — is real Spark plumbing that
+  * would carry an actual `decode_jpeg`/`ffmpeg` kernel unchanged (swap
+  * the feature expressions for a mapInPandas / JNI batch kernel; the
+  * plan shape — scan → project → explode — is identical).
+  */
+object MultimodalQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // --------------------------- binary payload + metadata + features
+    "mm_features" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            encode(col("text"), "utf-8").as("payload"),
+            struct(
+              (col("n_chars") % 640).cast("int").as("width"),
+              (col("n_chars") % 480).cast("int").as("height"),
+              lit("fake/raw").as("format")).as("meta"))
+          .select(
+            col("doc_id"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            col("meta.width").as("width"),
+            col("meta.height").as("height"),
+            col("meta.format").as("format"),
+            // STUB decode: first/last byte stand in for decoded features
+            ascii(substring(col("payload").cast("string"), 1, 1)).as("head_byte"),
+            ascii(expr("substring(cast(payload as string), -1, 1)")).as("tail_byte"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        CAST(n_chars % 640 AS INTEGER) AS width,
+        CAST(n_chars % 480 AS INTEGER) AS height,
+        'fake/raw' AS format,
+        CAST(ord(SUBSTR(text, 1, 1)) AS INTEGER) AS head_byte,
+        CAST(ord(SUBSTR(text, LENGTH(text), 1)) AS INTEGER) AS tail_byte
+        FROM documents ORDER BY doc_id""")),
+
+    // ----------------------------------------- frame sampling (explode)
+    "mm_framesample" -> QueryDef(
+      (s, dir) => {
+        val FrameBytes = 32
+        val Stride = 4
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            encode(col("text"), "utf-8").as("payload"))
+          .withColumn("n_frames",
+            ceil(length(col("payload")).cast("double") / FrameBytes).cast("long"))
+          .withColumn("frame_idx",
+            explode(sequence(lit(0L), col("n_frames") - 1, lit(Stride.toLong))))
+          .select(
+            col("doc_id"), col("frame_idx"),
+            (col("frame_idx") * FrameBytes).as("frame_off"),
+            least(lit(FrameBytes.toLong),
+              length(col("payload")) - col("frame_idx") * FrameBytes)
+              .cast("long").as("frame_len"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""WITH f AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+          CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 32) AS BIGINT) AS n_frames
+        FROM documents)
+        SELECT doc_id, unnest(range(0, n_frames, 4)) AS frame_idx,
+          unnest(range(0, n_frames, 4)) * 32 AS frame_off,
+          least(32, n_bytes - unnest(range(0, n_frames, 4)) * 32) AS frame_len
+        FROM f ORDER BY doc_id, frame_idx""")))
+}

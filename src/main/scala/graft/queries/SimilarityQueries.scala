@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor similarity search over the `embeddings`
+  * fixture (64-dim float vectors).
+  *
+  *   - [[sim_knn_brute]]: exact brute-force cosine top-k — the
+  *     correctness baseline. Probes are broadcast; every partition scans
+  *     its local vectors and the per-probe top-k is taken with a window —
+  *     at scale this is broadcast-probe × partition-local scan with a
+  *     partial top-k before the final shuffle (no all-pairs shuffle).
+  *   - [[sim_knn_lsh]]: the scale path — sign-bit LSH bucketing (the
+  *     first 4 dimensions' signs form a 4-bit bucket key ≙ random
+  *     hyperplane hashing for mean-centered data); candidate generation
+  *     joins only within a bucket, turning O(n·q) into O(q · bucket).
+  *
+  * Dot products use exact sequential double folds (zip_with + aggregate /
+  * list_reduce) so Spark and DuckDB produce bit-identical cosines.
+  */
+object SimilarityQueries {
+
+  private def vectors(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", sqrt(expr(
+        "aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)")))
+
+  private val cosExpr =
+    "aggregate(zip_with(p.v, e.v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+
+  private val dotSql =
+    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |  list_transform(range(1, 65),
+      |    i -> p.v[CAST(i AS INTEGER)] * e.v[CAST(i AS INTEGER)])),
+      |  (acc, x) -> acc + x)""".stripMargin
+
+  private val vecSql =
+    """e AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS norm
+      |FROM e)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------- brute-force cosine top-k
+    "sim_knn_brute" -> QueryDef(
+      (s, dir) => {
+        val vecs = vectors(s, dir)
+        val probes = vecs.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("probe_id"), col("v"), col("norm"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        broadcast(probes).as("p")
+          .join(vecs.as("e"), col("p.probe_id") =!= col("e.vec_id"))
+          .select(col("p.probe_id"), col("e.vec_id"),
+            (expr(cosExpr) / (col("p.norm") * col("e.norm"))).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .orderBy(col("probe_id"), col("rnk"))
+      },
+      Some(s"""WITH $vecSql,
+        p AS (SELECT vec_id AS probe_id, v, norm FROM n WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT p.probe_id, e.vec_id,
+            $dotSql / (p.norm * e.norm) AS cos_sim
+          FROM p JOIN n e ON p.probe_id <> e.vec_id),
+        ranked AS (
+          SELECT probe_id, vec_id, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+          FROM scored)
+        SELECT probe_id, vec_id, cos_sim, rnk FROM ranked
+        WHERE rnk <= 10 ORDER BY probe_id, rnk""")),
+
+    // -------------------------------------- sign-bit LSH bucketed top-k
+    "sim_knn_lsh" -> QueryDef(
+      (s, dir) => {
+        val bucketed = vectors(s, dir).withColumn("bucket",
+          (0 until 4).map(i =>
+            when(expr(s"element_at(v, ${i + 1})") > 0, lit(1L << i))
+              .otherwise(lit(0L))).reduce(_ + _))
+        val probes = bucketed.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("probe_id"),
+            col("v"), col("norm"), col("bucket"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        broadcast(probes).as("p")
+          .join(bucketed.as("e"),
+            col("p.bucket") === col("e.bucket") &&
+              col("p.probe_id") =!= col("e.vec_id"))
+          .select(col("p.probe_id"), col("e.vec_id"),
+            (expr(cosExpr) / (col("p.norm") * col("e.norm"))).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .orderBy(col("probe_id"), col("rnk"))
+      },
+      Some {
+        val bucketSql = (0 until 4)
+          .map(i => s"(CASE WHEN v[${i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH $vecSql,
+        bkt AS (SELECT vec_id, v, norm, $bucketSql AS bucket FROM n),
+        p AS (SELECT vec_id AS probe_id, v, norm, bucket FROM bkt WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT p.probe_id, e.vec_id,
+            $dotSql / (p.norm * e.norm) AS cos_sim
+          FROM p JOIN bkt e ON p.bucket = e.bucket AND p.probe_id <> e.vec_id),
+        ranked AS (
+          SELECT probe_id, vec_id, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+          FROM scored)
+        SELECT probe_id, vec_id, cos_sim, rnk FROM ranked
+        WHERE rnk <= 5 ORDER BY probe_id, rnk"""
+      }))
+}

@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDC replay source: re-expresses the driver's `events` parquet table as a
+  * stream of MySQL Debezium change-event envelopes, so the whole pipeline
+  * (source → enrich → kafka projection) is exercisable in-repo without a
+  * MySQL binlog (SURVEY §7 step 5 — "file-backed CDC replay source").
+  *
+  * Works identically under `spark.read` (batch, DuckDB-oracle-checkable)
+  * and `spark.readStream` (file streaming) because the envelope
+  * construction is pure Column API.
+  *
+  * Determinism: `op` derives from `event_id` — `event_id % 10`: 0 ⇒ "d"
+  * (delete, row image in `before`), 1 ⇒ "u" (update, image in both),
+  * otherwise "c" (create, image in `after` only) — matching Debezium's
+  * rule that deletes carry only `before` and creates only `after`
+  * (reference envelope example MySQLCDC2AWSMSK.scala:91; op semantics
+  * :116-131).
+  */
+object CdcReplay {
+
+  /** File-stream schema: `ts` declared as long (nanos) — the fixture's
+    * parquet TIMESTAMP(NANOS) physical type — then converted; see
+    * graft.queries.Tables.events.
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Deterministic op code for an events row. */
+  def opExpr(eventId: Column): Column =
+    when(pmod(eventId, lit(10)) === 0, "d")
+      .when(pmod(eventId, lit(10)) === 1, "u")
+      .otherwise("c")
+
+  /** The row image as a map<string,string> (the dynamic Debezium row shape,
+    * SURVEY §1.2): decimals/timestamps stringified per the reference's
+    * portability policy (`decimal.handling.mode=string`, the
+    * DebeziumConverter datetime formats — DebeziumConverter.java:82-105).
+    */
+  private def imageExpr(df: DataFrame): Column = map(
+    lit("event_id"), col("event_id").cast("string"),
+    lit("ts"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+    lit("user_id"), col("user_id").cast("string"),
+    lit("event_type"), col("event_type"),
+    lit("value"), col("value").cast("decimal(18,2)").cast("string"),
+    lit("props"), col("props"))
+
+  /** events rows → full Debezium envelope DataFrame with typed columns
+    * (before, after, source, op, ts_ms) — the known-schema analytics form.
+    */
+  def envelope(events: DataFrame, db: String = "test_db",
+      table: String = "events"): DataFrame = {
+    val op = opExpr(col("event_id"))
+    val image = imageExpr(events)
+    events.select(
+      when(op === "d" || op === "u", image).as("before"),
+      when(op =!= "d", image).as("after"),
+      struct(
+        lit("1.6.4.Final").as("version"),
+        lit("mysql").as("connector"),
+        lit("mysql_binlog_source").as("name"),
+        (unix_timestamp(col("ts")) * 1000).as("ts_ms"),
+        lit("false").as("snapshot"),
+        lit(db).as("db"),
+        lit(null).cast("string").as("sequence"),
+        lit(table).as("table"),
+        lit(57330068L).as("server_id"),
+        lit(null).cast("string").as("gtid"),
+        lit("mysql-bin-changelog.000001").as("file"),
+        col("event_id").as("pos"),
+        lit(0).as("row"),
+        lit(null).cast("long").as("thread"),
+        lit(null).cast("string").as("query")).as("source"),
+      op.as("op"),
+      (unix_timestamp(col("ts")) * 1000).as("ts_ms"))
+  }
+
+  /** Envelope DataFrame → Debezium JSON strings (the wire form the dynamic
+    * enrichment path consumes). Null fields retained in the JSON, matching
+    * Gson `serializeNulls` (MySQLCDC2AWSMSK.scala:38).
+    */
+  def envelopeJson(envelope: DataFrame): DataFrame =
+    envelope.select(to_json(
+      struct(col("before"), col("after"), col("source"), col("op"), col("ts_ms")),
+      Map("ignoreNullFields" -> "false")).as("value"))
+
+  /** Batch replay: events parquet at `sfDir` → Debezium JSON lines. */
+  def batch(spark: SparkSession, sfDir: String): DataFrame =
+    envelopeJson(envelope(graft.queries.Tables.events(spark, sfDir)))
+
+  /** Streaming replay: the same pipeline under readStream (file source).
+    * `maxFilesPerTrigger=1` paces the replay like binlog micro-batches.
+    */
+  def stream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    envelopeJson(envelope(raw))
+  }
+}

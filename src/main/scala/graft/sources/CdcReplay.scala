@@ -101,8 +101,11 @@ object CdcReplay {
     */
   def stream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file streaming sources need a directory; select only the events
+    // table out of the fixture dir
     val raw = spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     envelopeJson(envelope(raw))

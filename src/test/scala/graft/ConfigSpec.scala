@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+
+class ConfigSpec extends AnyFunSuite {
+
+  test("table_pk parse: fields, escaped input, column_max_length") {
+    val cfg = TablePkConfig.parse(
+      """[{\"db\":\"test_db\",\"table\":\"product\",\"primary_key\":\"pid\"},
+         {"db":"test_db","table":"product_01","primary_key":"pid,seq","column_max_length":"col1=100|col2=200"}]""")
+    assert(cfg.rules.size == 2)
+    val r = cfg.rules("test_db=product_01")
+    assert(r.pkColumns == Seq("pid", "seq"))
+    assert(r.truncations == Seq(("col1", 100), ("col2", 200)))
+    assert(cfg.rules("test_db=product").pkColumns == Seq("pid"))
+  }
+
+  test("resolve: longest pattern first, unanchored") {
+    val cfg = TablePkConfig.parse(
+      """[{"db":"test_db","table":"p.*","primary_key":"a"},
+         {"db":"test_db","table":"prod_x","primary_key":"b"}]""")
+    assert(cfg.resolve("test_db", "prod_x").get.primaryKey == "b")
+    assert(cfg.resolve("test_db", "prod_y").get.primaryKey == "a")
+    assert(cfg.resolve("nope", "nope").isEmpty)
+  }
+
+  test("startup position: all five modes") {
+    assert(StartupPosition.parse("initial") == StartupPosition.Initial)
+    assert(StartupPosition.parse("latest") == StartupPosition.Latest)
+    assert(StartupPosition.parse("mysql-bin.000003") ==
+      StartupPosition.BinlogOffset("mysql-bin.000003", 4L))
+    assert(StartupPosition.parse("mysql-bin.000003:1024") ==
+      StartupPosition.BinlogOffset("mysql-bin.000003", 1024L))
+    assert(StartupPosition.parse("gtid:uuid:1-20") ==
+      StartupPosition.Gtid("uuid:1-20"))
+    assert(StartupPosition.parse("timestamp:1678634463000") ==
+      StartupPosition.Timestamp(1678634463000L))
+  }
+
+  test("startup position → kafka options") {
+    assert(StartupPosition.toKafkaOptions(StartupPosition.Initial) ==
+      Map("startingOffsets" -> "earliest"))
+    assert(StartupPosition.toKafkaOptions(StartupPosition.Latest) ==
+      Map("startingOffsets" -> "latest"))
+    assert(StartupPosition.toKafkaOptions(
+      StartupPosition.Timestamp(123L)) == Map("startingTimestamp" -> "123"))
+  }
+
+  test("CLI args parse with reference flag names") {
+    val p = CdcParams.fromArgs(Array(
+      "-broker_list", "b-1:9092,b-2:9092",
+      "-topic", "cdc", "-topic_prefix", "flink_cdc_",
+      "-position", "latest", "-chunk_size", "4000",
+      "-delivery_guarantee", "at_least_once",
+      "-parallel", "6", "-disable_chaining", "true",
+      "-kafka_properties", "max.request.size=1073741824,linger.ms=5"))
+    assert(p.brokerList == "b-1:9092,b-2:9092")
+    assert(p.topicPrefix == "flink_cdc_")
+    assert(p.chunkSize == 4000)
+    assert(p.parallel == 6)
+    assert(p.disableChaining)
+    assert(p.kafkaProperties ==
+      Map("max.request.size" -> "1073741824", "linger.ms" -> "5"))
+  }
+
+  test("jdbc snapshot chunk math") {
+    import graft.sources.JdbcSnapshot._
+    assert(numChunks(1, 8096, 8096) == 1)
+    assert(numChunks(1, 8097, 8096) == 2)
+    assert(numChunks(0, 99999, 4000) == 25)
+    val preds = chunkPredicates("id", 0, 99, 50)
+    assert(preds.size == 2)
+    assert(preds.head == "id < 50")
+    assert(preds.last == "id >= 50")
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+/** Plan-shape assertions (the 100 TB design contract): filters and
+  * column pruning reach the parquet scan, small dims broadcast, the
+  * sink projection stays inside whole-stage codegen, and partial
+  * aggregation precedes every exchange.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("rel_q1_agg: filter pushed to parquet scan + pruned read schema") {
+    val p = plan("rel_q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // only the 5 needed columns are read, not all 11
+    assert(p.contains("l_returnflag") && !p.contains("l_orderkey"), p)
+  }
+
+  test("rel_join_broadcast: dimension join is a BroadcastHashJoin") {
+    val p = plan("rel_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("rel_join_shuffle: fact-fact join partial-aggregates before exchange") {
+    val p = plan("rel_join_shuffle")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("sim_knn_brute: probes broadcast, no all-pairs shuffle") {
+    val p = plan("sim_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("flagship sink projection runs inside whole-stage codegen") {
+    val p = queries.CdcQueries.flagship(spark, sf)
+      .queryExecution.executedPlan.toString
+    // codegen'd stages are star-prefixed in the plan string; the sink
+    // projection (incl. java_string_hash) must be inside one
+    assert(p.contains("*(2) Project") || p.contains("*(1) Project"), p)
+    assert(p.contains("java_string_hash"), p)
+  }
+
+  test("dedup_exact: map-side partial aggregation before the shuffle") {
+    val p = plan("dedup_exact")
+    // two HashAggregates (partial + final) around one Exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}

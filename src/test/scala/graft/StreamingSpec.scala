@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.config.CdcParams
+import graft.streaming.CdcPipeline
+
+/** Streaming pipeline smoke (SURVEY §5): the identical transform chain
+  * that passes the batch DuckDB oracle, run under readStream through a
+  * memory sink — asserting row counts, per-key ordering prerequisites
+  * (same key ⇒ same partition), topic routing, and delete/before-key
+  * handling.
+  */
+class StreamingSpec extends SparkSpec {
+
+  val params: CdcParams = CdcParams(
+    topic = "cdc_topic", topicPrefix = "flink_cdc_",
+    tablePk = """[{"db":"test_db","table":"eve.*","primary_key":"event_id","column_max_length":"event_type=6|props=8"}]""")
+
+  test("stream == batch: same rows through memory sink") {
+    val df = CdcPipeline.build(spark, sf, params, numPartitions = 12)
+    val q = CdcPipeline.memorySink(df, "cdc_stream_out")
+    try {
+      q.processAllAvailable()
+      val out = spark.table("cdc_stream_out")
+        .select(col("key").cast("string").as("k"), col("topic"), col("partition"))
+      assert(out.count() == 1000)
+      // topic routing: prefix + lower(db)
+      assert(out.select(col("topic")).distinct().collect()
+        .map(_.getString(0)).toSeq == Seq("flink_cdc_test_db"))
+      // batch equivalence on the same projection
+      val batch = queries.CdcQueries.flagship(spark, sf)
+        .select(col("key").cast("string").as("k"), col("topic"), col("partition"))
+      assert(out.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(out).count() == 0)
+      // per-key ordering prerequisite: one partition per key
+      val multi = out.groupBy(col("k"))
+        .agg(countDistinct(col("partition")).as("nparts"))
+        .filter(col("nparts") > 1).count()
+      assert(multi == 0)
+    } finally q.stop()
+  }
+
+  test("stateful dedup: dropDuplicates on partition key under streaming") {
+    import org.apache.spark.sql.streaming.Trigger
+    val lines = graft.sources.CdcReplay.stream(spark, sf)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val deduped = graft.operators.CdcEnrichment
+      .enrichMySql(lines.as[String], params.tablePkConfig).toDF()
+      .dropDuplicates("partitionKey")
+    val q = deduped.writeStream.format("memory")
+      .queryName("cdc_dedup_out").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(120000)
+      val n = spark.table("cdc_dedup_out").count()
+      // every event_id is a distinct key → dedup keeps all 1000
+      assert(n == 1000)
+      assert(spark.table("cdc_dedup_out")
+        .select(col("partitionKey")).distinct().count() == n)
+    } finally q.stop()
+  }
+
+  test("windowed aggregation with watermark over the events stream") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream
+      .schema(graft.sources.CdcReplay.eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val q = agg.writeStream.format("memory")
+      .queryName("cdc_win_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cdc_win_out")
+      assert(got.count() > 0)
+      // total event count is preserved across windows
+      assert(got.agg(sum(col("n"))).head().getLong(0) == 1000L)
+    } finally q.stop()
+  }
+}

@@ -117,7 +117,7 @@ object CdcQueries {
         import s.implicits._
         // events → Mongo change-stream envelopes (ns.db/ns.coll,
         // operationType, documentKey) → enrichMongo pk-regex extraction.
-        val mongoJson = Tables.events(s, dir).select(to_json(struct(
+        val mongoJson = Tables.rebalance(Tables.events(s, dir)).select(to_json(struct(
           concat(lit("evt_"), col("event_id")).as("_id"),
           when(CdcReplay.opExpr(col("event_id")) === "d", "delete")
             .when(CdcReplay.opExpr(col("event_id")) === "u", "update")

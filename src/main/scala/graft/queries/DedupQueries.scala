@@ -48,7 +48,7 @@ object DedupQueries {
 
   /** doc_id + exploded distinct word-3-gram shingles, hashed. */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.rebalance(Tables.documents(s, dir))
       .withColumn("toks", split(trim(col("text")), " "))
       .withColumn("shingle", explode(array_distinct(expr(
         "transform(sequence(1, greatest(size(toks) - 2, 1)), " +
@@ -150,7 +150,7 @@ object DedupQueries {
     // ----------------------------------------------------------- SimHash
     "dedup_simhash" -> QueryDef(
       (s, dir) => {
-        val words = Tables.documents(s, dir)
+        val words = Tables.rebalance(Tables.documents(s, dir))
           .select(col("doc_id"),
             explode(split(trim(col("text")), " ")).as("w"))
           .select(col("doc_id"), uhash(col("w")).as("h"))
@@ -179,47 +179,74 @@ object DedupQueries {
       }),
 
     // ------------------------------------------- n-gram Jaccard (blocked)
+    // Inverted-index formulation: explode distinct word-bigrams, shuffle
+    // join on a 32-bit hash of (lang, gram), count shared grams per pair,
+    // derive jaccard from shared + set sizes. Produces exactly the
+    // blocked all-pairs result (a zero-overlap pair has jaccard 0 <
+    // threshold; the oracle joins on the identical hash, so any hash
+    // collision affects both engines identically) while doing work
+    // proportional to Σ_gram df(gram)² instead of O(block²·|grams|) —
+    // the plan that survives a 100× scale-up. The fixture parquet is a
+    // single row-group, so the scan is repartitioned before the
+    // (CPU-heavy) gram explode. At full scale add a df cap / prefix
+    // filter on hot grams.
     "dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {
-        val grams = Tables.documents(s, dir)
+        val grams = Tables.rebalance(Tables.documents(s, dir))
           .withColumn("toks", split(trim(col("text")), " "))
           .select(col("doc_id"), col("lang"),
             array_distinct(expr(
-              "transform(sequence(1, greatest(size(toks) - 1, 1)), " +
-                "i -> concat_ws(' ', element_at(toks, i), " +
-                "element_at(toks, least(i + 1, size(toks)))))")).as("grams"))
-        val a = grams.as("a")
-        val b = grams.as("b")
-        a.join(b, col("a.lang") === col("b.lang") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(
+              "zip_with(slice(toks, 1, size(toks) - 1), " +
+                "slice(toks, 2, size(toks) - 1), " +
+                "(x, y) -> concat(x, ' ', y))")).as("grams"))
+        val inv = grams
+          .withColumn("sz", size(col("grams")))
+          .select(col("doc_id"), col("sz"),
+            explode(col("grams")).as("gram"),
+            col("lang"))
+          .select(col("doc_id"), col("sz"),
+            uhash(concat_ws("|", col("lang"), col("gram"))).as("gh"))
+        val shared = inv.as("a").join(inv.as("b"),
+            col("a.gh") === col("b.gh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(
             col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-              (size(col("a.grams")) + size(col("b.grams")) -
-                size(array_intersect(col("a.grams"), col("b.grams"))))
-                .cast("double")).as("jaccard"))
+            col("a.sz").as("sa"), col("b.sz").as("sb"))
+          .agg(count(lit(1)).as("shared"))
+        shared.select(col("doc_a"), col("doc_b"),
+            (col("shared").cast("double") /
+              (col("sa") + col("sb") - col("shared")).cast("double"))
+              .as("jaccard"))
           .filter(col("jaccard") >= 0.12)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some("""WITH g AS (
+      Some(s"""WITH g AS (
         SELECT doc_id, lang,
           list_distinct(list_transform(
-            range(1, greatest(len(string_split(trim(text), ' ')), 2)),
+            range(1, len(string_split(trim(text), ' '))),
             i -> string_split(trim(text), ' ')[CAST(i AS INTEGER)] || ' ' ||
-                 string_split(trim(text), ' ')[CAST(least(i + 1, len(string_split(trim(text), ' '))) AS INTEGER)])) AS grams
+                 string_split(trim(text), ' ')[CAST(i AS INTEGER) + 1])) AS grams
         FROM documents),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-            CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE) /
-            CAST(len(a.grams) + len(b.grams) - len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE) AS jaccard
-          FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b, jaccard FROM pairs
-        WHERE jaccard >= 0.12 ORDER BY doc_a, doc_b""")),
+        inv0 AS (
+          SELECT doc_id, lang, len(grams) AS sz, unnest(grams) AS gram FROM g),
+        inv AS (
+          SELECT doc_id, sz, ${uhashSql("lang || '|' || gram")} AS gh FROM inv0),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sa, b.sz AS sb,
+            COUNT(*) AS shared
+          FROM inv a JOIN inv b
+            ON a.gh = b.gh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id, a.sz, b.sz)
+        SELECT doc_a, doc_b,
+          CAST(shared AS DOUBLE) / CAST(sa + sb - shared AS DOUBLE) AS jaccard
+        FROM shared
+        WHERE CAST(shared AS DOUBLE) / CAST(sa + sb - shared AS DOUBLE) >= 0.12
+        ORDER BY doc_a, doc_b""")),
 
     // --------------------------------- embedding-cosine near-dup (blocked)
     "dedup_embedding" -> QueryDef(
       (s, dir) => {
-        val e = Tables.embeddings(s, dir).select(
+        val e = Tables.rebalance(Tables.embeddings(s, dir)).select(
           col("vec_id"), col("label"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
           .withColumn("norm", sqrt(expr(

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
 
   private def vectors(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).select(
+    Tables.rebalance(Tables.embeddings(s, dir)).select(
       col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("norm", sqrt(expr(

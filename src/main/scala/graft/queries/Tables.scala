@@ -9,6 +9,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * columns down to the parquet scan.
   */
 object Tables {
+
+  /** Round-robin rebalance — the reference's `rebalance` operator
+    * (SURVEY §2 #4, MySQLCDC2AWSMSK.scala:95). The fixture parquet files
+    * are single row-groups, so scans arrive in ONE partition; CPU-heavy
+    * per-row stages (JSON construction, gram explode, vector math) must
+    * be spread across cores first. On a cluster the same call breaks
+    * source skew before expensive map stages.
+    */
+  def rebalance(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
   def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/lineitem.parquet")
   def orders(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/orders.parquet")
   def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/customer.parquet")

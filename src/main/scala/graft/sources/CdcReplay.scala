@@ -92,9 +92,14 @@ object CdcReplay {
       struct(col("before"), col("after"), col("source"), col("op"), col("ts_ms")),
       Map("ignoreNullFields" -> "false")).as("value"))
 
-  /** Batch replay: events parquet at `sfDir` → Debezium JSON lines. */
+  /** Batch replay: events parquet at `sfDir` → Debezium JSON lines.
+    * Rebalanced before the (CPU-heavy) envelope JSON construction —
+    * mirroring the reference's post-source `rebalance`
+    * (MySQLCDC2AWSMSK.scala:95).
+    */
   def batch(spark: SparkSession, sfDir: String): DataFrame =
-    envelopeJson(envelope(graft.queries.Tables.events(spark, sfDir)))
+    envelopeJson(envelope(graft.queries.Tables.rebalance(
+      graft.queries.Tables.events(spark, sfDir))))
 
   /** Streaming replay: the same pipeline under readStream (file source).
     * `maxFilesPerTrigger=1` paces the replay like binlog micro-batches.

@@ -16,6 +16,7 @@ object SparkEntry {
   /** All query modules, merged. */
   private val allDefs: Map[String, QueryDef] =
     RelationalQueries.defs ++
+      ExtendedQueries.defs ++
       CdcQueries.defs ++
       TextQueries.defs ++
       DedupQueries.defs ++

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryDef.dec2
+
+/** Second wave of relational/analytics coverage: cube & grouping sets,
+  * as-of join, banded range join, word count, and exact per-label
+  * embedding centroids.
+  *
+  * The as-of join is deliberately built from existing operators (union +
+  * ignore-nulls carry-forward window) rather than a custom SparkPlan —
+  * SURVEY §2.2 preference order (a): the composition shuffles once on the
+  * partition key and sorts within partitions, which is exactly the
+  * physical shape a bespoke as-of operator would produce, with none of
+  * the planner surface.
+  */
+object ExtendedQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------- cube
+    "rel_cube" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // --------------------------------------------------- grouping sets
+    "rel_grouping_sets" -> QueryDef(
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        // GROUPING SETS ((l_returnflag), (l_linestatus)) via SQL — the
+        // DataFrame API exposes cube/rollup; arbitrary sets go through
+        // the SQL front end.
+        l.createOrReplaceTempView("graft_lineitem_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          FROM graft_lineitem_gs
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // -------------------------------------------------------- as-of join
+    // For every 'error' event: the value of the user's most recent
+    // 'purchase' at-or-before that time. Union both sides tagged, one
+    // shuffle on user_id, ignore-nulls carry-forward within the
+    // (user_id, ts, tiebreak) sort — the scalable merge formulation of
+    // as-of (no per-row subquery, no range explosion).
+    "rel_asof_join" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.rebalance(Tables.events(s, dir))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("value").as("purchase_value"), lit(0).as("kind"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(null).cast("double").as("purchase_value"), lit(1).as("kind"))
+        // kind orders purchase before error at identical ts (inclusive <=)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("kind"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purchases.unionAll(errors)
+          .withColumn("last_purchase_value",
+            last(col("purchase_value"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("last_purchase_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH u AS (
+          SELECT user_id, ts, event_id, value AS purchase_value, 0 AS kind
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, ts, event_id, NULL AS purchase_value, 1 AS kind
+          FROM events WHERE event_type = 'error'),
+        c AS (
+          SELECT event_id, user_id, ts, kind,
+            LAST_VALUE(purchase_value IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY ts, kind, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+          FROM u)
+        SELECT event_id, user_id,
+          strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+          last_purchase_value
+        FROM c WHERE kind = 1 ORDER BY event_id""")),
+
+    // -------------------------------------------- banded range join
+    // Lines shipped within 90 days of their order date: equi key plus a
+    // range band — the equi component keeps it a hash/SMJ join (no
+    // interval explosion); the band is a post-join filter pushed into
+    // the join condition.
+    "rel_range_join" -> QueryDef(
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        l.join(o, l("l_orderkey") === o("o_orderkey") &&
+            l("l_shipdate") >= o("o_orderdate") &&
+            l("l_shipdate") <= date_add(o("o_orderdate"), 90))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_shipped_90d"),
+            sum(dec2(col("l_extendedprice"))).cast("double").as("value_90d"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_shipped_90d,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value_90d
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // --------------------------------------------------------- wordcount
+    "txt_wordcount" -> QueryDef(
+      (s, dir) => {
+        Tables.rebalance(Tables.documents(s, dir))
+          .select(explode(split(trim(col("text")), " ")).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word"))
+          .limit(20)
+      },
+      Some("""SELECT word, COUNT(*) AS n FROM (
+          SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)
+        GROUP BY word ORDER BY n DESC, word LIMIT 20""")),
+
+    // ------------------------------------- exact per-label centroids
+    // Mean vector per label with ORDER-INDEPENDENT exact math: each
+    // double element is cast to decimal(28,14) (exact recovery of the
+    // float32-origin value), summed exactly, divided as double at the
+    // end. posexplode/lockstep-unnest keeps dimensions aligned.
+    "emb_centroid" -> QueryDef(
+      (s, dir) => {
+        Tables.rebalance(Tables.embeddings(s, dir))
+          .select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), (col("pos") + 1).as("dim"),
+            col("col").cast("double").cast("decimal(28,14)").as("x"))
+          .groupBy(col("label"), col("dim"))
+          .agg(round(sum(col("x")).cast("double") / count(lit(1)), 6)
+            .as("centroid"))
+          .filter(col("dim") <= 8)
+          .orderBy(col("label"), col("dim"))
+      },
+      Some("""WITH x AS (
+          SELECT label,
+            unnest(range(1, len(embedding) + 1)) AS dim,
+            unnest(list_transform(embedding,
+              e -> CAST(CAST(e AS DOUBLE) AS DECIMAL(28,14)))) AS x
+          FROM embeddings)
+        SELECT label, dim,
+          ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS centroid
+        FROM x WHERE dim <= 8
+        GROUP BY label, dim ORDER BY label, dim""")))
+}

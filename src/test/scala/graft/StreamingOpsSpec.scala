@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+/** Streaming operator coverage beyond the CDC pipeline: stream-stream
+  * join with watermarks, session windows, and arbitrary stateful
+  * processing (flatMapGroupsWithState-family via mapGroupsWithState) —
+  * SURVEY §2.2's streaming rows.
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("stream-stream inner join with watermarks") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val imps = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF().toDF("ad_id", "click_ts").withWatermark("click_ts", "10 minutes")
+    val i = imps.toDF().toDF("ad_id", "imp_ts").withWatermark("imp_ts", "10 minutes")
+    val joined = i.join(c,
+      i("ad_id") === c("ad_id") &&
+        c("click_ts") >= i("imp_ts") &&
+        c("click_ts") <= i("imp_ts") + expr("INTERVAL 5 minutes"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ss_join_out").outputMode("append").start()
+    try {
+      imps.addData((1L, ts(0)), (2L, ts(1)))
+      clicks.addData((1L, ts(2)), (2L, ts(30))) // 2nd outside the band
+      q.processAllAvailable()
+      assert(spark.table("ss_join_out").count() == 1)
+    } finally q.stop()
+  }
+
+  test("session window aggregation") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val agg = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory")
+      .queryName("session_out").outputMode("complete").start()
+    try {
+      // user 7: events at 0,3,6 min (one session), 20 min (new session)
+      input.addData((7L, ts(0)), (7L, ts(3)), (7L, ts(6)), (7L, ts(20)))
+      q.processAllAvailable()
+      val rows = spark.table("session_out")
+        .select(col("n")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(rows == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("arbitrary keyed state: running count per key via mapGroupsWithState") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[String]
+    val counted = input.toDS()
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, values: Iterator[String],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + values.size
+          state.update(n)
+          (key, n)
+      }
+    val q = counted.toDF("k", "n").writeStream.format("memory")
+      .queryName("mgs_out").outputMode("update").start()
+    try {
+      input.addData("a", "b", "a")
+      q.processAllAvailable()
+      input.addData("a")
+      q.processAllAvailable()
+      val last = spark.table("mgs_out")
+        .groupBy(col("k")).agg(max(col("n")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(last == Map("a" -> 3L, "b" -> 1L))
+    } finally q.stop()
+  }
+}

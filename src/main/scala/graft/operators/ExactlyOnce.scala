@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exactly-once delivery machinery (SURVEY §7 hard part 1).
+  *
+  * Flink's Kafka sink reaches exactly-once with transactional two-phase
+  * commit tied to checkpoints (reference `DeliveryGuarantee.EXACTLY_ONCE`,
+  * MySQLCDC2AWSMSK.scala:187, txn timeout 900 s :178). Spark's Kafka
+  * sink is at-least-once: a failed micro-batch is REPLAYED, so the same
+  * (batchId, row) set can be produced twice.
+  *
+  * The Spark-native strategies, in preference order:
+  *
+  *  1. **Idempotent downstream** (reference README.md:33 itself
+  *     recommends at_least_once + dedup): every record carries
+  *     `partitionKey`; a keyed consumer (or [[upsertByKey]] for a lake
+  *     target) collapses duplicates. This is the default.
+  *  2. **Batch-id fencing** ([[foreachBatchExactlyOnce]]): `foreachBatch`
+  *     exposes a stable `batchId` per epoch; a committed-epoch ledger
+  *     makes the write idempotent — replayed batches are skipped. This
+  *     is exactly the two-phase-commit shape, with the ledger as the
+  *     commit marker.
+  *  3. Transactional Kafka producer inside foreachBatch (requires
+  *     brokers; not drivable in this container — the fencing logic is
+  *     identical, with initTransactions/commitTransaction around the
+  *     send loop).
+  */
+object ExactlyOnce {
+
+  /** Upsert-by-key into a parquet/delta-style target: latest record per
+    * `partitionKey` wins (ts tie-broken by value hash for determinism).
+    * Running it over data containing duplicates yields the same target
+    * state as running it over the deduplicated input — the idempotence
+    * that makes at-least-once delivery exactly-once downstream.
+    */
+  def upsertByKey(batch: DataFrame, keyCol: String, orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol).desc, xxhash64(col("value")).asc)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Wrap a batch writer with an epoch ledger at `ledgerPath` (one empty
+    * marker file per committed batchId). Replayed epochs are skipped —
+    * the micro-batch equivalent of Kafka's transaction commit marker.
+    * Returns true when the batch was written, false when fenced.
+    */
+  def writeFenced(spark: SparkSession, ledgerPath: String, batchId: Long)(
+      write: () => Unit): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(ledgerPath),
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$ledgerPath/epoch-$batchId")
+    if (fs.exists(marker)) false
+    else {
+      write()
+      fs.create(marker, true).close() // commit marker AFTER the write
+      true
+    }
+  }
+
+  /** writeStream.foreachBatch body with fencing: idempotent parquet
+    * append target (each epoch writes its own subdirectory, so a
+    * replayed epoch is a no-op and a torn write is overwritten on
+    * replay — rename-based atomicity).
+    */
+  def foreachBatchExactlyOnce(targetDir: String, ledgerPath: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    writeFenced(spark, ledgerPath, batchId) { () =>
+      batch.write.mode("overwrite").parquet(s"$targetDir/epoch=$batchId")
+    }
+  }
+}

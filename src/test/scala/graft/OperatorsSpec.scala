@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+import graft.operators.{ExactlyOnce, ScoredId, TopKAggregator}
+
+/** Exactly-once machinery, the bounded top-k aggregator, SQL function
+  * registration, and approximate aggregates.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsertByKey is idempotent under duplicated input") {
+    val clean = Seq(("k1", 1L, "a"), ("k2", 2L, "b"))
+      .toDF("partitionKey", "ts", "value")
+    val dup = clean.unionAll(clean).unionAll(
+      Seq(("k1", 0L, "stale")).toDF("partitionKey", "ts", "value"))
+    val out = ExactlyOnce.upsertByKey(dup, "partitionKey", "ts")
+      .orderBy("partitionKey")
+    assert(out.collect().map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq(("k1", "a"), ("k2", "b")))
+  }
+
+  test("writeFenced skips replayed epochs") {
+    val ledger = Files.createTempDirectory("graft_ledger").toString
+    var writes = 0
+    val w1 = ExactlyOnce.writeFenced(spark, ledger, 7L)(() => writes += 1)
+    val w2 = ExactlyOnce.writeFenced(spark, ledger, 7L)(() => writes += 1)
+    val w3 = ExactlyOnce.writeFenced(spark, ledger, 8L)(() => writes += 1)
+    assert(w1 && !w2 && w3)
+    assert(writes == 2)
+  }
+
+  test("foreachBatch exactly-once: replayed batch leaves target unchanged") {
+    val target = Files.createTempDirectory("graft_eo").toString
+    val ledger = s"$target/_ledger"
+    val batch = Seq(("k1", "v1"), ("k2", "v2")).toDF("partitionKey", "value")
+    ExactlyOnce.foreachBatchExactlyOnce(target, ledger)(batch, 0L)
+    ExactlyOnce.foreachBatchExactlyOnce(target, ledger)(batch, 0L) // replay
+    ExactlyOnce.foreachBatchExactlyOnce(target, ledger)(batch, 1L)
+    val n = spark.read.parquet(target).count()
+    assert(n == 4, s"expected 2 epochs x 2 rows, got $n")
+  }
+
+  test("TopKAggregator: k-bounded, deterministic, matches window top-k") {
+    val data = queries.Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        col("o_orderkey").as("id"),
+        col("o_totalprice").as("score"))
+    val viaAgg = data.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => ScoredId(t._2, t._3))
+      .agg(new TopKAggregator(3).toColumn)
+      .flatMap { case (cust, top) => top.map(s => (cust, s.id, s.score)) }
+      .toDF("cust", "id", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("score").desc, col("id").asc)
+    val viaWindow = data
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("o_custkey").as("cust"), col("id"), col("score"))
+    assert(viaAgg.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaAgg).count() == 0)
+  }
+
+  test("java_string_hash registered as a SQL function") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT java_string_hash('test_db.events.0') AS h").head().getInt(0)
+    assert(got == "test_db.events.0".hashCode)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val l = queries.Tables.lineitem(spark, sf)
+    val exact = l.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = l.select(approx_count_distinct(col("l_partkey"), 0.02))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}

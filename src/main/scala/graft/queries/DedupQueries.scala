@@ -248,17 +248,15 @@ object DedupQueries {
       (s, dir) => {
         val e = Tables.rebalance(Tables.embeddings(s, dir)).select(
           col("vec_id"), col("label"),
-          expr("transform(embedding, x -> cast(x as double))").as("v"))
-          .withColumn("norm", sqrt(expr(
-            "aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)")))
+          col("embedding").cast("array<double>").as("v"))
+          .withColumn("norm", graft.functions.VectorOps.l2Norm(col("v")))
         val a = e.as("a")
         val b = e.as("b")
         a.join(b, col("a.label") === col("b.label") &&
             col("a.vec_id") < col("b.vec_id"))
           .select(
             col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), " +
-              "cast(0 as double), (acc, x) -> acc + x)") /
+            (graft.functions.VectorOps.arrayDot(col("a.v"), col("b.v")) /
               (col("a.norm") * col("b.norm"))).as("cos_sim"))
           .filter(col("cos_sim") >= 0.25)
           .orderBy(col("vec_a"), col("vec_b"))

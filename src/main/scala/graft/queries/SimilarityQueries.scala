@@ -17,20 +17,21 @@ import org.apache.spark.sql.functions._
   *     hyperplane hashing for mean-centered data); candidate generation
   *     joins only within a bucket, turning O(n·q) into O(q · bucket).
   *
-  * Dot products use exact sequential double folds (zip_with + aggregate /
-  * list_reduce) so Spark and DuckDB produce bit-identical cosines.
+  * Dot products use the native codegen'd [[graft.functions.ArrayDot]]
+  * expression — a sequential left-to-right double fold, bit-identical to
+  * DuckDB's `list_reduce(list_prepend(0.0, …))` oracle formulation.
   */
 object SimilarityQueries {
 
   private def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.rebalance(Tables.embeddings(s, dir)).select(
       col("vec_id"), col("label"),
-      expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("norm", sqrt(expr(
-        "aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)")))
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", graft.functions.VectorOps.l2Norm(col("v")))
 
-  private val cosExpr =
-    "aggregate(zip_with(p.v, e.v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+  private def cosCol = graft.functions.VectorOps
+    .arrayDot(org.apache.spark.sql.functions.col("p.v"),
+      org.apache.spark.sql.functions.col("e.v"))
 
   private val dotSql =
     """list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -59,7 +60,7 @@ object SimilarityQueries {
         broadcast(probes).as("p")
           .join(vecs.as("e"), col("p.probe_id") =!= col("e.vec_id"))
           .select(col("p.probe_id"), col("e.vec_id"),
-            (expr(cosExpr) / (col("p.norm") * col("e.norm"))).as("cos_sim"))
+            (cosCol / (col("p.norm") * col("e.norm"))).as("cos_sim"))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 10)
           .orderBy(col("probe_id"), col("rnk"))
@@ -94,7 +95,7 @@ object SimilarityQueries {
             col("p.bucket") === col("e.bucket") &&
               col("p.probe_id") =!= col("e.vec_id"))
           .select(col("p.probe_id"), col("e.vec_id"),
-            (expr(cosExpr) / (col("p.norm") * col("e.norm"))).as("cos_sim"))
+            (cosCol / (col("p.norm") * col("e.norm"))).as("cos_sim"))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .orderBy(col("probe_id"), col("rnk"))

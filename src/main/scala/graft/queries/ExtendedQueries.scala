@@ -125,6 +125,42 @@ object ExtendedQueries {
           AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ------------------------------ approximate distinct (HLL sketch)
+    // No oracle: HLL estimates are engine-specific by construction —
+    // declared rows-only; OperatorsSpec asserts the estimate lands
+    // within 5% of exact.
+    "rel_approx_distinct" -> QueryDef(
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        l.groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+          .orderBy(col("l_returnflag"))
+      },
+      None),
+
+    // ---------------------- bounded top-k via the custom Aggregator
+    // No oracle (typed-Aggregator output): rows-only check here; the
+    // window-equivalence proof lives in OperatorsSpec.
+    "sim_topk_agg" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.{ScoredId, TopKAggregator}
+        val sess = s
+        import sess.implicits._
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .as[(Long, Long, Double)]
+          .groupByKey(_._1)
+          .mapValues(t => ScoredId(t._2, t._3))
+          .agg(new TopKAggregator(3).toColumn)
+          .flatMap { case (cust, top) =>
+            top.zipWithIndex.map { case (sc, i) => (cust, i + 1, sc.id, sc.score) } }
+          .toDF("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+          .orderBy(col("o_custkey"), col("rnk"))
+      },
+      None),
+
     // --------------------------------------------------------- wordcount
     "txt_wordcount" -> QueryDef(
       (s, dir) => {

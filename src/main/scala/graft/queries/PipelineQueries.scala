@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Composed training-data-pipeline queries: per-language corpus stats
+  * (incl. exact-parity median), a keep/drop quality filter combining the
+  * text-analysis signals, and the LSH-bucketed embedding near-dup (the
+  * scale variant of dedup_embedding — candidate pairs only within a
+  * sign-bit bucket).
+  */
+object PipelineQueries {
+
+  private val stopList = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+    .map(w => s"'$w'").mkString(", ")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // -------------------------------------- per-language corpus stats
+    // median over integer token counts: both engines interpolate the two
+    // middle ints as a + (b-a)*0.5 — exact, order-independent.
+    "txt_lang_stats" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .withColumn("n_tokens", size(split(trim(col("text")), " ")))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"),
+            median(col("n_tokens")).as("median_tokens"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+        CAST(MIN(len(string_split(trim(text), ' '))) AS INTEGER) AS min_tokens,
+        CAST(MAX(len(string_split(trim(text), ' '))) AS INTEGER) AS max_tokens,
+        median(len(string_split(trim(text), ' '))) AS median_tokens,
+        CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---------------------------------------- keep/drop quality filter
+    "docs_quality_filter" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("toks", split(trim(col("text")), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("stop_cnt",
+            expr(s"size(filter(toks, t -> t IN ($stopList)))"))
+        d.select(
+          col("doc_id"),
+          (col("n_tokens") >= 5 && col("n_tokens") <= 2000).as("len_ok"),
+          (col("stop_cnt") > 0).as("has_stopwords"),
+          (length(col("text")) >= 50).as("chars_ok"))
+          .withColumn("keep",
+            col("len_ok") && col("has_stopwords") && col("chars_ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+        SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents),
+        m AS (SELECT doc_id, text,
+          len(toks) AS n_tokens,
+          len(list_filter(toks, t -> t IN ($stopList))) AS stop_cnt
+        FROM d)
+        SELECT doc_id,
+          n_tokens >= 5 AND n_tokens <= 2000 AS len_ok,
+          stop_cnt > 0 AS has_stopwords,
+          LENGTH(text) >= 50 AS chars_ok,
+          (n_tokens >= 5 AND n_tokens <= 2000) AND stop_cnt > 0
+            AND LENGTH(text) >= 50 AS keep
+        FROM m ORDER BY doc_id""")),
+
+    // ---------------------- LSH-bucketed embedding near-dup (scale path)
+    "dedup_embedding_lsh" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.rebalance(Tables.embeddings(s, dir)).select(
+          col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+          .withColumn("norm", graft.functions.VectorOps.l2Norm(col("v")))
+          .withColumn("bucket",
+            (0 until 4).map(i =>
+              when(expr(s"element_at(v, ${i + 1})") > 0, lit(1L << i))
+                .otherwise(lit(0L))).reduce(_ + _))
+        val a = e.as("a")
+        val b = e.as("b")
+        a.join(b, col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            (graft.functions.VectorOps.arrayDot(col("a.v"), col("b.v")) /
+              (col("a.norm") * col("b.norm"))).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.2)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some {
+        val bucketSql = (0 until 4)
+          .map(i => s"(CASE WHEN v[${i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+          .mkString(" + ")
+        """WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        n AS (SELECT vec_id, v,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS norm,
+          BUCKET_EXPR AS bucket
+        FROM e)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, 65),
+              i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)])),
+            (acc, x) -> acc + x) / (a.norm * b.norm) AS cos_sim
+        FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, 65),
+              i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)])),
+            (acc, x) -> acc + x) / (a.norm * b.norm) >= 0.2
+        ORDER BY vec_a, vec_b""".replace("BUCKET_EXPR", bucketSql)
+      }))
+}

@@ -43,6 +43,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("java_string_hash"), p)
   }
 
+  test("rel_range_join: band predicates ride the equi join, no NLJ") {
+    val p = plan("rel_range_join")
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("Join") || p.contains("AdaptiveSparkPlan"), p)
+  }
+
+  test("rel_asof_join: single shuffle on user_id (union + one window sort)") {
+    val p = plan("rel_asof_join")
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
+
   test("dedup_exact: map-side partial aggregation before the shuffle") {
     val p = plan("dedup_exact")
     // two HashAggregates (partial + final) around one Exchange

@@ -74,4 +74,23 @@ object CdcPipeline {
       .queryName(queryName)
       .outputMode("append")
       .start()
+
+  /** Delivery-guarantee dispatch (reference `-delivery_guarantee`,
+    * MySQLCDC2AWSMSK.scala:177-190): `at_least_once` → the native Kafka
+    * writer (its natural guarantee); `exactly_once` → foreachBatch with
+    * epoch fencing (graft.operators.ExactlyOnce), the two-phase-commit
+    * shape — here writing each epoch to a fenced lake directory; with
+    * brokers available the same fenced body wraps a transactional
+    * producer instead.
+    */
+  def sink(df: DataFrame, params: CdcParams): DataStreamWriter[Row] =
+    if (params.deliveryGuarantee == "exactly_once") {
+      val target = params.checkpointDir.stripSuffix("/") + "/out"
+      val ledger = params.checkpointDir.stripSuffix("/") + "/ledger"
+      df.writeStream
+        .foreachBatch(
+          graft.operators.ExactlyOnce.foreachBatchExactlyOnce(target, ledger) _)
+        .option("checkpointLocation", params.checkpointDir + "/ckpt")
+        .trigger(Trigger.ProcessingTime(s"${params.checkpointInterval} seconds"))
+    } else kafkaSink(df, params)
 }

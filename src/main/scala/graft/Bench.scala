@@ -34,6 +34,11 @@ object Bench {
     catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // drain garbage from the previous query outside the timed window,
+      // so one query's allocation burst doesn't bill a GC pause to the
+      // next (string-heavy CDC queries precede tiny aggregations in
+      // name order)
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

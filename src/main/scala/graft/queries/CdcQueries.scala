@@ -110,6 +110,22 @@ object CdcQueries {
         CAST(abs((CASE WHEN hc >= 2147483648 THEN hc - 4294967296 ELSE hc END) % 12) AS INTEGER) AS partition
         FROM h ORDER BY partition_key""")),
 
+    // ------------------------------ no-PK fallback (operator #5 branch)
+    "cdc_enrich_nopk" -> QueryDef(
+      (s, dir) => {
+        implicit val spark: SparkSession = s
+        import s.implicits._
+        val lines = graft.sources.CdcReplay.batch(s, dir).as[String]
+        CdcEnrichment.enrichMySql(lines, noPkConfig).toDF()
+          .select(
+            get_json_object(col("value"), "$.source.pos").cast("long").as("event_id"),
+            col("partitionKey").as("partition_key"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+        'test_db.events.no_pk' AS partition_key
+        FROM events ORDER BY event_id""")),
+
     // ---------------------------------------- Mongo variant (#3, Mongo #5)
     "cdc_enrich_mongo" -> QueryDef(
       (s, dir) => {

@@ -70,6 +70,50 @@ object PipelineQueries {
             AND LENGTH(text) >= 50 AS keep
         FROM m ORDER BY doc_id""")),
 
+    // ------------------------------------- batch sessionization
+    // The batch twin of session_window: per-user 30-minute-gap sessions
+    // via lag + running sum — one shuffle on user_id, no state store.
+    "evt_sessionize" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, dir)
+          .withColumn("sec", unix_timestamp(col("ts")))
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("sec"), col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("prev_sec", lag(col("sec"), 1).over(wOrd))
+          .withColumn("new_session",
+            when(col("prev_sec").isNull ||
+              col("sec") - col("prev_sec") > 1800, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(wRun))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("sec")).as("start_sec"),
+            max(col("sec")).as("end_sec"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id,
+            CAST(floor(epoch(ts)) AS BIGINT) AS sec
+          FROM events),
+        g AS (
+          SELECT user_id, event_id, sec,
+            CASE WHEN LAG(sec, 1) OVER w IS NULL
+                   OR sec - LAG(sec, 1) OVER w > 1800
+                 THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        sid AS (
+          SELECT user_id, sec,
+            CAST(SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY sec, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM g)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+          MIN(sec) AS start_sec, MAX(sec) AS end_sec
+        FROM sid GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""")),
+
     // ---------------------- LSH-bucketed embedding near-dup (scale path)
     "dedup_embedding_lsh" -> QueryDef(
       (s, dir) => {

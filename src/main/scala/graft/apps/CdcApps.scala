@@ -89,9 +89,8 @@ object ReplayCdcLocal {
     spark.sparkContext.setLogLevel("WARN")
     val df = CdcPipeline.build(spark, sfDir,
       params.copy(topic = "cdc_topic", topicPrefix = "flink_cdc_",
-        tablePk = graft.queries.CdcQueries.config.rules.headOption.map(_ =>
-          """[{"db":"test_db","table":"eve.*","primary_key":"event_id"}]""")
-          .getOrElse("[]")),
+        tablePk =
+          """[{"db":"test_db","table":"eve.*","primary_key":"event_id"}]"""),
       numPartitions = 12)
     val q = CdcPipeline.memorySink(df, "cdc_out")
     q.processAllAvailable()

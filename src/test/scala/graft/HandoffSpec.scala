@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+import graft.sources.SnapshotHandoff
+
+/** Proves the snapshot→incremental handoff sees every record exactly
+  * once across the phase switch: records present at snapshot time come
+  * from the batch phase, records arriving after come from the stream,
+  * and the union has no gap and no overlap.
+  */
+class HandoffSpec extends SparkSpec {
+
+  test("initial-position handoff: no gap, no overlap") {
+    val work = Files.createTempDirectory("graft_handoff").toString
+
+    // build a working copy with the first 600 events as the "existing" db
+    val all = queries.Tables.events(spark, sf).cache()
+    all.filter(col("event_id") < 600)
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+
+    val snap = SnapshotHandoff.snapshot(spark, work)
+    assert(snap.watermark == 599L)
+    val snapCount = snap.data.count()
+    assert(snapCount == 600)
+
+    // "binlog continues": 400 more events arrive after the snapshot
+    all.filter(col("event_id") >= 600)
+      .coalesce(1).write.mode("append").parquet(s"$work/events.parquet")
+
+    val stream = SnapshotHandoff.incremental(spark, work, snap.watermark)
+    val q = stream.writeStream.format("memory")
+      .queryName("handoff_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("handoff_out")
+    // stream fence: nothing at or below the watermark (no overlap)
+    assert(streamed.filter(col("event_id") <= snap.watermark).count() == 0)
+    // snapshot + stream = every event exactly once (no gap)
+    val total = snap.data.select(col("event_id"))
+      .unionAll(streamed.select(col("event_id")))
+    assert(total.count() == 1000)
+    assert(total.distinct().count() == 1000)
+  }
+}

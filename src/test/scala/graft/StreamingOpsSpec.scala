@@ -55,6 +55,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped from append-mode windows") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val agg = input.toDF().toDF("k", "ts")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory")
+      .queryName("late_out").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0)), (1L, ts(5)))
+      q.processAllAvailable()
+      // advance the watermark far past the first window, closing it
+      input.addData((1L, ts(60)))
+      q.processAllAvailable()
+      val closed = spark.table("late_out")
+        .agg(sum(col("n"))).head().getLong(0)
+      assert(closed == 2, s"first window should emit its 2 rows, got $closed")
+      // a record 60 min late lands inside the closed window → dropped
+      input.addData((1L, ts(1)))
+      q.processAllAvailable()
+      val after = spark.table("late_out")
+        .agg(sum(col("n"))).head().getLong(0)
+      assert(after == closed, "late row must not reopen the closed window")
+    } finally q.stop()
+  }
+
   test("arbitrary keyed state: running count per key via mapGroupsWithState") {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     implicit val sc = spark.sqlContext

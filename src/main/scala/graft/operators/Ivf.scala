@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps.{arrayDot, l2Norm}
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path next to sign-bit LSH (sim_knn_lsh): a small coarse codebook
+  * partitions vectors into cells; a probe scores only the vectors of
+  * its `nprobe` nearest cells.
+  *
+  * Codebook here: per-label mean vectors (k = #labels, deterministic —
+  * a k-means codebook drops in without changing the plan). Plan shape:
+  * centroids are tiny and BROADCAST twice (assignment + probe routing);
+  * the only shuffle is the per-cell candidate join keyed on cell_id —
+  * at 100 TB this is the classic IVF sharding: cells are the partition
+  * key, probes fan out to nprobe shards.
+  */
+object Ivf {
+
+  /** Per-label centroid codebook: cell_id, c (array<double>), cnorm. */
+  def codebook(vecs: DataFrame): DataFrame = {
+    val cents = vecs
+      .select(col("label").as("cell_id"), posexplode(col("v")))
+      .groupBy(col("cell_id"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("cell_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell_id"),
+        expr("transform(pm, x -> x.m)").as("c"))
+    cents.withColumn("cnorm", l2Norm(col("c")))
+  }
+
+  /** Assign each vector to its nearest-centroid cell (L2 argmin via
+    * -2·v·c + c·c; v·v is constant per vector). Deterministic tie-break
+    * on cell_id.
+    */
+  def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("score",
+        arrayDot(col("c"), col("c")) - arrayDot(col("v"), col("c")) * 2)
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell_id"), struct(col("score"), col("cell_id")))
+        .as("cell_id"))
+
+  /** Top-k per probe over its nprobe nearest cells. */
+  def search(spark: SparkSession, sfDir: String,
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val vecs = graft.queries.Tables.rebalance(
+      graft.queries.Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", l2Norm(col("v")))
+    val cents = codebook(vecs)
+    val cells = assign(vecs, cents)
+    val indexed = vecs.join(cells, "vec_id") // vec_id, v, norm, cell_id
+
+    // probe routing: nprobe nearest cells per probe
+    val probes = indexed.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"),
+        col("v").as("pv"), col("norm").as("pnorm"))
+    val probeCells = probes.crossJoin(broadcast(cents))
+      .withColumn("score",
+        arrayDot(col("c"), col("c")) - arrayDot(col("pv"), col("c")) * 2)
+      .withColumn("cr", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("score"), col("cell_id"))))
+      .filter(col("cr") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("pnorm"), col("cell_id"))
+
+    // candidate scan: only vectors in the probed cells
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    probeCells.as("p")
+      .join(indexed.as("e"),
+        col("p.cell_id") === col("e.cell_id") &&
+          col("p.probe_id") =!= col("e.vec_id"))
+      .select(col("p.probe_id"), col("e.vec_id"),
+        (arrayDot(col("p.pv"), col("e.v")) /
+          (col("p.pnorm") * col("e.norm"))).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+}

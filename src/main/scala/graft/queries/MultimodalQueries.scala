@@ -51,6 +51,28 @@ object MultimodalQueries {
         CAST(ord(SUBSTR(text, LENGTH(text), 1)) AS INTEGER) AS tail_byte
         FROM documents ORDER BY doc_id""")),
 
+    // -------------------- batched decode kernel (mapInPandas analog)
+    // The mapPartitions/batch-kernel contract with the STUB decoder —
+    // see graft.operators.MultimodalKernel. Oracle recomputes the stub's
+    // byte statistics from the text (ASCII ⇒ ord == byte value).
+    "mm_decode_kernel" -> QueryDef(
+      (s, dir) => graft.operators.MultimodalKernel.features(s, dir),
+      Some("""WITH b AS (
+        SELECT doc_id, n_chars,
+          octet_length(encode(text)) AS n,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, LENGTH(text) + 1),
+              i -> CAST(ord(SUBSTR(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+            (a, x) -> a + x) AS bytesum
+        FROM documents)
+        SELECT doc_id,
+          CAST(n AS BIGINT) AS n_bytes,
+          CAST(least(n_chars % 640, 224) AS INTEGER) AS out_width,
+          CAST(least(n_chars % 480, 224) AS INTEGER) AS out_height,
+          CAST(bytesum AS DOUBLE) / n AS mean_byte,
+          CAST((n + 31) // 32 AS INTEGER) AS frames
+        FROM b ORDER BY doc_id""")),
+
     // ----------------------------------------- frame sampling (explode)
     "mm_framesample" -> QueryDef(
       (s, dir) => {

@@ -78,6 +78,13 @@ object SimilarityQueries {
         SELECT probe_id, vec_id, cos_sim, rnk FROM ranked
         WHERE rnk <= 10 ORDER BY probe_id, rnk""")),
 
+    // ------------------------------------- IVF coarse-quantizer top-k
+    // Rows-only (codebook assignment is a multi-stage typed pipeline;
+    // IvfSpec proves recall >= 0.3 vs exact brute force at nprobe=2).
+    "sim_knn_ivf" -> QueryDef(
+      (s, dir) => graft.operators.Ivf.search(s, dir, k = 10, nprobe = 2),
+      None),
+
     // -------------------------------------- sign-bit LSH bucketed top-k
     "sim_knn_lsh" -> QueryDef(
       (s, dir) => {

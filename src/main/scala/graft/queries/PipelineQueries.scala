@@ -70,6 +70,30 @@ object PipelineQueries {
             AND LENGTH(text) >= 50 AS keep
         FROM m ORDER BY doc_id""")),
 
+    // ------------------------------------------ token scrubbing
+    // Filter-and-rejoin cleansing (stopword removal here; a PII/URL
+    // blocklist is the same operator with a different list) — pure
+    // array ops so Spark and DuckDB agree exactly, no regex dialects.
+    "txt_scrub" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .withColumn("toks", split(trim(col("text")), " "))
+          .select(
+            col("doc_id"),
+            expr(s"array_join(filter(toks, t -> NOT t IN ($stopList)), ' ')")
+              .as("scrubbed"),
+            (size(col("toks")) -
+              expr(s"size(filter(toks, t -> NOT t IN ($stopList)))"))
+              .as("n_removed"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+        SELECT doc_id,
+          array_to_string(list_filter(toks, t -> NOT t IN ($stopList)), ' ') AS scrubbed,
+          CAST(len(toks) - len(list_filter(toks, t -> NOT t IN ($stopList))) AS INTEGER) AS n_removed
+        FROM d ORDER BY doc_id""")),
+
     // ------------------------------------- batch sessionization
     // The batch twin of session_window: per-user 30-minute-gap sessions
     // via lag + running sum — one shuffle on user_id, no state store.

@@ -94,6 +94,24 @@ object DedupQueries {
        |bands AS (SELECT doc_id, $bands FROM sig)""".stripMargin
   }
 
+  /** LSH candidate pairs (doc_a < doc_b), reused by the pair query and
+    * the clustering query.
+    */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    val buckets = sig.select(col("doc_id"),
+      explode(array((0 until NumBands).map(b =>
+        struct(lit(b).as("band_id"), col(s"band$b").as("sig"))): _*))
+        .as("bucket"))
+      .select(col("doc_id"), col("bucket.band_id"), col("bucket.sig"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------- exact dedup
@@ -117,26 +135,10 @@ object DedupQueries {
         SELECT * FROM bands ORDER BY doc_id""")),
 
     // --------------------------------------- LSH candidate pairs (bucket)
+    // Scale path: explode band columns into (band_id, sig) rows, then
+    // a single shuffle join keyed on the bucket — never O(n²).
     "dedup_minhash_pairs" -> QueryDef(
-      (s, dir) => {
-        val sig = signatures(s, dir)
-        // Scale path: explode band columns into (band_id, sig) rows, then
-        // a single shuffle join keyed on the bucket — never O(n²).
-        val buckets = sig.select(col("doc_id"),
-          explode(array((0 until NumBands).map(b =>
-            struct(lit(b).as("band_id"), col(s"band$b").as("sig"))): _*))
-            .as("bucket"))
-          .select(col("doc_id"), col("bucket.band_id"), col("bucket.sig"))
-        val a = buckets.as("a")
-        val b = buckets.as("b")
-        a.join(b,
-          col("a.band_id") === col("b.band_id") &&
-            col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, dir) => minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH $signaturesSql,
         bx AS (
           ${(0 until NumBands)
@@ -146,6 +148,39 @@ object DedupQueries {
         FROM bx a JOIN bx b
           ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
         ORDER BY doc_a, doc_b""")),
+
+    // ----------------------------- duplicate clusters (connected comps)
+    // Pairs → clusters: iterative min-label propagation
+    // (graft.operators.ConnectedComponents); the oracle closes the same
+    // pair graph with a recursive CTE.
+    "dedup_clusters" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id").as("id"))
+        val pairs = minhashPairs(s, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        graft.operators.ConnectedComponents.run(docs, pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $signaturesSql,
+        bx AS (
+          ${(0 until NumBands)
+            .map(b => s"SELECT doc_id, $b AS band_id, band$b AS sig FROM bands")
+            .mkString(" UNION ALL ")}),
+        pr AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bx a JOIN bx b
+            ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        ed AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pr
+          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pr),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN ed e ON e.src = reach.id)
+        SELECT id AS doc_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY id ORDER BY doc_id""")),
 
     // ----------------------------------------------------------- SimHash
     "dedup_simhash" -> QueryDef(

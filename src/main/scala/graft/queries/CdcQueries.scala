@@ -133,14 +133,8 @@ object CdcQueries {
         import s.implicits._
         // events → Mongo change-stream envelopes (ns.db/ns.coll,
         // operationType, documentKey) → enrichMongo pk-regex extraction.
-        val mongoJson = Tables.rebalance(Tables.events(s, dir)).select(to_json(struct(
-          concat(lit("evt_"), col("event_id")).as("_id"),
-          when(CdcReplay.opExpr(col("event_id")) === "d", "delete")
-            .when(CdcReplay.opExpr(col("event_id")) === "u", "update")
-            .otherwise("insert").as("operationType"),
-          struct(lit("test_db").as("db"), lit("events").as("coll")).as("ns"),
-          concat(lit("{\"_id\": "), col("event_id"), lit("}")).as("documentKey"),
-          (unix_timestamp(col("ts")) * 1000).as("ts_ms"))).as("line"))
+        val mongoJson = CdcReplay.mongoEnvelopeJson(
+          Tables.rebalance(Tables.events(s, dir)))
         CdcEnrichment.enrichMongo(mongoJson.as[String]).toDF()
           .select(
             col("db"), col("table"),

@@ -101,6 +101,33 @@ object CdcReplay {
     envelopeJson(envelope(graft.queries.Tables.rebalance(
       graft.queries.Tables.events(spark, sfDir))))
 
+  /** events rows → Mongo change-stream envelope JSON (ns.db/ns.coll,
+    * operationType, documentKey — reference MongoCDC2AWSMSK.scala:95-96),
+    * shared by the batch oracle query and the streaming Mongo pipeline.
+    */
+  def mongoEnvelopeJson(events: DataFrame, db: String = "test_db",
+      coll: String = "events"): DataFrame = {
+    val op = opExpr(col("event_id"))
+    events.select(to_json(struct(
+      concat(lit("evt_"), col("event_id")).as("_id"),
+      when(op === "d", "delete").when(op === "u", "update")
+        .otherwise("insert").as("operationType"),
+      struct(lit(db).as("db"), lit(coll).as("coll")).as("ns"),
+      concat(lit("{\"_id\": "), col("event_id"), lit("}")).as("documentKey"),
+      (unix_timestamp(col("ts")) * 1000).as("ts_ms"))).as("value"))
+  }
+
+  /** Streaming Mongo change-stream replay (the Mongo twin of [[stream]]). */
+  def mongoStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    mongoEnvelopeJson(
+      spark.readStream.schema(eventsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+  }
+
   /** Streaming replay: the same pipeline under readStream (file source).
     * `maxFilesPerTrigger=1` paces the replay like binlog micro-batches.
     */

@@ -41,6 +41,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mongo change-stream pipeline under streaming matches batch") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val lines = graft.sources.CdcReplay.mongoStream(spark, sf)
+    val enriched = graft.operators.CdcEnrichment
+      .enrichMongo(lines.as[String]).toDF()
+    val q = enriched.writeStream.format("memory")
+      .queryName("mongo_stream_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("mongo_stream_out")
+      assert(out.count() == 1000)
+      assert(out.filter(col("partitionKey").startsWith("test_db.events."))
+        .count() == 1000)
+      // raw line passthrough (no re-serialization, MongoCDC2AWSMSK.scala:97)
+      assert(out.filter(col("value").startsWith("{\"_id\":\"evt_"))
+        .count() == 1000)
+    } finally q.stop()
+  }
+
   test("stateful dedup: dropDuplicates on partition key under streaming") {
     import org.apache.spark.sql.streaming.Trigger
     val lines = graft.sources.CdcReplay.stream(spark, sf)

@@ -74,16 +74,20 @@ object CdcQueries {
     // ------------------------------------------ enrichment (operator #5/#6)
     "cdc_enrich_mysql" -> QueryDef(
       (s, dir) => {
-        enriched(s, dir).select(
-          get_json_object(col("value"), "$.source.pos").cast("long").as("event_id"),
+        // single from_json parse (the typed envelope), not N
+        // get_json_object calls that each re-parse the string
+        val e = enriched(s, dir).withColumn("env",
+          from_json(col("value"), graft.model.CdcEnvelope.mysqlEnvelope))
+        e.select(
+          col("env.source.pos").as("event_id"),
           col("db"), col("table"), col("partitionKey").as("partition_key"),
-          get_json_object(col("value"), "$.op").as("op"),
+          col("env.op").as("op"),
           coalesce(
-            get_json_object(col("value"), "$.after.event_type"),
-            get_json_object(col("value"), "$.before.event_type")).as("etype_trunc"),
+            col("env.after").getItem("event_type"),
+            col("env.before").getItem("event_type")).as("etype_trunc"),
           coalesce(
-            get_json_object(col("value"), "$.after.props"),
-            get_json_object(col("value"), "$.before.props")).as("props_trunc"))
+            col("env.after").getItem("props"),
+            col("env.before").getItem("props")).as("props_trunc"))
           .orderBy(col("event_id"))
       },
       Some(s"""SELECT event_id, 'test_db' AS db, 'events' AS "table",

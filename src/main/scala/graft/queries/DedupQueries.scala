@@ -117,8 +117,12 @@ object DedupQueries {
     // ------------------------------------------------------- exact dedup
     "dedup_exact" -> QueryDef(
       (s, dir) => {
+        // group on a 64-bit hash of the normalized text, not the text:
+        // the exchange ships 8 bytes/row instead of the payload (the
+        // oracle groups on the text itself — identical groups barring a
+        // 64-bit collision, which the hash-check would expose)
         Tables.documents(s, dir)
-          .groupBy(lower(trim(col("text"))).as("norm_text"))
+          .groupBy(xxhash64(lower(trim(col("text")))).as("text_hash"))
           .agg(min(col("doc_id")).as("keeper_doc_id"),
             count(lit(1)).as("n_copies"))
           .select(col("keeper_doc_id"), col("n_copies"))

@@ -125,6 +125,26 @@ object ExtendedQueries {
           AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ------------------------------------------------------- pivot
+    // DataFrame pivot() over order status; the oracle is the manual
+    // CASE form (engine-portable pivot semantics).
+    "rel_pivot" -> QueryDef(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(col("o_orderpriority"),
+            col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ------------------------------ approximate distinct (HLL sketch)
     // No oracle: HLL estimates are engine-specific by construction —
     // declared rows-only; OperatorsSpec asserts the estimate lands

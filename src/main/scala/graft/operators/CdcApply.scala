@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC apply — materializes the enriched change stream into a replica
+  * table, the job the reference's downstream consumers perform (its
+  * README pairs the MSK topic with Hudi/Iceberg/"apply to lake"
+  * consumers). Semantics per primary key, in change order:
+  *
+  *   - `c` / `u` / `r` → upsert the `after` image
+  *   - `d` → remove the key
+  *
+  * Change order within a key is (source.ts_ms, source.pos) — the binlog
+  * order the reference preserves by keying Kafka on partitionKey; the
+  * apply picks each key's LAST change, so replaying duplicates (the
+  * at-least-once case) or re-running a batch is idempotent — this is
+  * where the per-key ordering guarantee pays off.
+  *
+  * Scale notes: one shuffle on partitionKey for the last-change window;
+  * the merge with existing state is a full-outer-style anti+union over
+  * the key — on a real lake this is a MERGE INTO (Delta/Iceberg/Hudi);
+  * the parquet swap here keeps the same logical shape with
+  * penalty-free testability.
+  */
+object CdcApply {
+
+  /** Latest change per key from a batch of enriched records (columns:
+    * partitionKey, value = envelope JSON). Returns one row per key:
+    * partitionKey, op, after (map), ts_ms, pos.
+    */
+  def lastChangePerKey(batch: DataFrame): DataFrame = {
+    val env = batch.withColumn("env",
+      from_json(col("value"), graft.model.CdcEnvelope.mysqlEnvelope))
+    val w = Window.partitionBy(col("partitionKey"))
+      .orderBy(col("env.source.ts_ms").desc, col("env.source.pos").desc)
+    env.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(
+        col("partitionKey"),
+        col("env.op").as("op"),
+        col("env.after").as("after"),
+        col("env.source.ts_ms").as("ts_ms"),
+        col("env.source.pos").as("pos"))
+  }
+
+  /** Apply a change batch to the current state (both keyed by
+    * partitionKey): surviving state = old rows whose key saw no change,
+    * plus the after-image of every non-delete last change.
+    */
+  def applyBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+    val changes = lastChangePerKey(batch)
+    val untouched = state.join(
+      changes.select(col("partitionKey")), Seq("partitionKey"), "left_anti")
+    val upserts = changes.filter(col("op") =!= "d")
+      .select(col("partitionKey"), col("after"), col("ts_ms"), col("pos"))
+    untouched.unionByName(upserts)
+  }
+
+  /** Streaming materializer: foreachBatch body maintaining the replica
+    * at `stateDir` (read-modify-swap on parquet; MERGE INTO on a real
+    * table format). Epoch-fenced like ExactlyOnce so replays are no-ops.
+    */
+  def materializer(spark: SparkSession, stateDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    ExactlyOnce.writeFenced(spark, s"$stateDir/_ledger", batchId) { () =>
+      val current =
+        try spark.read.parquet(s"$stateDir/state")
+        catch {
+          case _: Exception => // first epoch: empty state
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              lastChangePerKey(batch.limit(0))
+                .drop("op").schema)
+        }
+      val next = applyBatch(current, batch).cache()
+      next.count() // materialize before overwriting the source of `current`
+      next.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state_next")
+      // swap: atomic-enough for a local demo; table formats do this txn'ly
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val st = new org.apache.hadoop.fs.Path(s"$stateDir/state")
+      fs.delete(st, true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$stateDir/state_next"), st)
+      next.unpersist()
+    }
+  }
+}

@@ -130,6 +130,30 @@ object CdcQueries {
         'test_db.events.no_pk' AS partition_key
         FROM events ORDER BY event_id""")),
 
+    // ----------------------- CDC apply: materialized replica state
+    // The downstream consumer story: apply the change stream to an
+    // (initially empty) replica — deletes drop keys, upserts keep the
+    // latest after-image. Oracle: rows whose last change isn't a delete.
+    "cdc_apply_replica" -> QueryDef(
+      (s, dir) => {
+        val batch = enriched(s, dir)
+        val empty = graft.operators.CdcApply
+          .lastChangePerKey(batch.limit(0)).drop("op")
+        graft.operators.CdcApply.applyBatch(empty, batch)
+          .select(
+            col("after").getItem("event_id").cast("long").as("event_id"),
+            col("partitionKey").as("partition_key"),
+            col("after").getItem("event_type").as("event_type_trunc"),
+            col("after").getItem("value").as("value_str"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""SELECT event_id,
+        'test_db.events.' || CAST(event_id AS VARCHAR) AS partition_key,
+        ${truncSql("event_type", 6)} AS event_type_trunc,
+        CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value_str
+        FROM events WHERE event_id % 10 <> 0
+        ORDER BY event_id""")),
+
     // ---------------------------------------- Mongo variant (#3, Mongo #5)
     "cdc_enrich_mongo" -> QueryDef(
       (s, dir) => {

@@ -154,6 +154,37 @@ object CdcQueries {
         FROM events WHERE event_id % 10 <> 0
         ORDER BY event_id""")),
 
+    // -------------------------- SCD2 history (versioned replica)
+    // The other classic CDC materialization: every change becomes a
+    // version row with a validity interval — valid_from = change time,
+    // valid_to = next change of the same key (null ⇒ current). Keyed on
+    // user_id here (each event a change to that user's row), one
+    // shuffle + one window sort.
+    "cdc_scd2_history" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, dir)
+          .withColumn("sec", unix_timestamp(col("ts")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("sec"), col("event_id"))
+        e.select(
+          col("user_id"), col("event_id"),
+          row_number().over(w).as("version"),
+          col("sec").as("valid_from"),
+          lead(col("sec"), 1).over(w).as("valid_to"),
+          lead(col("sec"), 1).over(w).isNull.as("is_current"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some("""SELECT user_id, event_id,
+        ROW_NUMBER() OVER w AS version,
+        sec AS valid_from,
+        LEAD(sec, 1) OVER w AS valid_to,
+        LEAD(sec, 1) OVER w IS NULL AS is_current
+        FROM (SELECT user_id, event_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        ORDER BY user_id, version""")),
+
     // ---------------------------------------- Mongo variant (#3, Mongo #5)
     "cdc_enrich_mongo" -> QueryDef(
       (s, dir) => {

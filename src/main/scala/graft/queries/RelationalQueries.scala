@@ -232,6 +232,57 @@ object RelationalQueries {
         CAST(EXTRACT(day FROM ts) AS INTEGER) AS dom
         FROM events ORDER BY event_id""")),
 
+    // ----------------------------------------- string function breadth
+    "rel_string_funcs" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.select(
+          col("event_id"),
+          levenshtein(col("event_type"), lit("purchase")).as("lev_purchase"),
+          initcap(col("event_type")).as("etype_cap"),
+          reverse(col("event_type")).as("etype_rev"),
+          lpad(col("event_type"), 10, "_").as("etype_pad"),
+          repeat(substring(col("event_type"), 1, 2), 2).as("etype_rep"),
+          instr(col("event_type"), "e").as("e_pos"),
+          translate(col("event_type"), "aeiou", "AEIOU").as("etype_tr"),
+          length(col("event_type")).as("etype_len"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+        CAST(levenshtein(event_type, 'purchase') AS INTEGER) AS lev_purchase,
+        CASE WHEN LENGTH(event_type) > 0
+          THEN UPPER(SUBSTR(event_type, 1, 1)) || SUBSTR(event_type, 2)
+          ELSE event_type END AS etype_cap,
+        reverse(event_type) AS etype_rev,
+        lpad(event_type, 10, '_') AS etype_pad,
+        repeat(SUBSTR(event_type, 1, 2), 2) AS etype_rep,
+        CAST(strpos(event_type, 'e') AS INTEGER) AS e_pos,
+        translate(event_type, 'aeiou', 'AEIOU') AS etype_tr,
+        CAST(LENGTH(event_type) AS INTEGER) AS etype_len
+        FROM events ORDER BY event_id""")),
+
+    // ------------------------------------------- date function breadth
+    "rel_date_funcs" -> QueryDef(
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            datediff(col("l_shipdate"), col("o_orderdate")).as("ship_lag_days"),
+            quarter(col("o_orderdate")).as("order_quarter"),
+            date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+            date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_q"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        CAST(date_diff('day', o_orderdate, l_shipdate) AS INTEGER) AS ship_lag_days,
+        CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+        strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_q
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ORDER BY l_orderkey, l_linenumber""")),
+
     // ------------------------------------ exact stats via decimal sums
     "rel_stats" -> QueryDef(
       (s, dir) => {

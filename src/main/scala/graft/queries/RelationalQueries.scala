@@ -232,6 +232,45 @@ object RelationalQueries {
         CAST(EXTRACT(day FROM ts) AS INTEGER) AS dom
         FROM events ORDER BY event_id""")),
 
+    // --------------------------------------------------- outer joins
+    "rel_outer_joins" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            coalesce(sum(QueryDef.dec2(col("o_totalprice"))).cast("double"),
+              lit(0.0)).as("total_spent"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+        COUNT(o_orderkey) AS n_orders,
+        COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ----------------------------------- batch time-window aggregation
+    // The window() generator in batch mode (identical code runs under
+    // readStream — StreamingSpec drives the streaming side).
+    "rel_time_window" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(window(col("ts"), "1 day"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(QueryDef.dec2(col("value"))).cast("double").as("total_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd").as("day_start"),
+            col("n"), col("total_value"))
+          .orderBy(col("day_start"))
+      },
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_start,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1 ORDER BY day_start""")),
+
     // ----------------------------------------- string function breadth
     "rel_string_funcs" -> QueryDef(
       (s, dir) => {

@@ -60,4 +60,17 @@ class PlanSpec extends SparkSpec {
     // two HashAggregates (partial + final) around one Exchange
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("dedup_minhash_sig: 16 mins partial-aggregate before one doc shuffle") {
+    val p = plan("dedup_minhash_sig")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(p).size >= 2, p)
+    assert(p.contains("java_string_hash"), p)
+  }
+
+  test("dedup_ngram_jaccard: inverted-index join, no cartesian product") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

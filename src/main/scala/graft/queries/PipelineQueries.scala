@@ -70,6 +70,48 @@ object PipelineQueries {
             AND LENGTH(text) >= 50 AS keep
         FROM m ORDER BY doc_id""")),
 
+    // --------------------- corpus cross-entropy quality scoring
+    // Unigram LM fit on the corpus itself; each doc scored by its mean
+    // negative log-likelihood (high ⇒ rare-token-heavy ⇒ candidate
+    // outlier). Two stages: tiny model (distinct tokens) broadcast back
+    // onto the token stream — no quadratic stage. Per-token -ln(p) is
+    // cast to decimal(28,15) so the per-doc sum is order-independent;
+    // the final mean is rounded to 6dp (cross-engine ln agrees to well
+    // below that).
+    "txt_cross_entropy" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        val toks: DataFrame = Tables.rebalance(Tables.documents(s, dir))
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), " ")).as("w"))
+        val total = toks.count()
+        val model = toks.groupBy(col("w"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("lp",
+            (-log(col("cnt").cast("double") / lit(total.toDouble)))
+              .cast("decimal(28,15)"))
+          .select(col("w"), col("lp"))
+        toks.join(broadcast(model), "w")
+          .groupBy(col("doc_id"))
+          .agg(
+            round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+              .as("cross_entropy"),
+            count(lit(1)).as("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+        tot AS (SELECT COUNT(*) AS total FROM t),
+        m AS (
+          SELECT w, CAST(-ln(CAST(COUNT(*) AS DOUBLE) /
+            CAST((SELECT total FROM tot) AS DOUBLE)) AS DECIMAL(28,15)) AS lp
+          FROM t GROUP BY w)
+        SELECT doc_id,
+          ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS cross_entropy,
+          COUNT(*) AS n_tokens
+        FROM t JOIN m USING (w)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ------------------------------------------ token scrubbing
     // Filter-and-rejoin cleansing (stopword removal here; a PII/URL
     // blocklist is the same operator with a different list) — pure

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Manual 10-30x scale smoke (not part of the driver contract): clones
+  * the sf0.1 events table with shifted ids to ~3M rows and runs the
+  * heavy operators, checking wall-time scales roughly linearly — no
+  * cliffs (skew, memory, quadratic blowup).
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(l: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $l: ${(System.nanoTime()-t0)/1e9}%.1f s ($n rows)")
+    }
+    val base = queries.Tables.events(spark, "/root/testdata/sf0.1")
+    val big = (0 until 30).map(i =>
+      base.withColumn("event_id", col("event_id") + lit(i.toLong * 100000)))
+      .reduce(_ unionAll _)
+    val dir = "/tmp/graft_scale"
+    big.repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    println(s"[scale] built ${spark.read.parquet(s"$dir/events.parquet").count()} events")
+
+    time("cdc enrichment pipeline (3M envelopes)") {
+      queries.CdcQueries.flagship(spark, dir).count()
+    }
+    time("sessionize 3M") {
+      SparkEntry.queries("evt_sessionize")(spark, dir).count()
+    }
+    time("scd2 3M") {
+      SparkEntry.queries("cdc_scd2_history")(spark, dir).count()
+    }
+    spark.stop()
+  }
+}

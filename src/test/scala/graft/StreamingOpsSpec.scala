@@ -82,6 +82,34 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: emit change events only when a key's state moves") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val changes = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OM.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, values: Iterator[(String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + values.map(_._2).sum
+          state.update(next)
+          // emit only on threshold crossings (one row per 10 units)
+          if (next / 10 > prev / 10) Iterator((key, next)) else Iterator.empty
+      }
+    val q = changes.toDF("k", "total").writeStream.format("memory")
+      .queryName("fmgs_out").outputMode("append").start()
+    try {
+      input.addData(("a", 4L), ("a", 3L)) // 7: below threshold
+      q.processAllAvailable()
+      assert(spark.table("fmgs_out").count() == 0)
+      input.addData(("a", 5L)) // 12: crosses 10
+      q.processAllAvailable()
+      val rows = spark.table("fmgs_out").collect()
+      assert(rows.length == 1 && rows.head.getLong(1) == 12L)
+    } finally q.stop()
+  }
+
   test("arbitrary keyed state: running count per key via mapGroupsWithState") {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     implicit val sc = spark.sqlContext

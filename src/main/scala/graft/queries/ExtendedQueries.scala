@@ -125,6 +125,48 @@ object ExtendedQueries {
           AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // -------------------------------- correlated scalar subquery
+    // Catalyst decorrelates this into a join; the per-customer average
+    // uses the exact decimal-sum trick inside the subquery.
+    "rel_correlated_subquery" -> QueryDef(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("graft_orders_cs")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+          FROM graft_orders_cs o
+          WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            FROM graft_orders_cs i WHERE i.o_custkey = o.o_custkey)
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM orders i WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")),
+
+    // ------------------------------------- multiset set operations
+    "rel_setops_all" -> QueryDef(
+      (s, dir) => {
+        val cn = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        val sn = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+        cn.intersectAll(sn).withColumn("tag", lit("intersect_all"))
+          .unionAll(cn.exceptAll(sn).withColumn("tag", lit("except_all")))
+          .groupBy(col("tag"), col("nationkey"))
+          .agg(count(lit(1)).as("multiplicity"))
+          .orderBy(col("tag"), col("nationkey"))
+      },
+      Some("""WITH cn AS (SELECT c_nationkey AS nationkey FROM customer),
+        sn AS (SELECT s_nationkey AS nationkey FROM supplier),
+        x AS (
+          SELECT nationkey, 'intersect_all' AS tag FROM (
+            SELECT nationkey FROM cn INTERSECT ALL SELECT nationkey FROM sn)
+          UNION ALL
+          SELECT nationkey, 'except_all' AS tag FROM (
+            SELECT nationkey FROM cn EXCEPT ALL SELECT nationkey FROM sn))
+        SELECT tag, nationkey, COUNT(*) AS multiplicity
+        FROM x GROUP BY tag, nationkey ORDER BY tag, nationkey""")),
+
     // ------------------------------------------------------- pivot
     // DataFrame pivot() over order status; the oracle is the manual
     // CASE form (engine-portable pivot semantics).

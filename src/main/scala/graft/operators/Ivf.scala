@@ -20,12 +20,20 @@ import graft.functions.VectorOps.{arrayDot, l2Norm}
   */
 object Ivf {
 
-  /** Per-label centroid codebook: cell_id, c (array<double>), cnorm. */
+  /** Per-label centroid codebook: cell_id, c (array<double>), cnorm.
+    *
+    * Centroid elements are computed as ORDER-INDEPENDENT exact
+    * decimal(28,14) sums divided as double, then quantized to 6 dp —
+    * a coarse quantizer needs no more precision, and the quantization
+    * makes the codebook bit-reproducible across engines/runs (shuffle
+    * order no longer leaks into the cell assignment).
+    */
   def codebook(vecs: DataFrame): DataFrame = {
     val cents = vecs
       .select(col("label").as("cell_id"), posexplode(col("v")))
       .groupBy(col("cell_id"), col("pos"))
-      .agg(avg(col("col")).as("m"))
+      .agg(round(sum(col("col").cast("decimal(28,14)")).cast("double")
+        / count(lit(1)), 6).as("m"))
       .groupBy(col("cell_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell_id"),

@@ -203,8 +203,11 @@ object ExtendedQueries {
       None),
 
     // ---------------------- bounded top-k via the custom Aggregator
-    // No oracle (typed-Aggregator output): rows-only check here; the
-    // window-equivalence proof lives in OperatorsSpec.
+    // Oracle: the aggregator's (score desc, id asc) ordering IS the
+    // ROW_NUMBER window formulation — declaring it as the DuckDB oracle
+    // proves the k-bounded-buffer plan window-equivalent against an
+    // external engine (OperatorsSpec proves it against Spark's own
+    // window internally).
     "sim_topk_agg" -> QueryDef(
       (s, dir) => {
         import graft.operators.{ScoredId, TopKAggregator}
@@ -221,7 +224,12 @@ object ExtendedQueries {
           .toDF("o_custkey", "rnk", "o_orderkey", "o_totalprice")
           .orderBy(col("o_custkey"), col("rnk"))
       },
-      None),
+      Some("""SELECT o_custkey, CAST(rnk AS INTEGER) AS rnk, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+          FROM orders)
+        WHERE rnk <= 3 ORDER BY o_custkey, rnk""")),
 
     // --------------------------------------------------------- wordcount
     "txt_wordcount" -> QueryDef(

@@ -79,11 +79,55 @@ object SimilarityQueries {
         WHERE rnk <= 10 ORDER BY probe_id, rnk""")),
 
     // ------------------------------------- IVF coarse-quantizer top-k
-    // Rows-only (codebook assignment is a multi-stage typed pipeline;
-    // IvfSpec proves recall >= 0.3 vs exact brute force at nprobe=2).
+    // Oracle: the codebook is deterministic (per-label exact-decimal
+    // means quantized to 6 dp), so the full pipeline — assignment
+    // argmin, nprobe routing, per-cell candidate scan — is expressible
+    // in DuckDB. IvfSpec additionally proves recall >= 0.3 vs exact
+    // brute force at nprobe=2.
     "sim_knn_ivf" -> QueryDef(
       (s, dir) => graft.operators.Ivf.search(s, dir, k = 10, nprobe = 2),
-      None),
+      Some {
+        def dot(a: String, b: String) =
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |  list_transform(range(1, 65),
+             |    i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)])),
+             |  (acc, x) -> acc + x)""".stripMargin
+        s"""WITH $vecSql,
+        cd AS (
+          SELECT cell_id, dim, ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS m
+          FROM (SELECT label AS cell_id,
+                  unnest(range(1, len(v) + 1)) AS dim,
+                  unnest(list_transform(v, el -> CAST(el AS DECIMAL(28,14)))) AS x
+                FROM n) u
+          GROUP BY cell_id, dim),
+        cents AS (SELECT cell_id, list(m ORDER BY dim) AS c FROM cd GROUP BY cell_id),
+        asn AS (
+          SELECT vec_id, cell_id FROM (
+            SELECT n.vec_id, cents.cell_id,
+              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                (${dot("c", "c")} - ${dot("v", "c")} * 2) ASC, cents.cell_id ASC) AS r
+            FROM n CROSS JOIN cents) WHERE r = 1),
+        idx AS (SELECT n.vec_id, n.v, n.norm, asn.cell_id
+                FROM n JOIN asn ON n.vec_id = asn.vec_id),
+        p AS (SELECT vec_id AS probe_id, v AS pv, norm AS pnorm
+              FROM idx WHERE vec_id % 100 = 0),
+        pc AS (
+          SELECT probe_id, pv, pnorm, cell_id FROM (
+            SELECT p.probe_id, p.pv, p.pnorm, cents.cell_id,
+              ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+                (${dot("c", "c")} - ${dot("pv", "c")} * 2) ASC, cents.cell_id ASC) AS cr
+            FROM p CROSS JOIN cents) WHERE cr <= 2),
+        scored AS (
+          SELECT pc.probe_id, e.vec_id,
+            ${dot("pv", "e.v")} / (pc.pnorm * e.norm) AS cos_sim
+          FROM pc JOIN idx e ON pc.cell_id = e.cell_id AND pc.probe_id <> e.vec_id),
+        ranked AS (
+          SELECT probe_id, vec_id, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+          FROM scored)
+        SELECT probe_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM ranked
+        WHERE rnk <= 10 ORDER BY probe_id, rnk"""
+      }),
 
     // -------------------------------------- sign-bit LSH bucketed top-k
     "sim_knn_lsh" -> QueryDef(

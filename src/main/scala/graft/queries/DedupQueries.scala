@@ -30,6 +30,24 @@ object DedupQueries {
   private val NumHashes = 16
   private val BandSize = 4
   private val NumBands = NumHashes / BandSize
+
+  /** Max vectors per label block in the pairwise-exact embedding dedup —
+    * bounds per-block pair work at cap² (dropped tail is counted by the
+    * `dedup_embedding_block_cap` observed metric and mirrored in the
+    * oracle, so the cap is part of the operator's semantics, not a
+    * silent truncation).
+    */
+  val EmbedBlockCap = 4096
+
+  /** Max document frequency for a (lang, bigram) key in the n-gram
+    * Jaccard inverted index. Grams hotter than this are dropped before
+    * the self-join (mirrored in the oracle): a gram in >cap docs is a
+    * stop-bigram carrying ~zero similarity signal but df² join work —
+    * at sf0.1 the cap removes 65% of pair-rows while dropping <20% of
+    * grams. Dropped volume is reported via the `ngram_df_cap` observed
+    * metric.
+    */
+  val NgramDfCap = 100
   /** First prime above 2^32 — the minhash modulus. */
   private val P = 4294967311L
   private def aCoef(i: Int): Long = 2L * i + 1
@@ -221,14 +239,19 @@ object DedupQueries {
     // Inverted-index formulation: explode distinct word-bigrams, shuffle
     // join on a 32-bit hash of (lang, gram), count shared grams per pair,
     // derive jaccard from shared + set sizes. Produces exactly the
-    // blocked all-pairs result (a zero-overlap pair has jaccard 0 <
-    // threshold; the oracle joins on the identical hash, so any hash
-    // collision affects both engines identically) while doing work
-    // proportional to Σ_gram df(gram)² instead of O(block²·|grams|) —
-    // the plan that survives a 100× scale-up. The fixture parquet is a
+    // blocked all-pairs result over the kept grams (a zero-overlap pair
+    // has jaccard 0 < threshold; the oracle joins on the identical hash,
+    // so any hash collision affects both engines identically) while
+    // doing work proportional to Σ_gram df(gram)² instead of
+    // O(block²·|grams|). Grams with df > [[NgramDfCap]] (stop-bigrams —
+    // the df² hot tail) are dropped via a broadcast anti join BEFORE the
+    // self-join and counted by an observed metric; the cap is mirrored
+    // in the oracle so the hash check covers it at every SF. This is the
+    // plan that survives a 100× scale-up: the inverted-index join's
+    // per-key work is bounded by cap², and the jaccard denominator still
+    // uses the full (uncapped) set sizes. The fixture parquet is a
     // single row-group, so the scan is repartitioned before the
-    // (CPU-heavy) gram explode. At full scale add a df cap / prefix
-    // filter on hot grams.
+    // (CPU-heavy) gram explode.
     "dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {
         val grams = Tables.rebalance(Tables.documents(s, dir))
@@ -245,7 +268,17 @@ object DedupQueries {
             col("lang"))
           .select(col("doc_id"), col("sz"),
             uhash(concat_ws("|", col("lang"), col("gram"))).as("gh"))
-        val shared = inv.as("a").join(inv.as("b"),
+        // hot-gram blocklist: tiny by construction (few grams exceed the
+        // cap), so it broadcasts; the anti join stays map-side.
+        val hot = inv.groupBy(col("gh"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > NgramDfCap)
+          .observe("ngram_df_cap",
+            count(lit(1)).as("hot_grams"),
+            sum(col("df")).as("dropped_rows"))
+          .select(col("gh"))
+        val kept = inv.join(broadcast(hot), Seq("gh"), "left_anti")
+        val shared = kept.as("a").join(kept.as("b"),
             col("a.gh") === col("b.gh") &&
               col("a.doc_id") < col("b.doc_id"))
           .groupBy(
@@ -270,10 +303,14 @@ object DedupQueries {
           SELECT doc_id, lang, len(grams) AS sz, unnest(grams) AS gram FROM g),
         inv AS (
           SELECT doc_id, sz, ${uhashSql("lang || '|' || gram")} AS gh FROM inv0),
+        dfc AS (SELECT gh, COUNT(*) AS df FROM inv GROUP BY gh),
+        kept AS (
+          SELECT inv.doc_id, inv.sz, inv.gh
+          FROM inv JOIN dfc ON inv.gh = dfc.gh WHERE dfc.df <= $NgramDfCap),
         shared AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sa, b.sz AS sb,
             COUNT(*) AS shared
-          FROM inv a JOIN inv b
+          FROM kept a JOIN kept b
             ON a.gh = b.gh AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id, a.sz, b.sz)
         SELECT doc_a, doc_b,
@@ -283,12 +320,26 @@ object DedupQueries {
         ORDER BY doc_a, doc_b""")),
 
     // --------------------------------- embedding-cosine near-dup (blocked)
+    // Pairwise-exact within a label block, with the block size CAPPED at
+    // [[EmbedBlockCap]] vectors (rank by vec_id inside the block, tail
+    // dropped and counted via an observed metric): per-block pair work is
+    // bounded by cap² regardless of input size, so the plan survives a
+    // 100× scale-up. The cap is mirrored in the oracle (QUALIFY on the
+    // same rank), so the hash check holds at every SF. The UNCAPPED scale
+    // path is dedup_embedding_lsh (sign-bit buckets).
     "dedup_embedding" -> QueryDef(
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val e = Tables.rebalance(Tables.embeddings(s, dir)).select(
           col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
           .withColumn("norm", graft.functions.VectorOps.l2Norm(col("v")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("label")).orderBy(col("vec_id"))))
+          .observe("dedup_embedding_block_cap",
+            count(when(col("rk") > EmbedBlockCap, 1)).as("dropped_rows"))
+          .filter(col("rk") <= EmbedBlockCap)
+          .drop("rk")
         val a = e.as("a")
         val b = e.as("b")
         a.join(b, col("a.label") === col("b.label") &&
@@ -300,14 +351,17 @@ object DedupQueries {
           .filter(col("cos_sim") >= 0.25)
           .orderBy(col("vec_a"), col("vec_b"))
       },
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
         SELECT vec_id, label,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
-        n AS (SELECT vec_id, label, v,
+        n0 AS (SELECT vec_id, label, v,
           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
             list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS norm
-        FROM e)
+        FROM e),
+        n AS (SELECT vec_id, label, v, norm FROM n0
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id)
+            <= $EmbedBlockCap)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
           list_reduce(list_prepend(CAST(0 AS DOUBLE),
             list_transform(range(1, 65),

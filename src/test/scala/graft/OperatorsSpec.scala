@@ -72,6 +72,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got == "test_db.events.0".hashCode)
   }
 
+  test("ConnectedComponents: chain graph converges in diameter+1 rounds, one job each") {
+    // chain 0-1-2-...-9: worst case for min-label propagation (label 0
+    // travels one hop per round). diameter = 9, plus one round that
+    // observes zero changes = 10 rounds; the fold-in convergence check
+    // means each round is a single job (no separate count() pass).
+    val vertices = (0L to 9L).toDF("id")
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) =
+      operators.ConnectedComponents.runCounted(vertices, edges)
+    val got = labels.orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == (0L to 9L).map(i => (i, 0L)))
+    assert(rounds == 10, s"expected diameter+1 = 10 rounds, got $rounds")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val l = queries.Tables.lineitem(spark, sf)
     val exact = l.select(countDistinct(col("l_partkey"))).head().getLong(0)

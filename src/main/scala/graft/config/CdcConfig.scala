@@ -142,7 +142,9 @@ final case class CdcParams(
     chunkSize: Int = 8096,
     checkpointDir: String = "",
     checkpointInterval: Int = 60,
-    deliveryGuarantee: String = "at_least_once",
+    // reference default (MySQLCDC2AWSMSK.scala:187): exactly_once unless
+    // the flag is the literal "at_least_once"
+    deliveryGuarantee: String = "exactly_once",
     parallel: Int = 4,
     disableChaining: Boolean = false,
     kafkaProperties: Map[String, String] = Map.empty) {
@@ -173,7 +175,7 @@ object CdcParams {
       chunkSize = kv.getOrElse("chunk_size", "8096").toInt,
       checkpointDir = kv.getOrElse("checkpoint_dir", ""),
       checkpointInterval = kv.getOrElse("checkpoint_interval", "60").toInt,
-      deliveryGuarantee = kv.getOrElse("delivery_guarantee", "at_least_once"),
+      deliveryGuarantee = kv.getOrElse("delivery_guarantee", "exactly_once"),
       parallel = kv.getOrElse("parallel", "4").toInt,
       disableChaining = kv.getOrElse("disable_chaining", "false") == "true",
       kafkaProperties = kv.get("kafka_properties").map { props =>

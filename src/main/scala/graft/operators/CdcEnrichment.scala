@@ -100,7 +100,9 @@ object CdcEnrichment {
   /** Mongo change-stream JSON → enriched records
     * (MongoCDC2AWSMSK.scala:79-102): db/table from `ns.db`/`ns.coll`, op
     * from `operationType`, key regex-extracted from `documentKey`
-    * (pattern `"_id":\s*([\d.]+|\{[^}]+\})` — scalar or compound keys),
+    * (pattern `"_id":\s*([\d.]+|\{[^}]+\})` — scalar or compound keys,
+    * with spaces stripped from the match as the reference does at
+    * MongoCDC2AWSMSK.scala:90 so compound keys hash identically),
     * NO truncation, and the raw line passes through unmodified.
     */
   def enrichMongo(lines: Dataset[String])(
@@ -116,7 +118,8 @@ object CdcEnrichment {
           val db = ns.get("db").asText()
           val table = ns.get("coll").asText()
           val docKey = Option(root.get("documentKey")).map(_.asText()).getOrElse("")
-          val pk = idPattern.findFirstMatchIn(docKey).map(_.group(1))
+          val pk = idPattern.findFirstMatchIn(docKey)
+            .map(_.group(1).replaceAll(" ", ""))
           val partitionKey = pk match {
             case Some(v) => db + "." + table + "." + v
             case None => db + "." + table + ".no_pk"
@@ -149,7 +152,10 @@ object CdcEnrichment {
     }
 
   /** Column-API truncation of one map-typed row image: rewrites `col` to
-    * `substring(0, max)` when its length >= max (null/empty-safe). Returns
+    * `substring(0, max)` when its length >= max (null/empty-safe). A
+    * column absent from the image is left untouched — no spurious
+    * col→null entry — matching the reference's in-place mutation
+    * (MySQLCDC2AWSMSK.scala:133: absent keys are never written). Returns
     * the new map. Used by the analytics path; the JSON-faithful path is
     * [[enrichMySql]].
     */
@@ -158,10 +164,11 @@ object CdcEnrichment {
     val truncated = when(
       v.isNotNull && length(v) >= max, v.substr(lit(1), lit(max))
     ).otherwise(v)
-    map_concat(
-      map_filter(image, (k, _) => k =!= col),
-      when(v.isNotNull, map(lit(col), truncated))
-        .otherwise(map(lit(col), v)))
+    when(map_contains_key(image, lit(col)),
+      map_concat(
+        map_filter(image, (k, _) => k =!= col),
+        map(lit(col), truncated)))
+      .otherwise(image)
   }
 
   /** Enriched records as a DataFrame (column form) — convenience for the

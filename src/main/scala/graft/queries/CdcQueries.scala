@@ -69,6 +69,19 @@ object CdcQueries {
        |        i -> CAST(ord(SUBSTR($expr, CAST(i AS INTEGER), 1)) AS BIGINT))),
        |    (a, b) -> (a * 31 + b) % 4294967296)""".stripMargin
 
+  /** Shared oracle for the two enrichment implementations — declaring both
+    * queries against the SAME SQL proves the codegen Column-API path
+    * bit-identical to the parity-faithful Jackson path through an
+    * external engine.
+    */
+  private val enrichOracleSql =
+    s"""SELECT event_id, 'test_db' AS db, 'events' AS "table",
+        'test_db.events.' || CAST(event_id AS VARCHAR) AS partition_key,
+        $opSql AS op,
+        ${truncSql("event_type", 6)} AS etype_trunc,
+        ${truncSql("props", 8)} AS props_trunc
+        FROM events ORDER BY event_id"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------ enrichment (operator #5/#6)
@@ -90,12 +103,37 @@ object CdcQueries {
             col("env.before").getItem("props")).as("props_trunc"))
           .orderBy(col("event_id"))
       },
-      Some(s"""SELECT event_id, 'test_db' AS db, 'events' AS "table",
-        'test_db.events.' || CAST(event_id AS VARCHAR) AS partition_key,
-        $opSql AS op,
-        ${truncSql("event_type", 6)} AS etype_trunc,
-        ${truncSql("props", 8)} AS props_trunc
-        FROM events ORDER BY event_id""")),
+      Some(enrichOracleSql)),
+
+    // ---------------- enrichment, codegen Column-API form (operator #5/#6)
+    // The known-schema analytics path (CdcEnrichment.partitionKeyExpr +
+    // truncateExpr — no mapPartitions, no UDF, whole plan codegen'd):
+    // the form you'd run at 100 TB with a static table set. Same oracle
+    // as cdc_enrich_mysql, so the two implementations are proven
+    // equivalent every round.
+    "cdc_enrich_expr" -> QueryDef(
+      (s, dir) => {
+        val env = CdcReplay.envelope(
+          Tables.rebalance(Tables.events(s, dir)))
+        val image0 = when(col("op") === "d", col("before"))
+          .otherwise(col("after"))
+        // truncation on the op-selected image, as the dynamic path does
+        val image = CdcEnrichment.truncateExpr(
+          CdcEnrichment.truncateExpr(image0, "event_type", 6), "props", 8)
+        env.select(
+          col("source.pos").as("event_id"),
+          col("source.db").as("db"),
+          col("source.table").as("table"),
+          CdcEnrichment.partitionKeyExpr(
+            col("source.db"), col("source.table"), col("op"),
+            col("before"), col("after"), Seq("event_id"))
+            .as("partition_key"),
+          col("op"),
+          image.getItem("event_type").as("etype_trunc"),
+          image.getItem("props").as("props_trunc"))
+          .orderBy(col("event_id"))
+      },
+      Some(enrichOracleSql)),
 
     // ------------------------- topic routing + partitioner (#8-#11)
     "cdc_route_topic_partition" -> QueryDef(

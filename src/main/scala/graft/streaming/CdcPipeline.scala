@@ -76,15 +76,18 @@ object CdcPipeline {
       .start()
 
   /** Delivery-guarantee dispatch (reference `-delivery_guarantee`,
-    * MySQLCDC2AWSMSK.scala:177-190): `at_least_once` → the native Kafka
-    * writer (its natural guarantee); `exactly_once` → foreachBatch with
-    * epoch fencing (graft.operators.ExactlyOnce), the two-phase-commit
-    * shape — here writing each epoch to a fenced lake directory; with
-    * brokers available the same fenced body wraps a transactional
-    * producer instead.
+    * MySQLCDC2AWSMSK.scala:177-190): ONLY the literal `at_least_once`
+    * selects the native Kafka writer (its natural guarantee); anything
+    * else — including the default and typos — routes to foreachBatch
+    * with epoch fencing (graft.operators.ExactlyOnce), the
+    * two-phase-commit shape, matching the reference's polarity where
+    * EXACTLY_ONCE is the default and an unrecognized value never
+    * silently weakens the guarantee. The fenced body here writes each
+    * epoch to a fenced lake directory; with brokers available the same
+    * body wraps a transactional producer instead.
     */
   def sink(df: DataFrame, params: CdcParams): DataStreamWriter[Row] =
-    if (params.deliveryGuarantee == "exactly_once") {
+    if (params.deliveryGuarantee != "at_least_once") {
       val target = params.checkpointDir.stripSuffix("/") + "/out"
       val ledger = params.checkpointDir.stripSuffix("/") + "/ledger"
       df.writeStream

@@ -99,6 +99,14 @@ class CdcEnrichmentSpec extends SparkSpec {
     assert(out.length == 1)
   }
 
+  test("Column-API enrichment matches the Jackson path bit-for-bit") {
+    val dynamic = queries.CdcQueries.defs("cdc_enrich_mysql").fn(spark, sf)
+    val expr = queries.CdcQueries.defs("cdc_enrich_expr").fn(spark, sf)
+    assert(dynamic.columns.toSeq == expr.columns.toSeq)
+    assert(dynamic.exceptAll(expr).count() == 0)
+    assert(expr.exceptAll(dynamic).count() == 0)
+  }
+
   test("mongo enrichment: scalar and compound document keys") {
     val scalar =
       """{"_id":"x","operationType":"insert","ns":{"db":"d","coll":"c"},"documentKey":"{\"_id\": 42.5}"}"""
@@ -108,8 +116,10 @@ class CdcEnrichmentSpec extends SparkSpec {
       """{"_id":"z","operationType":"insert","ns":{"db":"d","coll":"c"},"documentKey":""}"""
     val out = CdcEnrichment.enrichMongo(
       Seq(scalar, compound, noKey).toDS()).collect().sortBy(_.partitionKey)
+    // compound keys are space-stripped (MongoCDC2AWSMSK.scala:90) so the
+    // partition hash matches the reference byte-for-byte
     assert(out.map(_.partitionKey).toSet ==
-      Set("d.c.42.5", """d.c.{"a": 1, "b": 2}""", "d.c.no_pk"))
+      Set("d.c.42.5", """d.c.{"a":1,"b":2}""", "d.c.no_pk"))
     // raw line passes through unmodified (no re-serialization)
     assert(out.forall(r => r.value.startsWith("""{"_id":""")))
   }

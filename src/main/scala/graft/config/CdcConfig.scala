@@ -111,14 +111,30 @@ object StartupPosition {
       }
   }
 
-  /** Kafka-source option equivalent (SURVEY §2 #2). */
+  /** Kafka-source option equivalent (SURVEY §2 #2).
+    *
+    * Binlog-file/GTID positions have no Kafka-source analogue — they are
+    * Debezium CONNECTOR config (`snapshot.mode=schema_only_recovery` +
+    * binlog file/pos, or `snapshot.mode=never` with a GTID set). Failing
+    * fast here beats the earlier behavior of silently reading `earliest`,
+    * which would replay the whole topic instead of resuming at the
+    * requested position (reference resolves these into real binlog
+    * offsets, MySQLCDC2AWSMSK.scala:225-244).
+    */
   def toKafkaOptions(p: StartupPosition): Map[String, String] = p match {
     case Initial => Map("startingOffsets" -> "earliest")
     case Latest => Map("startingOffsets" -> "latest")
     case Timestamp(ms) => Map("startingTimestamp" -> ms.toString)
-    // Binlog/GTID positions have no Kafka analogue; a Debezium-Connect
-    // deployment maps them to connector config, not source options.
-    case BinlogOffset(_, _) | Gtid(_) => Map("startingOffsets" -> "earliest")
+    case BinlogOffset(file, pos) => throw new IllegalArgumentException(
+      s"position '$file:$pos' is a MySQL binlog offset: it must be applied " +
+        "to the Debezium connector (snapshot.mode=schema_only_recovery + " +
+        "binlog file/pos), not to the Kafka source — refusing to fall back " +
+        "to startingOffsets=earliest, which would replay the entire topic")
+    case Gtid(set) => throw new IllegalArgumentException(
+      s"position 'gtid:$set' is a GTID set: it must be applied to the " +
+        "Debezium connector (snapshot.mode=never + gtid set), not to the " +
+        "Kafka source — refusing to fall back to startingOffsets=earliest, " +
+        "which would replay the entire topic")
   }
 }
 

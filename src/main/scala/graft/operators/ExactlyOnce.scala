@@ -22,12 +22,32 @@ import org.apache.spark.sql.functions._
   *     makes the write idempotent — replayed batches are skipped. This
   *     is exactly the two-phase-commit shape, with the ledger as the
   *     commit marker.
-  *  3. Transactional Kafka producer inside foreachBatch (requires
-  *     brokers; not drivable in this container — the fencing logic is
-  *     identical, with initTransactions/commitTransaction around the
-  *     send loop).
+  *  3. **Transactional producer inside foreachBatch**
+  *     ([[foreachBatchTransactional]]): per-partition transactional
+  *     producers behind the [[TxnProducer]] seam (the real deployment
+  *     plugs in kafka-clients' `KafkaProducer` with
+  *     `transactional.id = s"$group-$partitionId"`,
+  *     initTransactions/commitTransaction — Flink's KafkaSink uses the
+  *     same per-subtask-producer design). The epoch ledger fences
+  *     replays; an epoch that crashed mid-send has no commit marker, so
+  *     the replay re-runs every partition's transaction and the aborted
+  *     first attempt stays invisible to `read_committed` consumers.
   */
 object ExactlyOnce {
+
+  /** Minimal transactional-producer surface — what the fencing state
+    * machine needs from kafka-clients' KafkaProducer. Instantiated PER
+    * input partition on the executor (transactions are per-producer, so
+    * atomicity is per partition — the same granularity as Flink's
+    * per-subtask producers).
+    */
+  trait TxnProducer extends Serializable {
+    def beginTransaction(): Unit
+    def send(key: String, value: String): Unit
+    def commitTransaction(): Unit
+    def abortTransaction(): Unit
+    def close(): Unit
+  }
 
   /** Upsert-by-key into a parquet/delta-style target: latest record per
     * `partitionKey` wins (ts tie-broken by value hash for determinism).
@@ -72,6 +92,36 @@ object ExactlyOnce {
     val spark = batch.sparkSession
     writeFenced(spark, ledgerPath, batchId) { () =>
       batch.write.mode("overwrite").parquet(s"$targetDir/epoch=$batchId")
+    }
+  }
+
+  /** Strategy 3: writeStream.foreachBatch body sending `key`/`value`
+    * string columns through per-partition transactional producers, the
+    * whole epoch fenced by the ledger. A crash before ANY partition's
+    * commit leaves no epoch marker ⇒ the replay re-runs the epoch (the
+    * aborted transactions never became visible); a present marker ⇒
+    * the replay is a no-op. The marker is written only after every
+    * partition's transaction committed (foreachPartition is an action —
+    * it returns after all tasks finish).
+    */
+  def foreachBatchTransactional(ledgerPath: String,
+      producerFactory: () => TxnProducer)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    writeFenced(spark, ledgerPath, batchId) { () =>
+      batch.select(col("key").cast("string"), col("value").cast("string"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val p = producerFactory()
+          try {
+            p.beginTransaction()
+            try {
+              rows.foreach(r => p.send(r.getString(0), r.getString(1)))
+              p.commitTransaction()
+            } catch {
+              case e: Throwable => p.abortTransaction(); throw e
+            }
+          } finally p.close()
+        }
     }
   }
 }

@@ -46,6 +46,15 @@ class ConfigSpec extends AnyFunSuite {
       Map("startingOffsets" -> "latest"))
     assert(StartupPosition.toKafkaOptions(
       StartupPosition.Timestamp(123L)) == Map("startingTimestamp" -> "123"))
+    // binlog/GTID positions are connector config, not source options:
+    // fail fast instead of silently replaying the topic from earliest
+    intercept[IllegalArgumentException] {
+      StartupPosition.toKafkaOptions(
+        StartupPosition.BinlogOffset("mysql-bin.000003", 1024L))
+    }
+    intercept[IllegalArgumentException] {
+      StartupPosition.toKafkaOptions(StartupPosition.Gtid("uuid:1-20"))
+    }
   }
 
   test("CLI args parse with reference flag names") {

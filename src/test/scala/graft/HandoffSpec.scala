@@ -44,4 +44,44 @@ class HandoffSpec extends SparkSpec {
     assert(total.count() == 1000)
     assert(total.distinct().count() == 1000)
   }
+
+  test("durable handoff: restart resumes from the persisted watermark") {
+    val work = Files.createTempDirectory("graft_handoff_d").toString
+    val ckpt = Files.createTempDirectory("graft_handoff_ckpt").toString
+
+    val all = queries.Tables.events(spark, sf).cache()
+    all.filter(col("event_id") < 600)
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+
+    // phase 1 persists the fence under the checkpoint dir
+    val snap = SnapshotHandoff.snapshotDurable(spark, work, ckpt)
+    assert(snap.watermark == 599L)
+    assert(SnapshotHandoff.PositionStore.load(spark, ckpt).contains(599L))
+
+    // more events land; the process "restarts": a durable re-run must
+    // NOT move the fence even though the table's max id has grown
+    all.filter(col("event_id") >= 600)
+      .coalesce(1).write.mode("append").parquet(s"$work/events.parquet")
+    val snapAfterRestart = SnapshotHandoff.snapshotDurable(spark, work, ckpt)
+    assert(snapAfterRestart.watermark == 599L)
+
+    // resume reads the persisted position, no in-memory state needed
+    val stream = SnapshotHandoff.resume(spark, work, ckpt)
+    val q = stream.writeStream.format("memory")
+      .queryName("handoff_resume_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("handoff_resume_out")
+    assert(streamed.filter(col("event_id") <= 599L).count() == 0)
+    val total = snapAfterRestart.data.select(col("event_id"))
+      .unionAll(streamed.select(col("event_id")))
+    assert(total.count() == 1000)
+    assert(total.distinct().count() == 1000)
+
+    // resume without any persisted position fails fast
+    intercept[IllegalStateException] {
+      SnapshotHandoff.resume(spark, work,
+        Files.createTempDirectory("graft_handoff_empty").toString)
+    }
+  }
 }

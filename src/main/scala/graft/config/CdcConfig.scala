@@ -166,6 +166,35 @@ final case class CdcParams(
     kafkaProperties: Map[String, String] = Map.empty) {
   def tablePkConfig: TablePkConfig = TablePkConfig.parse(tablePk)
   def startupPosition: StartupPosition = StartupPosition.parse(position)
+
+  /** Server-id range semantics (reference MySQLCDC2AWSMSK.scala:268-270,
+    * README.md:39): `"5400-5412"` or a single `"5400"`; every parallel
+    * snapshot/binlog reader connects to MySQL as a replica with its OWN
+    * id, so the range must cover the parallelism. Empty ⇒ none
+    * configured (the server assigns).
+    */
+  def serverIds: Seq[Long] = serverId match {
+    case "" => Seq.empty
+    case s if s.contains("-") =>
+      val Array(lo, hi) = s.split("-", 2)
+      lo.trim.toLong to hi.trim.toLong
+    case s => Seq(s.trim.toLong)
+  }
+
+  /** The id reader `i` (0-based) must use; fails fast when the
+    * configured range is too small for the parallelism instead of
+    * letting two readers collide on one replica id (MySQL drops the
+    * older connection — a silent stall at deploy).
+    */
+  def serverIdFor(readerIndex: Int): Long = {
+    val ids = serverIds
+    require(ids.nonEmpty, "no -server_id configured")
+    require(readerIndex < ids.size,
+      s"server_id range '$serverId' has ${ids.size} id(s) but reader " +
+        s"#$readerIndex needs one per parallel reader — widen the range " +
+        s"to at least $parallel ids (parallel=$parallel)")
+    ids(readerIndex)
+  }
 }
 
 object CdcParams {

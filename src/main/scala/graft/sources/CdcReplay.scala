@@ -104,28 +104,54 @@ object CdcReplay {
   /** events rows → Mongo change-stream envelope JSON (ns.db/ns.coll,
     * operationType, documentKey — reference MongoCDC2AWSMSK.scala:95-96),
     * shared by the batch oracle query and the streaming Mongo pipeline.
+    * `copyExisting=true` emits SYNTHETIC INSERT envelopes regardless of
+    * the row's op — the shape Mongo's copy.existing initial load
+    * produces (reference MongoCDC2AWSMSK.scala:156-169).
     */
   def mongoEnvelopeJson(events: DataFrame, db: String = "test_db",
-      coll: String = "events"): DataFrame = {
+      coll: String = "events", copyExisting: Boolean = false): DataFrame = {
     val op = opExpr(col("event_id"))
+    val opType =
+      if (copyExisting) lit("insert")
+      else when(op === "d", "delete").when(op === "u", "update")
+        .otherwise("insert")
     events.select(to_json(struct(
       concat(lit("evt_"), col("event_id")).as("_id"),
-      when(op === "d", "delete").when(op === "u", "update")
-        .otherwise("insert").as("operationType"),
+      opType.as("operationType"),
       struct(lit(db).as("db"), lit(coll).as("coll")).as("ns"),
       concat(lit("{\"_id\": "), col("event_id"), lit("}")).as("documentKey"),
       (unix_timestamp(col("ts")) * 1000).as("ts_ms"))).as("value"))
   }
 
-  /** Streaming Mongo change-stream replay (the Mongo twin of [[stream]]). */
-  def mongoStream(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Streaming Mongo change-stream replay (the Mongo twin of [[stream]]).
+    * `afterId >= 0` fences the stream to events beyond the copy-existing
+    * watermark (the resume-token position of a real change stream).
+    * Reads `$sfDir/events.parquet` directly (file OR directory of
+    * arriving part files — a CDC landing zone), with a batch schema peek
+    * so both the fixture's nanos-long and plain timestamp layouts work.
+    */
+  def mongoStream(spark: SparkSession, sfDir: String,
+      afterId: Long = -1L): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    mongoEnvelopeJson(
-      spark.readStream.schema(eventsSchema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    val path = s"$sfDir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    // the streaming file source needs a DIRECTORY basePath: stream the
+    // landing-zone directory directly when events.parquet is one (part
+    // files arriving), else glob the single fixture file from its parent
+    val isDir = org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(new org.apache.hadoop.fs.Path(path)).isDirectory
+    val reader = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", 1)
+    val raw0 =
+      if (isDir) reader.parquet(path)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val raw =
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw0
+    val fenced = if (afterId >= 0) raw.filter(col("event_id") > afterId) else raw
+    mongoEnvelopeJson(fenced)
   }
 
   /** Streaming replay: the same pipeline under readStream (file source).

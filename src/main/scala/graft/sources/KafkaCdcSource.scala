@@ -21,6 +21,48 @@ import graft.config.{CdcParams, StartupPosition}
   */
 object KafkaCdcSource {
 
+  /** Debezium MySQL connector properties for the deployment that feeds
+    * this source — where every reference CLI flag that has NO Kafka-
+    * consumer analogue actually lands:
+    *
+    *   - `database.server.id`: the `-server_id` range, one id per
+    *     parallel reader (reference MySQLCDC2AWSMSK.scala:268-270) —
+    *     Debezium accepts the full `lo-hi` range string
+    *   - `snapshot.mode` from `-position`: initial→`initial`,
+    *     latest→`never`, binlog-file/GTID→`schema_only_recovery` (resume
+    *     at an explicit position), timestamp has no Debezium analogue
+    *     and is handled consumer-side via `startingTimestamp`
+    *   - db/table include lists from `-db_list`/`-tb_list`.
+    */
+  def connectorConfig(params: CdcParams): Map[String, String] = {
+    val snapshotMode = params.startupPosition match {
+      case StartupPosition.Initial => "initial"
+      case StartupPosition.Latest => "never"
+      case StartupPosition.BinlogOffset(_, _) | StartupPosition.Gtid(_) =>
+        "schema_only_recovery"
+      case StartupPosition.Timestamp(_) => "initial" // consumer-side fence
+    }
+    val base = Map(
+      "connector.class" -> "io.debezium.connector.mysql.MySqlConnector",
+      "database.hostname" -> params.host,
+      "database.port" -> params.port.toString,
+      "database.user" -> params.username,
+      "database.password" -> params.password,
+      "database.include.list" -> params.dbList,
+      "table.include.list" -> params.tbList,
+      "database.serverTimezone" -> params.serverTimeZone,
+      "snapshot.mode" -> snapshotMode,
+      "snapshot.fetch.size" -> params.chunkSize.toString,
+      "tasks.max" -> params.parallel.toString)
+    if (params.serverIds.isEmpty) base
+    else {
+      // validate the range covers the parallelism up front (one replica
+      // id per reader) — serverIdFor throws with the actionable message
+      params.serverIdFor(params.parallel - 1)
+      base + ("database.server.id" -> params.serverId)
+    }
+  }
+
   def readStream(spark: SparkSession, params: CdcParams,
       maxOffsetsPerTrigger: Long = 0L): DataFrame = {
     var r = spark.readStream

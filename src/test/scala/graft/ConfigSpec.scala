@@ -57,6 +57,39 @@ class ConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("server_id range: one id per parallel reader, fail-fast when short") {
+    val p = CdcParams(serverId = "5400-5403", parallel = 4)
+    assert(p.serverIds == Seq(5400L, 5401L, 5402L, 5403L))
+    assert(p.serverIdFor(0) == 5400L)
+    assert(p.serverIdFor(3) == 5403L)
+    // a range narrower than the parallelism would make two readers
+    // collide on one replica id — refuse loudly
+    val short = CdcParams(serverId = "5400-5401", parallel = 4)
+    intercept[IllegalArgumentException] { short.serverIdFor(3) }
+    assert(CdcParams(serverId = "5400").serverIds == Seq(5400L))
+    assert(CdcParams().serverIds.isEmpty)
+  }
+
+  test("Debezium connector config consumes server_id and position") {
+    import graft.sources.KafkaCdcSource
+    val p = CdcParams(host = "db1", port = 3306, username = "u",
+      password = "p", dbList = "test_db", tbList = "test_db.events",
+      serverId = "5400-5403", parallel = 4, position = "initial")
+    val cfg = KafkaCdcSource.connectorConfig(p)
+    assert(cfg("database.server.id") == "5400-5403")
+    assert(cfg("snapshot.mode") == "initial")
+    assert(cfg("table.include.list") == "test_db.events")
+    assert(KafkaCdcSource.connectorConfig(
+      p.copy(position = "latest"))("snapshot.mode") == "never")
+    assert(KafkaCdcSource.connectorConfig(
+      p.copy(position = "mysql-bin.000003:1024"))("snapshot.mode") ==
+      "schema_only_recovery")
+    // a too-narrow range fails at config-assembly time, not at deploy
+    intercept[IllegalArgumentException] {
+      KafkaCdcSource.connectorConfig(p.copy(serverId = "5400-5401"))
+    }
+  }
+
   test("CLI args parse with reference flag names") {
     val p = CdcParams.fromArgs(Array(
       "-broker_list", "b-1:9092,b-2:9092",

@@ -84,4 +84,43 @@ class HandoffSpec extends SparkSpec {
         Files.createTempDirectory("graft_handoff_empty").toString)
     }
   }
+
+  test("mongo copyExisting handoff: synthetic inserts + fenced change stream") {
+    import graft.sources.MongoHandoff
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_mongo_handoff").toString
+    val ckpt = Files.createTempDirectory("graft_mongo_ckpt").toString
+
+    val all = queries.Tables.events(spark, sf).cache()
+    all.filter(col("event_id") < 600)
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+
+    val copy = MongoHandoff.copyExisting(spark, work, ckpt)
+    assert(copy.watermark == 599L)
+    // copy.existing emits synthetic INSERTS for every existing doc —
+    // including rows whose replayed op would be update/delete
+    val copied = graft.operators.CdcEnrichment.enrichMongo(
+      copy.envelopes.as[String]).toDF().cache()
+    assert(copied.count() == 600)
+    val copyOps = copy.envelopes.select(
+      get_json_object(col("value"), "$.operationType").as("op"))
+    assert(copyOps.filter(col("op") =!= "insert").count() == 0)
+
+    // tail arrives; the change stream is fenced past the watermark
+    all.filter(col("event_id") >= 600)
+      .coalesce(1).write.mode("append").parquet(s"$work/events.parquet")
+    val stream = MongoHandoff.changeStream(spark, work, ckpt)
+    val q = stream.writeStream.format("memory")
+      .queryName("mongo_handoff_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("mongo_handoff_out")
+      .select(get_json_object(col("value"), "$._id").as("id"))
+    assert(streamed.count() == 400)
+    // no overlap: the copy and the tail partition the key space exactly
+    val copyIds = copied.select(col("partitionKey").as("id"))
+    assert(copied.count() + streamed.count() == 1000)
+    assert(copyIds.distinct().count() == 600)
+  }
 }

@@ -22,7 +22,8 @@ object SparkEntry {
       TextQueries.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++
-      MultimodalQueries.defs
+      MultimodalQueries.defs ++
+      CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the reference's whole pipeline shape end-to-end: events parquet →

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryDef.{uhash, uhashSql}
+
+/** Data-curation operators a 100 TB training-data pipeline needs beyond
+  * dedup/similarity: repetition-ratio quality signals, DETERMINISTIC
+  * hash sampling (reproducible across runs/retries — `rand()` sampling
+  * is not, and breaks task-retry exactly-once), domain-mix rebalancing
+  * to uniform source weights, GPT-style concat-and-chunk sequence
+  * packing, and exact grouped percentiles.
+  *
+  * Scale notes: the sampling and repetition operators are scan→project
+  * (shuffle-free, linear); domain mixing shuffles only the TINY
+  * per-source count table (broadcast back); packing windows are
+  * partitioned per language so the running-offset sort never needs a
+  * global single-partition pass.
+  */
+object CurationQueries {
+
+  /** Context length for sequence packing (tokens per training row). */
+  val PackCtxLen = 512
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------- repetition quality signals
+    // Gopher-style repetition ratios: duplicate word-bigram and
+    // duplicate-token fractions per document — pure array ops, no
+    // shuffle, exact in both engines (small-integer division).
+    "txt_repetition" -> QueryDef(
+      (s, dir) => {
+        Tables.rebalance(Tables.documents(s, dir))
+          .withColumn("toks", split(trim(col("text")), " "))
+          .withColumn("grams", expr(
+            "zip_with(slice(toks, 1, size(toks) - 1), " +
+              "slice(toks, 2, size(toks) - 1), (x, y) -> concat(x, ' ', y))"))
+          .select(
+            col("doc_id"),
+            (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+              size(col("toks")).cast("double")).as("dup_token_ratio"),
+            when(size(col("grams")) > 0,
+              lit(1.0) - size(array_distinct(col("grams"))).cast("double") /
+                size(col("grams")).cast("double"))
+              .otherwise(lit(0.0)).as("dup_gram_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        g AS (SELECT doc_id, toks,
+          list_transform(range(1, len(toks)),
+            i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1]) AS grams
+        FROM d)
+        SELECT doc_id,
+          1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+            AS dup_token_ratio,
+          CASE WHEN len(grams) > 0 THEN
+            1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+          ELSE 0.0 END AS dup_gram_ratio
+        FROM g ORDER BY doc_id""")),
+
+    // ------------------------------------ deterministic hash sampling
+    // ~10% corpus sample keyed on the document id hash: reproducible
+    // across runs, retries, and engines (rand()-based sampling is none
+    // of those); shuffle-free, the filter is evaluated at the scan.
+    "samp_hash" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .withColumn("h", uhash(concat(lit("doc_"), col("doc_id"))))
+          .filter(col("h") % 10 === 0)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+            ${uhashSql("'doc_' || CAST(doc_id AS VARCHAR)")} AS h
+          FROM documents)
+        WHERE h % 10 = 0 ORDER BY doc_id""")),
+
+    // ----------------------------------------- domain-mix rebalancing
+    // Downsample every source to the SMALLEST source's volume (uniform
+    // mix): per-source keep threshold = floor(min_n * 1e6 / n), keep a
+    // doc when its id hash lands below it. The count table is tiny
+    // (one row per source) and broadcast; integer threshold math is
+    // exact in both engines; the kept set is deterministic.
+    "samp_domain_mix" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val counts = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("min_n", min(col("n")).over(Window.partitionBy()))
+          .withColumn("keep_below", (col("min_n") * 1000000L) / col("n"))
+          .select(col("source"), col("keep_below"))
+        docs.join(broadcast(counts), "source")
+          .withColumn("h",
+            uhash(concat(lit("doc_"), col("doc_id"))) % 1000000L)
+          .filter(col("h") < col("keep_below"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH c AS (
+          SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        t AS (SELECT source, (MIN(n) OVER () * 1000000) // n AS keep_below FROM c),
+        k AS (
+          SELECT d.source FROM documents d JOIN t ON d.source = t.source
+          WHERE ${uhashSql("'doc_' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+            < t.keep_below)
+        SELECT source, COUNT(*) AS n_kept FROM k
+        GROUP BY source ORDER BY source""")),
+
+    // --------------------------------- sequence packing (concat-chunk)
+    // GPT-style packing: per language, concatenate documents in doc_id
+    // order and chunk the token stream into PackCtxLen windows. Each doc
+    // is assigned the bin where it STARTS plus its offset in that bin —
+    // the bookkeeping a packed-pretraining dataloader needs. Windows are
+    // per-lang (language-pure contexts), so the running sum never
+    // collapses to one partition.
+    "pack_sequences" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .withColumn("n_tokens",
+            size(split(trim(col("text")), " ")).cast("long"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("lang"), col("doc_id"), col("n_tokens"),
+            expr(s"(cum - n_tokens) div $PackCtxLen").as("bin"),
+            ((col("cum") - col("n_tokens")) % PackCtxLen).as("bin_offset"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+          SELECT lang, doc_id,
+            CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT lang, doc_id, n_tokens,
+            SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d)
+        SELECT lang, doc_id, n_tokens,
+          (cum - n_tokens) // $PackCtxLen AS bin,
+          (cum - n_tokens) % $PackCtxLen AS bin_offset
+        FROM c ORDER BY lang, doc_id""")),
+
+    // ------------------------------------------ exact grouped percentiles
+    // Spark's exact `percentile` and DuckDB's `quantile_cont` both
+    // linear-interpolate over the sorted values; outputs rounded to 6dp
+    // to absorb the last-ulp interpolation difference.
+    "rel_percentiles" -> QueryDef(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(percentile(col("o_totalprice"),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+          .select(col("o_orderstatus"), posexplode(col("qs")))
+          .select(col("o_orderstatus"), (col("pos") + 1).as("q"),
+            round(col("col"), 6).as("value"))
+          .orderBy(col("o_orderstatus"), col("q"))
+      },
+      Some("""WITH p AS (
+          SELECT o_orderstatus,
+            quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS qs
+          FROM orders GROUP BY o_orderstatus)
+        SELECT o_orderstatus,
+          CAST(unnest(range(1, 4)) AS INTEGER) AS q,
+          ROUND(unnest(qs), 6) AS value
+        FROM p ORDER BY o_orderstatus, q""")))
+}

@@ -23,4 +23,19 @@ object QueryDef {
     * final result is cast back to double — bit-identical in both engines.
     */
   def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Unsigned 32-bit view of the Java string hash (the deterministic
+    * 31-polynomial) — the engine's reproducible hash for sampling and
+    * bucketing, exactly replicable in the DuckDB oracle via [[uhashSql]].
+    */
+  def uhash(c: Column): Column =
+    graft.functions.JavaHash.javaStringHash(c)
+      .cast("long").bitwiseAND(org.apache.spark.sql.functions.lit(4294967295L))
+
+  /** DuckDB mirror of [[uhash]] — already-unsigned left fold. */
+  def uhashSql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, LENGTH($e) + 1),
+       |    i -> CAST(ord(SUBSTR($e, CAST(i AS INTEGER), 1)) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % 4294967296)""".stripMargin
 }

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{CurationQueries, Tables}
+
+/** Curation-operator contracts: deterministic sampling (reproducible
+  * across runs — the property rand()-based sampling lacks), uniform
+  * domain rebalancing, packing-bin bookkeeping invariants, and the
+  * plan shapes that make each safe at 100 TB (scan-level filters, a
+  * broadcast-only join for the tiny count table, per-group windows).
+  */
+class CurationSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def plan(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  // ------------------------------------------------------- samp_hash
+
+  test("samp_hash: deterministic — two runs produce identical samples") {
+    val a = q("samp_hash").collect().map(_.toString).toSeq
+    val b = q("samp_hash").collect().map(_.toString).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("samp_hash: shuffle-free scan→filter plan (no Exchange before sort)") {
+    val p = plan("samp_hash")
+    // The only exchange allowed is the final ORDER BY's range partitioning;
+    // sampling itself must be a scan-level filter (no aggregate, no join).
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r.findFirstIn(p).isEmpty, p)
+  }
+
+  test("samp_hash: keeps ~10% (hash uniformity on the fixture)") {
+    val total = Tables.documents(spark, sf).count().toDouble
+    val kept = q("samp_hash").count().toDouble
+    val frac = kept / total
+    assert(frac > 0.04 && frac < 0.2, s"kept fraction $frac")
+  }
+
+  // ------------------------------------------------- samp_domain_mix
+
+  test("samp_domain_mix: count table joins via broadcast, not shuffle") {
+    val p = plan("samp_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("samp_domain_mix: kept volumes are near-uniform across sources") {
+    val kept = q("samp_domain_mix").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minSrc = Tables.documents(spark, sf)
+      .groupBy(col("source")).count().agg(min("count")).head().getLong(0)
+    // every source is downsampled to <= the smallest source's volume,
+    // and lands within hash noise of the target
+    kept.values.foreach { n =>
+      assert(n <= minSrc, s"$n > min source volume $minSrc")
+      assert(n >= (minSrc * 0.5).toLong, s"$n far below target $minSrc")
+    }
+  }
+
+  // --------------------------------------------------- pack_sequences
+
+  test("pack_sequences: window is partitioned by lang (no global window)") {
+    val p = plan("pack_sequences")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("pack_sequences: bins are contiguous and offsets stay in [0, ctx)") {
+    val rows = q("pack_sequences").collect()
+    assert(rows.nonEmpty)
+    val ctx = CurationQueries.PackCtxLen
+    rows.foreach { r =>
+      val off = r.getLong(4)
+      assert(off >= 0 && off < ctx, s"offset $off outside [0, $ctx)")
+    }
+    // per lang: bin of each doc == floor(cumsum_before / ctx), bins never decrease
+    rows.groupBy(_.getString(0)).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_.getLong(1)).foreach { r =>
+        assert(r.getLong(3) == cum / ctx, s"bin mismatch at $r (cum=$cum)")
+        assert(r.getLong(4) == cum % ctx, s"offset mismatch at $r (cum=$cum)")
+        cum += r.getLong(2)
+      }
+    }
+  }
+
+  // -------------------------------------------------- txt_repetition
+
+  test("txt_repetition: ratios are in [0,1] and a repeated text scores high") {
+    val rows = q("txt_repetition").collect()
+    rows.foreach { r =>
+      val t = r.getDouble(1); val g = r.getDouble(2)
+      assert(t >= 0.0 && t <= 1.0, r.toString)
+      assert(g >= 0.0 && g <= 1.0, r.toString)
+    }
+    // a fully-repeated synthetic doc must score near 1 on both ratios
+    import spark.implicits._
+    val rep = Seq(("d1", ("the cat sat " * 50).trim)).toDF("doc_id", "text")
+      .withColumn("toks", split(trim(col("text")), " "))
+      .select(
+        (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).as("dup"))
+      .head().getDouble(0)
+    assert(rep > 0.9, s"repeated text dup_token_ratio $rep")
+  }
+
+  // ------------------------------------------------- rel_percentiles
+
+  test("rel_percentiles: quartiles are ordered and bracket the group range") {
+    val rows = q("rel_percentiles").collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, qs) =>
+      val vals = qs.sortBy(_.getInt(1)).map(_.getDouble(2))
+      assert(vals.length == 3)
+      assert(vals(0) <= vals(1) && vals(1) <= vals(2), vals.mkString(","))
+    }
+  }
+}

@@ -23,6 +23,9 @@ object CurationQueries {
   /** Context length for sequence packing (tokens per training row). */
   val PackCtxLen = 512
 
+  /** Docs kept per language by the stratified sampler. */
+  val StratifiedPerGroup = 50
+
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------- repetition quality signals
@@ -143,6 +146,85 @@ object CurationQueries {
           (cum - n_tokens) // $PackCtxLen AS bin,
           (cum - n_tokens) % $PackCtxLen AS bin_offset
         FROM c ORDER BY lang, doc_id""")),
+
+    // ------------------------------------- stratified per-group sampling
+    // Deterministic stratified sample: the first StratifiedPerGroup docs
+    // per language in hash order (hash ties broken by doc_id). Unlike
+    // rand()-based sampleBy, identical across runs/retries/engines. One
+    // shuffle on lang; the per-group window never collapses to a single
+    // partition, and the rank filter discards rows before the final sort.
+    "samp_stratified" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, dir)
+          .withColumn("h", uhash(concat(lit("doc_"), col("doc_id"))))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= StratifiedPerGroup)
+          .select(col("lang"), col("rk"), col("doc_id"), col("source"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some(s"""SELECT lang, rk, doc_id, source FROM (
+          SELECT lang, doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY ${uhashSql("'doc_' || CAST(doc_id AS VARCHAR)")}, doc_id)
+              AS rk
+          FROM documents)
+        WHERE rk <= $StratifiedPerGroup ORDER BY lang, rk""")),
+
+    // --------------------------------- benchmark decontamination
+    // Flag training documents sharing any word-trigram with the eval
+    // split (deterministically designated: ~5% of docs by id hash) —
+    // the contamination scrub every training pipeline runs before
+    // shipping data. Inverted-index join on the (lang, trigram) hash
+    // against the DISTINCT eval gram set, so per-key eval fan-out is 1
+    // and total work is linear in matching training gram rows — no
+    // pairwise stage. At real scale the distinct eval-gram table (one
+    // benchmark suite, not a corpus) broadcasts; the shuffle join here
+    // is the general, always-safe form.
+    "txt_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.rebalance(Tables.documents(s, dir))
+          .withColumn("split_h",
+            uhash(concat(lit("doc_"), col("doc_id"))) % 20)
+          .withColumn("toks", split(trim(col("text")), " "))
+          .withColumn("grams",
+            when(size(col("toks")) >= 3, expr(
+              "transform(sequence(0, size(toks) - 3), " +
+                "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"))
+              .otherwise(array().cast("array<string>")))
+          .select(col("doc_id"), col("split_h"),
+            explode(array_distinct(col("grams"))).as("gram"), col("lang"))
+          .select(col("doc_id"), col("split_h"),
+            uhash(concat_ws("|", col("lang"), col("gram"))).as("gh"))
+        val evalGrams = docs.filter(col("split_h") === 1)
+          .select(col("gh")).distinct()
+        docs.filter(col("split_h") =!= 1)
+          .join(evalGrams, Seq("gh"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("gh")).as("n_shared_grams"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH g AS (
+          SELECT doc_id,
+            ${uhashSql("'doc_' || CAST(doc_id AS VARCHAR)")} % 20 AS split_h,
+            lang,
+            CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+              list_distinct(list_transform(
+                range(1, len(string_split(trim(text), ' ')) - 1),
+                i -> string_split(trim(text), ' ')[CAST(i AS INTEGER)] || ' ' ||
+                     string_split(trim(text), ' ')[CAST(i AS INTEGER) + 1] || ' ' ||
+                     string_split(trim(text), ' ')[CAST(i AS INTEGER) + 2]))
+            ELSE [] END AS grams
+          FROM documents),
+        e AS (SELECT doc_id, split_h,
+            ${uhashSql("lang || '|' || g2.gram")} AS gh
+          FROM g, unnest(g.grams) AS g2(gram)),
+        ev AS (SELECT DISTINCT gh FROM e WHERE split_h = 1)
+        SELECT e.doc_id, COUNT(DISTINCT e.gh) AS n_shared_grams
+        FROM e JOIN ev ON e.gh = ev.gh
+        WHERE e.split_h <> 1
+        GROUP BY e.doc_id ORDER BY e.doc_id""")),
 
     // ------------------------------------------ exact grouped percentiles
     // Spark's exact `percentile` and DuckDB's `quantile_cont` both

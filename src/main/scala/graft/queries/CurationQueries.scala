@@ -113,6 +113,58 @@ object CurationQueries {
         SELECT source, COUNT(*) AS n_kept FROM k
         GROUP BY source ORDER BY source""")),
 
+    // ---------------------------- composed end-to-end curation pipeline
+    // The whole pre-training data flow as ONE declared query: quality
+    // filter → exact dedup (keep lowest doc_id per normalized text) →
+    // deterministic stratified cap per language. Each stage's scale
+    // story is inherited from its standalone operator: the filter is a
+    // linear scan, dedup is one shuffle on the 64-bit text hash, the
+    // cap is one per-lang window. Proves the operators COMPOSE — the
+    // stage boundaries stay inside one Catalyst plan, so column pruning
+    // and filter pushdown cross them (the scan reads only the needed
+    // columns; the quality filter runs before any shuffle).
+    "pipe_curate_e2e" -> QueryDef(
+      (s, dir) => {
+        val kept = Tables.documents(s, dir)
+          .withColumn("toks", split(trim(col("text")), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .filter(col("n_tokens") >= 5 && col("n_tokens") <= 2000 &&
+            expr(s"size(filter(toks, t -> t IN (${PipelineQueries.stopList}))) > 0") &&
+            length(col("text")) >= 50)
+        val deduped = kept
+          .withColumn("dup_rk", row_number().over(
+            Window.partitionBy(xxhash64(lower(trim(col("text")))))
+              .orderBy(col("doc_id"))))
+          .filter(col("dup_rk") === 1)
+        deduped
+          .withColumn("h", uhash(concat(lit("doc_"), col("doc_id"))))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+          .filter(col("rk") <= StratifiedPerGroup * 2)
+          .select(col("lang"), col("rk"), col("doc_id"), col("n_tokens"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some(s"""WITH kept AS (
+          SELECT doc_id, lang, text,
+            len(string_split(trim(text), ' ')) AS n_tokens
+          FROM documents
+          WHERE len(string_split(trim(text), ' ')) BETWEEN 5 AND 2000
+            AND len(list_filter(string_split(trim(text), ' '),
+              t -> t IN (${PipelineQueries.stopList}))) > 0
+            AND LENGTH(text) >= 50),
+        dd AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY lower(trim(text))
+            ORDER BY doc_id) AS dup_rk
+          FROM kept),
+        strat AS (
+          SELECT lang, doc_id, n_tokens,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY ${uhashSql("'doc_' || CAST(doc_id AS VARCHAR)")}, doc_id)
+              AS rk
+          FROM dd WHERE dup_rk = 1)
+        SELECT lang, rk, doc_id, n_tokens FROM strat
+        WHERE rk <= ${StratifiedPerGroup * 2} ORDER BY lang, rk""")),
+
     // --------------------------------- sequence packing (concat-chunk)
     // GPT-style packing: per language, concatenate documents in doc_id
     // order and chunk the token stream into PackCtxLen windows. Each doc

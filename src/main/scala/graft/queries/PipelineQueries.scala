@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  private val stopList = Seq(
+  /** SQL-literal stopword list, shared with the composed curation
+    * pipeline in [[CurationQueries]].
+    */
+  private[queries] val stopList = Seq(
     "the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
     .map(w => s"'$w'").mkString(", ")
 

@@ -278,6 +278,39 @@ object CurationQueries {
         WHERE e.split_h <> 1
         GROUP BY e.doc_id ORDER BY e.doc_id""")),
 
+    // ----------------------------------- int8 embedding quantization
+    // Symmetric per-vector int8 quantization (q = round(x·127/max|x|))
+    // — the compression step before shipping embeddings to an ANN
+    // index. Pure per-row array math, shuffle-free and linear; float→
+    // double casts are exact and the double ops are IEEE-identical in
+    // both engines, so the quantized values hash-match exactly. Emits
+    // one row per (vector, dimension) for a full-exactness check;
+    // dim ≤ 8 keeps the declared result compact.
+    "emb_quantize_int8" -> QueryDef(
+      (s, dir) => {
+        Tables.embeddings(s, dir)
+          .withColumn("scale",
+            array_max(expr("transform(embedding, x -> abs(cast(x as double)))")))
+          .select(col("vec_id"), col("scale"), posexplode(col("embedding")))
+          .filter(col("pos") < 8)
+          .select(col("vec_id"), (col("pos") + 1).as("dim"),
+            when(col("scale") > 0,
+              round(col("col").cast("double") * 127.0 / col("scale"), 0))
+              .otherwise(lit(0.0)).cast("int").as("q"))
+          .orderBy(col("vec_id"), col("dim"))
+      },
+      Some("""WITH v AS (
+          SELECT vec_id,
+            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+              AS scale,
+            unnest(range(1, len(embedding) + 1)) AS dim,
+            unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+          FROM embeddings)
+        SELECT vec_id, dim,
+          CAST(CASE WHEN scale > 0 THEN ROUND(x * 127.0 / scale, 0)
+            ELSE 0.0 END AS INTEGER) AS q
+        FROM v WHERE dim <= 8 ORDER BY vec_id, dim""")),
+
     // ------------------------------------------ exact grouped percentiles
     // Spark's exact `percentile` and DuckDB's `quantile_cont` both
     // linear-interpolate over the sorted values; outputs rounded to 6dp

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingDedup
+
+/** Online near-dup detection: a document colliding with an earlier
+  * one (in any LSH band) is flagged on arrival; unrelated documents
+  * are not; state survives across micro-batches.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val textA =
+    "the quick brown fox jumps over the lazy dog and runs far away today"
+  private val textB =
+    "completely different content about spark catalyst optimizer internals"
+
+  test("exact copy in a later micro-batch collides in every band") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val events = StreamingDedup.nearDupEvents(in.toDF().toDF("doc_id", "text"))
+    val q = events.writeStream.format("memory")
+      .queryName("dedup_events").outputMode("append").start()
+    try {
+      in.addData((1L, textA), (3L, textB))
+      q.processAllAvailable()
+      // batch 1: two unrelated docs — no collisions
+      assert(spark.table("dedup_events").count() == 0)
+
+      in.addData((2L, textA)) // verbatim copy of doc 1, one batch later
+      q.processAllAvailable()
+      val evs = spark.table("dedup_events")
+        .as[StreamingDedup.DupEvent].collect()
+      // identical text ⇒ identical signature ⇒ all 4 bands collide,
+      // each against the original claimant
+      assert(evs.length == 4, evs.mkString(","))
+      assert(evs.forall(e => e.doc_id == 2L && e.dup_of == 1L))
+      assert(evs.map(_.band).sorted.toSeq == Seq(0, 1, 2, 3))
+    } finally q.stop()
+  }
+
+  test("within-batch duplicates resolve to the lowest doc_id as owner") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val events = StreamingDedup.nearDupEvents(in.toDF().toDF("doc_id", "text"))
+    val q = events.writeStream.format("memory")
+      .queryName("dedup_events2").outputMode("append").start()
+    try {
+      in.addData((7L, textA), (5L, textA), (9L, textB))
+      q.processAllAvailable()
+      val evs = spark.table("dedup_events2")
+        .as[StreamingDedup.DupEvent].collect()
+      assert(evs.nonEmpty)
+      assert(evs.forall(e => e.doc_id == 7L && e.dup_of == 5L), evs.mkString(","))
+    } finally q.stop()
+  }
+
+  test("band rows are computed without any aggregation or shuffle") {
+    val df = StreamingDedup.bandRows(
+      Seq((1L, textA)).toDF("doc_id", "text"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r.findFirstIn(p).isEmpty, p)
+    assert(df.count() == 4) // one row per band
+  }
+}

@@ -37,6 +37,34 @@ object ScaleSmoke {
     time("scd2 3M") {
       SparkEntry.queries("cdc_scd2_history")(spark, dir).count()
     }
+
+    // 30x documents (150k docs, every text present 30 times — a
+    // near-dup-saturated corpus, the WORST case for the dedup family:
+    // every LSH bucket holds 30 identical signatures) and embeddings
+    // (60k vectors). Checks the curation/dedup surface for cliffs.
+    val docs = queries.Tables.documents(spark, "/root/testdata/sf0.1")
+    (0 until 30).map(i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000)))
+      .reduce(_ unionAll _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val embs = queries.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    (0 until 30).map(i =>
+      embs.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000)))
+      .reduce(_ unionAll _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    println(s"[scale] built ${spark.read.parquet(s"$dir/documents.parquet").count()} docs, " +
+      s"${spark.read.parquet(s"$dir/embeddings.parquet").count()} vectors")
+
+    Seq("dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
+      "txt_decontaminate", "samp_domain_mix", "samp_stratified",
+      "pack_sequences", "pipe_curate_e2e", "emb_quantize_int8",
+      "sim_knn_lsh").foreach { q =>
+      time(s"$q 30x") {
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
+    }
     spark.stop()
   }
 }

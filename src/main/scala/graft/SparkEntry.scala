@@ -23,7 +23,8 @@ object SparkEntry {
       DedupQueries.defs ++
       SimilarityQueries.defs ++
       MultimodalQueries.defs ++
-      CurationQueries.defs
+      CurationQueries.defs ++
+      AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the reference's whole pipeline shape end-to-end: events parquet →

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryDef.dec2
+
+/** Analytic breadth beyond the core relational surface: window frames
+  * (moving aggregates / ntile / percent_rank), wide→long reshaping
+  * (unpivot), and time-series resampling with gap fill — the shapes a
+  * metrics pipeline needs daily.
+  *
+  * Scale notes: window queries shuffle once on their partition key and
+  * never use a global (unpartitioned) window; the unpivot is a
+  * generator projection (no shuffle before the final agg); resampling
+  * broadcasts a 1-row bounds aggregate and a tiny type dimension, so
+  * the dense minute spine is generated in-plan — no driver-side loop,
+  * no second scan of the fact table.
+  */
+object AnalyticsQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // -------------------------------------------- window frames
+    // Moving 3-row sum (exact decimal arithmetic), quartile bucket and
+    // percentile rank per customer order history. Ties broken by
+    // o_orderkey in BOTH engines so frames are deterministic.
+    "rel_window_frames" -> QueryDef(
+      (s, dir) => {
+        val byCust = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(dec2(col("o_totalprice")))
+              .over(byCust.rowsBetween(-2, Window.currentRow))
+              .cast("double").as("moving3_sum"),
+            ntile(4).over(byCust).as("quartile"),
+            round(percent_rank().over(byCust), 6).as("pct_rank"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS moving3_sum,
+          NTILE(4) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS quartile,
+          ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey), 6) AS pct_rank
+        FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // ------------------------------------------------- unpivot
+    // Wide lineitem measures → long (metric, value) rows, aggregated
+    // per metric with exact decimal sums. The stack generator is a
+    // projection — rows multiply 4x but nothing shuffles until the
+    // 4-group aggregate.
+    "rel_unpivot" -> QueryDef(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .selectExpr("stack(4, " +
+            "'quantity', l_quantity, 'extendedprice', l_extendedprice, " +
+            "'discount', l_discount, 'tax', l_tax) AS (metric, value)")
+          .groupBy(col("metric"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("value"))).cast("double").as("total"))
+          .orderBy(col("metric"))
+      },
+      Some("""WITH u AS (
+          SELECT 'quantity' AS metric, l_quantity AS value FROM lineitem
+          UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+          UNION ALL SELECT 'discount', l_discount FROM lineitem
+          UNION ALL SELECT 'tax', l_tax FROM lineitem)
+        SELECT metric, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM u GROUP BY metric ORDER BY metric""")),
+
+    // --------------------------------- resampling with gap fill
+    // Per-minute event counts per type over the FULL [min, max] minute
+    // range — absent minutes appear with n = 0 (the gap-fill a
+    // downstream charting/anomaly job needs). The minute spine is
+    // sequence(lo, hi) over a broadcast 1-row bounds aggregate crossed
+    // with the distinct type dimension: generated in-plan, one scan of
+    // the fact table feeds both the bounds and the counts.
+    "evt_resample" -> QueryDef(
+      (s, dir) => {
+        // truncate BEFORE taking the epoch: both engines then divide an
+        // exact multiple of 60, dodging DuckDB's round-vs-floor `//` on
+        // fractional epochs
+        val e = Tables.events(s, dir)
+          .withColumn("minute",
+            (unix_timestamp(date_trunc("minute", col("ts"))) / 60L).cast("long"))
+        val bounds = e.agg(min(col("minute")).as("lo"), max(col("minute")).as("hi"))
+        val types = e.select(col("event_type")).distinct()
+        val spine = broadcast(types).crossJoin(broadcast(bounds))
+          .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("minute"))
+        val counts = e.groupBy(col("event_type"), col("minute"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec2(col("value"))).cast("double").as("v"))
+        spine.join(counts, Seq("event_type", "minute"), "left")
+          .select(col("event_type"), col("minute"),
+            coalesce(col("cnt"), lit(0L)).as("n"),
+            coalesce(col("v"), lit(0.0)).as("value_sum"))
+          .orderBy(col("event_type"), col("minute"))
+      },
+      Some("""WITH e AS (
+          SELECT event_type,
+            CAST(epoch(date_trunc('minute', ts)) // 60 AS BIGINT) AS minute,
+            value
+          FROM events),
+        b AS (SELECT MIN(minute) AS lo, MAX(minute) AS hi FROM e),
+        spine AS (
+          SELECT t.event_type, CAST(unnest(range(b.lo, b.hi + 1)) AS BIGINT)
+            AS minute
+          FROM (SELECT DISTINCT event_type FROM e) t, b),
+        c AS (
+          SELECT event_type, minute, COUNT(*) AS cnt,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+          FROM e GROUP BY event_type, minute)
+        SELECT s.event_type, s.minute,
+          COALESCE(c.cnt, 0) AS n, COALESCE(c.v, 0.0) AS value_sum
+        FROM spine s LEFT JOIN c
+          ON s.event_type = c.event_type AND s.minute = c.minute
+        ORDER BY s.event_type, s.minute""")))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.JavaStringHash
+import graft.functions.{JavaStringHash, WordGramHashes}
 
 /** SQL-surface registration of graft's native expressions.
   *
@@ -20,6 +20,7 @@ import graft.functions.JavaStringHash
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.javaStringHashDescriptor)
+    e.injectFunction(GraftFunctions.wordGramHashesDescriptor)
   }
 }
 
@@ -31,10 +32,22 @@ object GraftFunctions {
     new ExpressionInfo(classOf[JavaStringHash].getName, "java_string_hash"),
     (children: Seq[Expression]) => JavaStringHash(children.head))
 
+  private[graft] val wordGramHashesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_gram_hashes"),
+    new ExpressionInfo(classOf[WordGramHashes].getName, "word_gram_hashes"),
+    (children: Seq[Expression]) =>
+      WordGramHashes(children(0), children(1), children(2)))
+
   /** Register graft functions on a live session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "java_string_hash",
       exprs => JavaStringHash(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_gram_hashes",
+      exprs => WordGramHashes(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+  }
 }

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused word-n-gram hasher: `word_gram_hashes(text, n, prefix)` ⇒
+  * `array<long>` of unsigned-32-bit Java string hashes of the DISTINCT
+  * space-joined word n-grams of `trim(text)`, each hashed as
+  * `prefix + gram`.
+  *
+  * Exactly equivalent to (and a drop-in for) the interpreted chain
+  *   `split(trim(text), " ")` → slide/`zip_with`/`transform` n-gram
+  *   construction → `array_distinct` → `java_string_hash(concat(prefix,
+  *   gram)) & 0xFFFFFFFF`
+  * used by the gram-based dedup/decontamination operators — but as ONE
+  * codegen-participating call per row. Spark's higher-order functions
+  * are CodegenFallback: each of the 4 steps re-enters the interpreter
+  * per element and materializes an intermediate array. At 100 TB the
+  * gram stage dominates those scans, so this is the hot-path tier-(b)
+  * custom expression from the build plan (same rationale as
+  * [[ArrayDot]]; reference behavior anchor: the corpus operators are
+  * graft extensions beyond flink-cdc-msk's surface).
+  *
+  * Parity details that keep the DuckDB oracle bit-exact:
+  *   - split on the single-space regex keeps interior empty tokens;
+  *     `trim` strips 0x20 only — both match `split(trim(text), " ")`
+  *   - distinct is over GRAM STRINGS (first occurrence kept), not over
+  *     hashes: two distinct grams colliding to one hash stay two
+  *     elements, as in the `array_distinct`-then-hash chain
+  *   - the hash is `java.lang.String.hashCode` over the UTF-16 form of
+  *     `prefix + gram`, masked to unsigned 32 bits — the fold DuckDB
+  *     replicates via `list_reduce` (see `QueryDef.uhashSql`)
+  */
+case class WordGramHashes(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_gram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, StringType) =>
+        if (second.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(s"$prettyName: n must be foldable")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int, string) arguments, got $other")
+    }
+
+  override def nullSafeEval(text: Any, n: Any, prefix: Any): Any =
+    WordGramHashes.compute(
+      text.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int],
+      prefix.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n, p) =>
+      s"${ev.value} = graft.functions.WordGramHashes.compute($t, $n, $p);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WordGramHashes =
+    copy(first = f, second = s, third = t)
+}
+
+object WordGramHashes {
+
+  /** Single fused pass: trim → split(' ') → n-grams → distinct → hash.
+    * Called from both the interpreted and generated code paths.
+    */
+  def compute(text: UTF8String, n: Int, prefix: UTF8String): ArrayData = {
+    // split on every single space, keeping interior empties — identical
+    // to split(trim(text), " ") (regex split, limit -1, on trimmed input)
+    val s = text.trim.toString
+    val toks = s.split(" ", -1)
+    val count = toks.length - n + 1
+    if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val pref = prefix.toString
+    val seen = new java.util.LinkedHashSet[String](count * 2)
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = (pref + it.next()).hashCode.toLong & 0xFFFFFFFFL
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column-API entry: distinct word-n-gram hashes of `text`, each
+    * hashed as `prefix + gram`.
+    */
+  def wordGramHashes(text: Column, n: Int, prefix: Column): Column =
+    ColumnBridge.column(WordGramHashes(
+      ColumnBridge.expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n),
+      ColumnBridge.expression(prefix)))
+}

@@ -236,19 +236,15 @@ object CurationQueries {
     // is the general, always-safe form.
     "txt_decontaminate" -> QueryDef(
       (s, dir) => {
+        // fused codegen gram stage (see dedup_ngram_jaccard): identical
+        // trigram semantics to the transform/array_distinct chain
         val docs = Tables.rebalance(Tables.documents(s, dir))
           .withColumn("split_h",
             uhash(concat(lit("doc_"), col("doc_id"))) % 20)
-          .withColumn("toks", split(trim(col("text")), " "))
-          .withColumn("grams",
-            when(size(col("toks")) >= 3, expr(
-              "transform(sequence(0, size(toks) - 3), " +
-                "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"))
-              .otherwise(array().cast("array<string>")))
+          .withColumn("ghs", graft.functions.WordGramHashes.wordGramHashes(
+            col("text"), 3, concat(col("lang"), lit("|"))))
           .select(col("doc_id"), col("split_h"),
-            explode(array_distinct(col("grams"))).as("gram"), col("lang"))
-          .select(col("doc_id"), col("split_h"),
-            uhash(concat_ws("|", col("lang"), col("gram"))).as("gh"))
+            explode(col("ghs")).as("gh"))
         val evalGrams = docs.filter(col("split_h") === 1)
           .select(col("gh")).distinct()
         docs.filter(col("split_h") =!= 1)

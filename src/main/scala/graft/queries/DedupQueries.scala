@@ -254,20 +254,16 @@ object DedupQueries {
     // (CPU-heavy) gram explode.
     "dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {
-        val grams = Tables.rebalance(Tables.documents(s, dir))
-          .withColumn("toks", split(trim(col("text")), " "))
-          .select(col("doc_id"), col("lang"),
-            array_distinct(expr(
-              "zip_with(slice(toks, 1, size(toks) - 1), " +
-                "slice(toks, 2, size(toks) - 1), " +
-                "(x, y) -> concat(x, ' ', y))")).as("grams"))
-        val inv = grams
-          .withColumn("sz", size(col("grams")))
-          .select(col("doc_id"), col("sz"),
-            explode(col("grams")).as("gram"),
-            col("lang"))
-          .select(col("doc_id"), col("sz"),
-            uhash(concat_ws("|", col("lang"), col("gram"))).as("gh"))
+        // fused codegen gram stage: one WordGramHashes call replaces the
+        // interpreted split → zip_with → array_distinct → concat_ws →
+        // hash chain (each step CodegenFallback, re-interpreted per
+        // element); semantics byte-identical (see the expression's
+        // scaladoc), proven by the unchanged oracle hash
+        val inv = Tables.rebalance(Tables.documents(s, dir))
+          .withColumn("ghs", graft.functions.WordGramHashes.wordGramHashes(
+            col("text"), 2, concat(col("lang"), lit("|"))))
+          .select(col("doc_id"), size(col("ghs")).as("sz"),
+            explode(col("ghs")).as("gh"))
         // hot-gram blocklist: tiny by construction (few grams exceed the
         // cap), so it broadcasts; the anti join stays map-side.
         val hot = inv.groupBy(col("gh"))

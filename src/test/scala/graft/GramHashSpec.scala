@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.WordGramHashes.wordGramHashes
+
+/** WordGramHashes must be byte-equivalent to the interpreted chain it
+  * replaces: split(trim) → n-gram → array_distinct → unsigned 32-bit
+  * Java hash of prefix+gram — including the empty/short-doc and
+  * repeated-gram edge cases, in the codegen path over a DataFrame.
+  */
+class GramHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The reference (interpreted) semantics, computed in plain Scala. */
+  private def oracle(text: String, n: Int, prefix: String): Seq[Long] = {
+    val toks = text.trim.split(" ", -1).toSeq
+    val grams = toks.sliding(n).filter(_.size == n).map(_.mkString(" "))
+    grams.toSeq.distinct.map(g => (prefix + g).hashCode.toLong & 0xFFFFFFFFL)
+  }
+
+  private val cases = Seq(
+    ("the quick brown fox", 2, "en|"),
+    ("the quick brown fox", 3, ""),
+    ("one", 2, "x|"),                    // shorter than n → empty
+    ("", 3, ""),                         // empty text
+    ("a a a a a", 2, "en|"),             // all grams identical → 1 distinct
+    ("a  b", 2, ""),                     // double space → empty interior token
+    ("  padded text here  ", 2, "p|"))   // trim applies first
+
+  test("matches the interpreted chain on every edge case (codegen path)") {
+    cases.zipWithIndex.foreach { case ((text, n, pref), i) =>
+      val got = Seq(text).toDF("text")
+        .select(wordGramHashes(col("text"), n, lit(pref)).as("ghs"))
+        .head().getSeq[Long](0)
+      assert(got == oracle(text, n, pref), s"case $i: '$text' n=$n pref='$pref'")
+    }
+  }
+
+  test("matches on 200 seeded-random texts against the Scala oracle") {
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha", "beta", "gamma", "delta", "x", "longword", "z9")
+    val texts = (1 to 200).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" ")
+    }
+    val got = texts.toDF("text")
+      .select(col("text"), wordGramHashes(col("text"), 2, lit("l|")).as("ghs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    texts.distinct.foreach { t =>
+      assert(got(t) == oracle(t, 2, "l|"), s"for '$t'")
+    }
+  }
+
+  test("SQL registration: word_gram_hashes callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT word_gram_hashes('a b c', 2, 'en|') AS g").head().getSeq[Long](0)
+    assert(r == oracle("a b c", 2, "en|"))
+  }
+}

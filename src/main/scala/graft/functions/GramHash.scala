@@ -71,13 +71,23 @@ object WordGramHashes {
 
   /** Single fused pass: trim → split(' ') → n-grams → distinct → hash.
     * Called from both the interpreted and generated code paths.
+    *
+    * `clamp = false`: standard n-grams — windows of n consecutive
+    * tokens, none for texts shorter than n tokens.
+    * `clamp = true`: the MinHash-shingle variant (`DedupQueries.
+    * shingleHashes` semantics) — 3-grams at 1-based positions
+    * `1 .. max(len-2, 1)` with out-of-range indices clamped to the
+    * last token (`least(i+k, size)`), so every document (even a 1- or
+    * 2-token one) yields at least one shingle.
     */
-  def compute(text: UTF8String, n: Int, prefix: UTF8String): ArrayData = {
+  def compute(text: UTF8String, n: Int, prefix: UTF8String,
+      clamp: Boolean = false): ArrayData = {
     // split on every single space, keeping interior empties — identical
     // to split(trim(text), " ") (regex split, limit -1, on trimmed input)
     val s = text.trim.toString
     val toks = s.split(" ", -1)
-    val count = toks.length - n + 1
+    val len = toks.length
+    val count = if (clamp) math.max(len - 2, 1) else len - n + 1
     if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
     val pref = prefix.toString
     val seen = new java.util.LinkedHashSet[String](count * 2)
@@ -88,7 +98,7 @@ object WordGramHashes {
       var j = 0
       while (j < n) {
         if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
+        sb.append(toks(if (clamp) math.min(i + j, len - 1) else i + j))
         j += 1
       }
       seen.add(sb.toString)
@@ -112,4 +122,44 @@ object WordGramHashes {
       ColumnBridge.expression(text),
       org.apache.spark.sql.catalyst.expressions.Literal(n),
       ColumnBridge.expression(prefix)))
+}
+
+/** Clamped 3-gram shingle hashes — the MinHash shingling variant (see
+  * [[WordGramHashes.compute]] with `clamp = true`): byte-equivalent to
+  * the interpreted `sequence`/`element_at(least(...))` chain in the
+  * batch dedup operators, fused into one codegen call.
+  */
+case class ClampedShingleHashes(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "clamped_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string) arguments, got $other")
+    }
+
+  override def nullSafeEval(text: Any, prefix: Any): Any =
+    WordGramHashes.compute(
+      text.asInstanceOf[UTF8String], 3,
+      prefix.asInstanceOf[UTF8String], clamp = true)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, p) =>
+      s"${ev.value} = graft.functions.WordGramHashes.compute($t, 3, $p, true);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ClampedShingleHashes =
+    copy(left = l, right = r)
+}
+
+object ClampedShingleHashes {
+  def clampedShingleHashes(text: Column): Column =
+    ColumnBridge.column(ClampedShingleHashes(
+      ColumnBridge.expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "", StringType)))
 }

@@ -64,17 +64,6 @@ object DedupQueries {
        |    i -> CAST(ord(SUBSTR($e, CAST(i AS INTEGER), 1)) AS BIGINT))),
        |  (a, b) -> (a * 31 + b) % 4294967296)""".stripMargin
 
-  /** doc_id + exploded distinct word-3-gram shingles, hashed. */
-  private def shingleHashes(s: SparkSession, dir: String): DataFrame =
-    Tables.rebalance(Tables.documents(s, dir))
-      .withColumn("toks", split(trim(col("text")), " "))
-      .withColumn("shingle", explode(array_distinct(expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 1)), " +
-          "i -> concat_ws(' ', element_at(toks, i), " +
-          "element_at(toks, least(i + 1, size(toks))), " +
-          "element_at(toks, least(i + 2, size(toks)))))"))))
-      .select(col("doc_id"), uhash(col("shingle")).as("h"))
-
   private val shingleHashesSql: String =
     s"""d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -85,19 +74,25 @@ object DedupQueries {
        |hh AS (SELECT doc_id, ${uhashSql("s")} AS h FROM sh)""".stripMargin
 
   /** MinHash signatures: doc_id + NumBands band-signature strings.
-    * Explode → hash → groupBy(doc) with NumHashes partial-aggregated mins:
-    * one shuffle keyed on doc_id, map-side combined.
+    *
+    * Computed PER ROW by the fused codegen pair
+    * [[graft.functions.ClampedShingleHashes]] →
+    * [[graft.functions.MinHashBands]] (same shingle semantics, hash
+    * family, and band layout as [[shingleHashesSql]]/[[signaturesSql]],
+    * proven by the unchanged oracle hash): the signature stage is
+    * scan→project with NO exchange — the earlier explode →
+    * groupBy(doc_id) → 16 partial-aggregated mins form paid a shuffle
+    * keyed on doc_id at any scale. The LSH bucket join is now the dedup
+    * pipeline's only shuffle.
     */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val minExprs = (0 until NumHashes).map(i =>
-      min((col("h") * aCoef(i) + bCoef(i)) % P).as(s"mh$i"))
-    val sig = shingleHashes(s, dir).groupBy(col("doc_id"))
-      .agg(minExprs.head, minExprs.tail: _*)
-    val bandCols = (0 until NumBands).map { b =>
-      concat_ws("-", (0 until BandSize).map(r => col(s"mh${b * BandSize + r}")): _*)
-        .as(s"band$b")
-    }
-    sig.select(col("doc_id") +: bandCols: _*)
+    val bands = graft.functions.MinHashBands.minhashBands(
+      graft.functions.ClampedShingleHashes.clampedShingleHashes(col("text")),
+      NumHashes, BandSize)
+    Tables.rebalance(Tables.documents(s, dir))
+      .withColumn("bands", bands)
+      .select(col("doc_id") +: (0 until NumBands).map(b =>
+        element_at(col("bands"), b + 1).as(s"band$b")): _*)
   }
 
   private val signaturesSql: String = {

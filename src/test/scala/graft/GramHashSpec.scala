@@ -52,6 +52,31 @@ class GramHashSpec extends SparkSpec {
     }
   }
 
+  test("clamped shingles + minhash bands match the aggregate form") {
+    import graft.functions.{ClampedShingleHashes, MinHashBands}
+    val P = 4294967311L
+    def scalaBands(text: String): Seq[String] = {
+      val toks = text.trim.split(" ", -1).toSeq
+      val grams = (0 until math.max(toks.size - 2, 1)).map { i =>
+        (0 until 3).map(k => toks(math.min(i + k, toks.size - 1))).mkString(" ")
+      }.distinct
+      val hs = grams.map(g => g.hashCode.toLong & 0xFFFFFFFFL)
+      val mins = (0 until 16).map(i =>
+        hs.map(h => (h * (2L * i + 1) + (7919L * i + 1)) % P).min)
+      (0 until 4).map(b => (0 until 4).map(r => mins(b * 4 + r)).mkString("-"))
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one", "two words", "", "a a a a")
+    val got = texts.toDF("text")
+      .select(col("text"), MinHashBands.minhashBands(
+        ClampedShingleHashes.clampedShingleHashes(col("text")), 16, 4).as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    texts.foreach { t =>
+      assert(got(t) == scalaBands(t), s"for '$t'")
+    }
+  }
+
   test("SQL registration: word_gram_hashes callable from SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(

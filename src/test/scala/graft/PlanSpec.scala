@@ -61,11 +61,14 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
-  test("dedup_minhash_sig: 16 mins partial-aggregate before one doc shuffle") {
+  test("dedup_minhash_sig: per-row fused signature — no aggregate, no shuffle") {
     val p = plan("dedup_minhash_sig")
+    // the fused ClampedShingleHashes→MinHashBands pair computes the
+    // signature in the scan's projection: the only exchanges allowed
+    // are the rebalance repartition and the final ORDER BY
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
-      .findAllIn(p).size >= 2, p)
-    assert(p.contains("java_string_hash"), p)
+      .findFirstIn(p).isEmpty, p)
+    assert(p.contains("minhash_bands") && p.contains("clamped_shingle_hashes"), p)
   }
 
   test("dedup_ngram_jaccard: inverted-index join, no cartesian product") {

@@ -35,46 +35,26 @@ object StreamingDedup {
   final case class DupEvent(doc_id: Long, dup_of: Long, band: Int)
 
   // same LSH geometry as the batch operators (DedupQueries): 16
-  // permutations in 4 bands of 4; universal-hash coefficients over a
-  // prime > 2^32
+  // permutations in 4 bands of 4
   private val NumHashes = 16
   private val BandSize = 4
-  private val NumBands = NumHashes / BandSize
-  private val P = 4294967311L
 
-  /** Per-row band signatures: (doc_id, band, sig) — pure expressions,
-    * streamable with no shuffle. `docs` needs (doc_id: long,
-    * text: string).
+  /** Per-row band signatures: (doc_id, band, sig) — the SAME fused
+    * codegen pair the batch operators use
+    * ([[graft.functions.ClampedShingleHashes]] →
+    * [[graft.functions.MinHashBands]]), so a streaming detector and a
+    * batch `dedup_minhash_pairs` sweep land identical documents in
+    * identical buckets. Pure expressions — streamable with no shuffle.
+    * `docs` needs (doc_id: long, text: string).
     */
-  def bandRows(docs: DataFrame): DataFrame = {
-    val toks = split(trim(col("text")), " ")
-    val shingles = expr(
-      "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)), " +
-        "i -> concat_ws(' ', element_at(toks, i), " +
-        "element_at(toks, least(i + 1, size(toks))), " +
-        "element_at(toks, least(i + 2, size(toks))))))")
-    // mask to 32 bits so h * a + b stays well inside a long (ANSI mode
-    // rejects the overflow a full-range 64-bit hash would hit)
-    val hashes = expr("transform(shingles, s -> xxhash64(s) & 4294967295L)")
-    val mins = (0 until NumHashes).map { i =>
-      val a = 2L * i + 1
-      val b = 7919L * i + 1
-      expr(s"array_min(transform(hs, h -> pmod(h * $a + $b, ${P}L)))")
-        .as(s"mh$i")
-    }
-    val bandSigs = (0 until NumBands).map { bnd =>
-      concat_ws("-",
-        (0 until BandSize).map(r => col(s"mh${bnd * BandSize + r}")): _*)
-    }
+  def bandRows(docs: DataFrame): DataFrame =
     docs
-      .withColumn("toks", toks)
-      .withColumn("shingles", shingles)
-      .withColumn("hs", hashes)
-      .select(col("doc_id") +: mins: _*)
-      .select(col("doc_id"), posexplode(array(bandSigs: _*)))
+      .withColumn("bands", graft.functions.MinHashBands.minhashBands(
+        graft.functions.ClampedShingleHashes.clampedShingleHashes(col("text")),
+        NumHashes, BandSize))
+      .select(col("doc_id"), posexplode(col("bands")))
       .select(col("doc_id"), col("pos").cast("int").as("band"),
         col("col").as("sig"))
-  }
 
   /** The streaming query body: first claimant of each (band, sig)
     * bucket is remembered; later arrivals emit a [[DupEvent]] against

@@ -74,6 +74,48 @@ object AnalyticsQueries {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM u GROUP BY metric ORDER BY metric""")),
 
+    // ------------------------------------------- funnel analysis
+    // Ordered-sequence funnel view → click → purchase: a user reaches
+    // stage k at the earliest event of that type strictly AFTER their
+    // stage-(k-1) time. Every stage aggregates and joins on user_id —
+    // one shuffle key end-to-end, so the whole funnel co-partitions
+    // (AQE reuses the exchange) and scales as three cheap keyed passes,
+    // never a per-user sort of the full history.
+    "evt_funnel" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("ts") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        s1.agg(count(lit(1)).as("users")).select(lit("1_view").as("stage"), col("users"))
+          .unionAll(s2.agg(count(lit(1)).as("users"))
+            .select(lit("2_click").as("stage"), col("users")))
+          .unionAll(s3.agg(count(lit(1)).as("users"))
+            .select(lit("3_purchase").as("stage"), col("users")))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+          JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        SELECT '1_view' AS stage, COUNT(*) AS users FROM s1
+        UNION ALL SELECT '2_click', COUNT(*) FROM s2
+        UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
+        ORDER BY stage""")),
+
     // --------------------------------- resampling with gap fill
     // Per-minute event counts per type over the FULL [min, max] minute
     // range — absent minutes appear with n = 0 (the gap-fill a

@@ -48,6 +48,12 @@ object DedupQueries {
     * metric.
     */
   val NgramDfCap = 100
+  /** Max docs per LSH bucket before the bucket is dropped from pair
+    * generation (see [[minhashPairs]]) — C(cap,2) bounds per-bucket
+    * pair work; over-cap buckets are trivially-duplicate clusters for
+    * exact dedup, not pairwise LSH.
+    */
+  val MinHashBucketCap = 64
   /** First prime above 2^32 — the minhash modulus. */
   private val P = 4294967311L
   private def aCoef(i: Int): Long = 2L * i + 1
@@ -109,6 +115,17 @@ object DedupQueries {
 
   /** LSH candidate pairs (doc_a < doc_b), reused by the pair query and
     * the clustering query.
+    *
+    * Buckets larger than [[MinHashBucketCap]] docs are dropped before
+    * the self-join (broadcast anti join, counted via an observed
+    * metric): a bucket of n docs emits C(n,2) pairs, so a dup-saturated
+    * corpus (every text present k times ⇒ every bucket holds k
+    * identical signatures) would otherwise blow up quadratically in k.
+    * An over-cap bucket is by definition a trivially-duplicate cluster —
+    * exact dedup (the cheaper operator, composed first in
+    * pipe_curate_e2e) is the right tool for it, not pairwise LSH. The
+    * cap is mirrored in the oracle SQL so the hash check covers it at
+    * every SF. Same pattern as [[NgramDfCap]].
     */
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = signatures(s, dir)
@@ -117,7 +134,15 @@ object DedupQueries {
         struct(lit(b).as("band_id"), col(s"band$b").as("sig"))): _*))
         .as("bucket"))
       .select(col("doc_id"), col("bucket.band_id"), col("bucket.sig"))
-    buckets.as("a").join(buckets.as("b"),
+    val hot = buckets.groupBy(col("band_id"), col("sig"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > MinHashBucketCap)
+      .observe("minhash_bucket_cap",
+        count(lit(1)).as("hot_buckets"),
+        sum(col("n")).as("dropped_rows"))
+      .select(col("band_id"), col("sig"))
+    val kept = buckets.join(broadcast(hot), Seq("band_id", "sig"), "left_anti")
+    kept.as("a").join(kept.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -160,9 +185,13 @@ object DedupQueries {
         bx AS (
           ${(0 until NumBands)
             .map(b => s"SELECT doc_id, $b AS band_id, band$b AS sig FROM bands")
-            .mkString(" UNION ALL ")})
+            .mkString(" UNION ALL ")}),
+        bc AS (SELECT band_id, sig FROM bx GROUP BY band_id, sig
+          HAVING COUNT(*) <= $MinHashBucketCap),
+        bk AS (SELECT bx.* FROM bx
+          JOIN bc ON bx.band_id = bc.band_id AND bx.sig = bc.sig)
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bx a JOIN bx b
+        FROM bk a JOIN bk b
           ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
         ORDER BY doc_a, doc_b""")),
 
@@ -185,9 +214,13 @@ object DedupQueries {
           ${(0 until NumBands)
             .map(b => s"SELECT doc_id, $b AS band_id, band$b AS sig FROM bands")
             .mkString(" UNION ALL ")}),
+        bc AS (SELECT band_id, sig FROM bx GROUP BY band_id, sig
+          HAVING COUNT(*) <= $MinHashBucketCap),
+        bk AS (SELECT bx.* FROM bx
+          JOIN bc ON bx.band_id = bc.band_id AND bx.sig = bc.sig),
         pr AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bx a JOIN bx b
+          FROM bk a JOIN bk b
             ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
         ed AS (
           SELECT doc_a AS src, doc_b AS dst FROM pr

@@ -74,6 +74,34 @@ object AnalyticsQueries {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM u GROUP BY metric ORDER BY metric""")),
 
+    // --------------------------------- salted two-phase aggregation
+    // The skew-defeating aggregation shape as a first-class declared
+    // operator: a deterministic salt fans each hot group key out to 8
+    // sub-keys, partials aggregate per (key, salt), then a second tiny
+    // aggregation folds the salts. Exact-decimal partial sums re-sum
+    // associatively, so the result is bit-identical to the direct
+    // single-phase aggregation — which IS the oracle, proving the
+    // rewrite is semantics-preserving. At scale the first exchange
+    // spreads a hot key over 8 reducers; the second touches only
+    // (groups × 8) rows. (Deterministic salt, not rand(): retries
+    // re-produce the same partials — the same rule as hash sampling.)
+    "rel_agg_salted" -> QueryDef(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .withColumn("salt", (col("l_orderkey") % 8).cast("int"))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(sum(dec2(col("l_quantity"))).as("pq"),
+            count(lit(1)).as("pn"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("pq")).cast("double").as("sum_qty"),
+            sum(col("pn")).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ------------------------------------------- funnel analysis
     // Ordered-sequence funnel view → click → purchase: a user reaches
     // stage k at the earliest event of that type strictly AFTER their

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.JavaHash
+import QueryDef.{uhash, uhashSql}
 
 /** Deduplication operators over the `documents` / `embeddings` fixtures —
   * the LLM-training-pipeline surface: exact (hash-groupBy), MinHash+LSH
@@ -58,17 +58,6 @@ object DedupQueries {
   private val P = 4294967311L
   private def aCoef(i: Int): Long = 2L * i + 1
   private def bCoef(i: Int): Long = 7919L * i + 1
-
-  /** Unsigned 32-bit view of the Java string hash. */
-  private def uhash(c: Column): Column =
-    JavaHash.javaStringHash(c).cast("long").bitwiseAND(lit(4294967295L))
-
-  /** DuckDB mirror of [[uhash]] — already-unsigned fold. */
-  private def uhashSql(e: String): String =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |  list_transform(range(1, LENGTH($e) + 1),
-       |    i -> CAST(ord(SUBSTR($e, CAST(i AS INTEGER), 1)) AS BIGINT))),
-       |  (a, b) -> (a * 31 + b) % 4294967296)""".stripMargin
 
   private val shingleHashesSql: String =
     s"""d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),

@@ -74,6 +74,27 @@ object AnalyticsQueries {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM u GROUP BY metric ORDER BY metric""")),
 
+    // --------------------------------- ordered string aggregation
+    // listagg/string_agg: the report-building aggregate. Deterministic
+    // via sort_array over the collected set (collect_list order is
+    // partition-dependent; sorting inside the row makes the result
+    // reproducible and engine-portable). Grouped on nation — group
+    // cardinality is small, the VALUES are what grow; at corpus scale
+    // cap the per-group list (slice after sort) to bound row width.
+    "rel_listagg" -> QueryDef(
+      (s, dir) => {
+        Tables.supplier(s, dir)
+          .groupBy(col("s_nationkey"))
+          .agg(concat_ws(",", sort_array(collect_list(col("s_name"))))
+            .as("names"),
+            count(lit(1)).as("n"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""SELECT s_nationkey,
+          string_agg(s_name, ',' ORDER BY s_name) AS names,
+          COUNT(*) AS n
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
     // --------------------------------- salted two-phase aggregation
     // The skew-defeating aggregation shape as a first-class declared
     // operator: a deterministic salt fans each hot group key out to 8

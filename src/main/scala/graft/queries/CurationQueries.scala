@@ -274,6 +274,62 @@ object CurationQueries {
         WHERE e.split_h <> 1
         GROUP BY e.doc_id ORDER BY e.doc_id""")),
 
+    // ------------------------------------------------- TF-IDF scoring
+    // Top-5 characteristic terms per document by tf·idf — the feature
+    // extractor behind keyword search, topic drift monitoring, and
+    // relevance-weighted dedup. All aggregates key on doc_id or term
+    // (two shuffles, both partially aggregated), the corpus size N is a
+    // broadcast 1-row aggregate (in-plan — no driver-side count, the
+    // txt_cross_entropy pattern), and ln()/double division are
+    // bit-identical across engines, so round(6) outputs hash-match.
+    // Ties broken by term (binary UTF-8 ordering in both engines).
+    "txt_tfidf" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.rebalance(Tables.documents(s, dir))
+        val toks = docs.select(col("doc_id"),
+          explode(split(trim(col("text")), " ")).as("term"))
+        val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("cnt"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf
+          .join(dlen, "doc_id")
+          .join(df, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf", round(
+            (col("cnt").cast("double") / col("dl").cast("double")) *
+              log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))
+        scored
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+          FROM documents),
+        dlen AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+        tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM t
+          GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+            ROUND((CAST(cnt AS DOUBLE) / CAST(dl AS DOUBLE)) *
+              ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+          FROM tf JOIN dlen ON tf.doc_id = dlen.doc_id
+          JOIN df ON tf.term = df.term CROSS JOIN n),
+        rk AS (
+          SELECT doc_id, term, tfidf,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+        SELECT doc_id, rk, term, tfidf FROM rk
+        WHERE rk <= 5 ORDER BY doc_id, rk""")),
+
     // ----------------------------------- int8 embedding quantization
     // Symmetric per-vector int8 quantization (q = round(x·127/max|x|))
     // — the compression step before shipping embeddings to an ANN

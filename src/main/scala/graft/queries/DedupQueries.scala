@@ -139,6 +139,64 @@ object DedupQueries {
       .distinct()
   }
 
+  /** Shared-bigram pair counts (doc_a < doc_b, shared, sa, sb) via the
+    * inverted-index join — the common core of the n-gram Jaccard and
+    * containment operators. The gram stage is one fused
+    * [[graft.functions.WordGramHashes]] call (codegen; replaces the
+    * interpreted split → zip_with → array_distinct → hash chain); grams
+    * hotter than [[NgramDfCap]] are dropped before the self-join via a
+    * broadcast anti join (the blocklist is tiny by construction) and
+    * counted by the `metricName` observed metric. Work is Σ_gram df²
+    * bounded by cap² per gram — no cartesian stage at any scale.
+    */
+  private def sharedGramCounts(
+      s: SparkSession, dir: String, metricName: String): DataFrame = {
+    val inv = Tables.rebalance(Tables.documents(s, dir))
+      .withColumn("ghs", graft.functions.WordGramHashes.wordGramHashes(
+        col("text"), 2, concat(col("lang"), lit("|"))))
+      .select(col("doc_id"), size(col("ghs")).as("sz"),
+        explode(col("ghs")).as("gh"))
+    val hot = inv.groupBy(col("gh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > NgramDfCap)
+      .observe(metricName,
+        count(lit(1)).as("hot_grams"),
+        sum(col("df")).as("dropped_rows"))
+      .select(col("gh"))
+    val kept = inv.join(broadcast(hot), Seq("gh"), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        col("a.gh") === col("b.gh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sa"), col("b.sz").as("sb"))
+      .agg(count(lit(1)).as("shared"))
+  }
+
+  /** DuckDB mirror of [[sharedGramCounts]] (CTE chain ending in `shared`). */
+  private val sharedGramSql: String =
+    s"""g AS (
+        SELECT doc_id, lang,
+          list_distinct(list_transform(
+            range(1, len(string_split(trim(text), ' '))),
+            i -> string_split(trim(text), ' ')[CAST(i AS INTEGER)] || ' ' ||
+                 string_split(trim(text), ' ')[CAST(i AS INTEGER) + 1])) AS grams
+        FROM documents),
+        inv0 AS (
+          SELECT doc_id, lang, len(grams) AS sz, unnest(grams) AS gram FROM g),
+        inv AS (
+          SELECT doc_id, sz, ${uhashSql("lang || '|' || gram")} AS gh FROM inv0),
+        dfc AS (SELECT gh, COUNT(*) AS df FROM inv GROUP BY gh),
+        kept AS (
+          SELECT inv.doc_id, inv.sz, inv.gh
+          FROM inv JOIN dfc ON inv.gh = dfc.gh WHERE dfc.df <= $NgramDfCap),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sa, b.sz AS sb,
+            COUNT(*) AS shared
+          FROM kept a JOIN kept b
+            ON a.gh = b.gh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id, a.sz, b.sz)"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------- exact dedup
@@ -270,66 +328,43 @@ object DedupQueries {
     // single row-group, so the scan is repartitioned before the
     // (CPU-heavy) gram explode.
     "dedup_ngram_jaccard" -> QueryDef(
-      (s, dir) => {
-        // fused codegen gram stage: one WordGramHashes call replaces the
-        // interpreted split → zip_with → array_distinct → concat_ws →
-        // hash chain (each step CodegenFallback, re-interpreted per
-        // element); semantics byte-identical (see the expression's
-        // scaladoc), proven by the unchanged oracle hash
-        val inv = Tables.rebalance(Tables.documents(s, dir))
-          .withColumn("ghs", graft.functions.WordGramHashes.wordGramHashes(
-            col("text"), 2, concat(col("lang"), lit("|"))))
-          .select(col("doc_id"), size(col("ghs")).as("sz"),
-            explode(col("ghs")).as("gh"))
-        // hot-gram blocklist: tiny by construction (few grams exceed the
-        // cap), so it broadcasts; the anti join stays map-side.
-        val hot = inv.groupBy(col("gh"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") > NgramDfCap)
-          .observe("ngram_df_cap",
-            count(lit(1)).as("hot_grams"),
-            sum(col("df")).as("dropped_rows"))
-          .select(col("gh"))
-        val kept = inv.join(broadcast(hot), Seq("gh"), "left_anti")
-        val shared = kept.as("a").join(kept.as("b"),
-            col("a.gh") === col("b.gh") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .groupBy(
-            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.sz").as("sa"), col("b.sz").as("sb"))
-          .agg(count(lit(1)).as("shared"))
-        shared.select(col("doc_a"), col("doc_b"),
+      (s, dir) =>
+        sharedGramCounts(s, dir, "ngram_df_cap")
+          .select(col("doc_a"), col("doc_b"),
             (col("shared").cast("double") /
               (col("sa") + col("sb") - col("shared")).cast("double"))
               .as("jaccard"))
           .filter(col("jaccard") >= 0.12)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
-      Some(s"""WITH g AS (
-        SELECT doc_id, lang,
-          list_distinct(list_transform(
-            range(1, len(string_split(trim(text), ' '))),
-            i -> string_split(trim(text), ' ')[CAST(i AS INTEGER)] || ' ' ||
-                 string_split(trim(text), ' ')[CAST(i AS INTEGER) + 1])) AS grams
-        FROM documents),
-        inv0 AS (
-          SELECT doc_id, lang, len(grams) AS sz, unnest(grams) AS gram FROM g),
-        inv AS (
-          SELECT doc_id, sz, ${uhashSql("lang || '|' || gram")} AS gh FROM inv0),
-        dfc AS (SELECT gh, COUNT(*) AS df FROM inv GROUP BY gh),
-        kept AS (
-          SELECT inv.doc_id, inv.sz, inv.gh
-          FROM inv JOIN dfc ON inv.gh = dfc.gh WHERE dfc.df <= $NgramDfCap),
-        shared AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sa, b.sz AS sb,
-            COUNT(*) AS shared
-          FROM kept a JOIN kept b
-            ON a.gh = b.gh AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id, a.sz, b.sz)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $sharedGramSql
         SELECT doc_a, doc_b,
           CAST(shared AS DOUBLE) / CAST(sa + sb - shared AS DOUBLE) AS jaccard
         FROM shared
         WHERE CAST(shared AS DOUBLE) / CAST(sa + sb - shared AS DOUBLE) >= 0.12
+        ORDER BY doc_a, doc_b""")),
+
+    // --------------------------------- n-gram containment (asymmetric)
+    // Containment = shared / min(|A|, |B|): catches a short document
+    // embedded inside a longer one (quote farms, boilerplate wrappers,
+    // partial copies) that symmetric Jaccard under-scores — the other
+    // half of the n-gram dedup story. Same inverted-index machinery
+    // and df cap as dedup_ngram_jaccard; only the score differs.
+    "dedup_containment" -> QueryDef(
+      (s, dir) =>
+        sharedGramCounts(s, dir, "containment_df_cap")
+          .select(col("doc_a"), col("doc_b"),
+            round(col("shared").cast("double") /
+              least(col("sa"), col("sb")).cast("double"), 6)
+              .as("containment"))
+          .filter(col("containment") >= 0.2)
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $sharedGramSql
+        SELECT doc_a, doc_b,
+          ROUND(CAST(shared AS DOUBLE) / CAST(least(sa, sb) AS DOUBLE), 6)
+            AS containment
+        FROM shared
+        WHERE ROUND(CAST(shared AS DOUBLE) / CAST(least(sa, sb) AS DOUBLE), 6)
+          >= 0.2
         ORDER BY doc_a, doc_b""")),
 
     // --------------------------------- embedding-cosine near-dup (blocked)

@@ -123,6 +123,40 @@ object AnalyticsQueries {
           COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ------------------------------------------- cohort retention
+    // The retention matrix: users grouped by first-activity week
+    // (cohort), counted in each later week they return. Weeks are
+    // integer epoch-day/7 buckets — pure integer math after a
+    // date_trunc('day'), so both engines agree exactly (no engine
+    // week-start or fractional-epoch semantics involved). Plan: one
+    // shuffle on user_id for the cohort aggregate + distinct activity,
+    // then a tiny (cohorts × offsets) aggregate.
+    "evt_retention" -> QueryDef(
+      (s, dir) => {
+        val weeks = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("cast(unix_timestamp(date_trunc('DAY', ts)) / 86400 as bigint) div 7")
+              .as("week"))
+          .distinct()
+        val cohort = weeks.groupBy(col("user_id"))
+          .agg(min(col("week")).as("cohort_week"))
+        weeks.join(cohort, "user_id")
+          .groupBy(col("cohort_week"),
+            (col("week") - col("cohort_week")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH w AS (
+          SELECT DISTINCT user_id,
+            CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) // 7 AS week
+          FROM events),
+        c AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id)
+        SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+          COUNT(DISTINCT w.user_id) AS users
+        FROM w JOIN c ON w.user_id = c.user_id
+        GROUP BY c.cohort_week, w.week - c.cohort_week
+        ORDER BY cohort_week, week_offset""")),
+
     // ------------------------------------------- funnel analysis
     // Ordered-sequence funnel view → click → purchase: a user reaches
     // stage k at the earliest event of that type strictly AFTER their

@@ -274,6 +274,61 @@ object CurationQueries {
         WHERE e.split_h <> 1
         GROUP BY e.doc_id ORDER BY e.doc_id""")),
 
+    // -------------------------------- bigram LM cross-entropy scoring
+    // Conditional language-model quality signal: per-doc mean
+    // -ln p(w_i | w_{i-1}) under the corpus bigram model
+    // (p = c(bigram) / c(prefix)) — sharper than the unigram
+    // txt_cross_entropy at spotting word-salad documents whose
+    // unigrams look normal. Counts are exact ints, ln() and double
+    // division are bit-identical across engines, per-doc sums use
+    // decimal(28,15) casts (order-independent), outputs round(6).
+    // The model join keys on the bigram string — a shuffle join (the
+    // corpus model at 100 TB is not broadcastable); per-doc rows are
+    // then one keyed aggregation.
+    "txt_bigram_entropy" -> QueryDef(
+      (s, dir) => {
+        val inst = Tables.rebalance(Tables.documents(s, dir))
+          .withColumn("toks", split(trim(col("text")), " "))
+          .select(col("doc_id"), explode(expr(
+            "zip_with(slice(toks, 1, size(toks) - 1), " +
+              "slice(toks, 2, size(toks) - 1), (x, y) -> concat(x, ' ', y))"))
+            .as("bg"))
+        val cb = inst.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+        val cp = inst
+          .groupBy(substring_index(col("bg"), " ", 1).as("w"))
+          .agg(count(lit(1)).as("cp"))
+        val model = cb.join(cp, substring_index(cb("bg"), " ", 1) === cp("w"))
+          .select(col("bg"),
+            (-log(col("cb").cast("double") / col("cp").cast("double")))
+              .cast("decimal(28,15)").as("lp"))
+        inst.join(model, "bg")
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+            .as("bigram_entropy"),
+            count(lit(1)).as("n_bigrams"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        b AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+            i -> toks[CAST(i AS INTEGER)] || ' ' ||
+                 toks[CAST(i AS INTEGER) + 1])) AS bg
+          FROM d),
+        cb AS (SELECT bg, COUNT(*) AS cb FROM b GROUP BY bg),
+        cp AS (SELECT split_part(bg, ' ', 1) AS w, COUNT(*) AS cp
+          FROM b GROUP BY split_part(bg, ' ', 1)),
+        m AS (
+          SELECT cb.bg,
+            CAST(-ln(CAST(cb.cb AS DOUBLE) / CAST(cp.cp AS DOUBLE))
+              AS DECIMAL(28,15)) AS lp
+          FROM cb JOIN cp ON split_part(cb.bg, ' ', 1) = cp.w)
+        SELECT b.doc_id,
+          ROUND(CAST(SUM(m.lp) AS DOUBLE) / COUNT(*), 6) AS bigram_entropy,
+          COUNT(*) AS n_bigrams
+        FROM b JOIN m ON b.bg = m.bg
+        GROUP BY b.doc_id ORDER BY b.doc_id""")),
+
     // ------------------------------------------------- TF-IDF scoring
     // Top-5 characteristic terms per document by tf·idf — the feature
     // extractor behind keyword search, topic drift monitoring, and

@@ -74,6 +74,36 @@ object AnalyticsQueries {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM u GROUP BY metric ORDER BY metric""")),
 
+    // ------------------------------------------- deterministic mode
+    // Most-frequent value per group. Built-in mode() is tie-ambiguous
+    // (engine- and partition-order-dependent); ranking on
+    // (count DESC, value) makes the answer total-ordered and therefore
+    // oracle-checkable — the only safe form of mode in a reproducible
+    // pipeline. Two keyed aggregations, both partial-aggregated.
+    "rel_mode" -> QueryDef(
+      (s, dir) => {
+        val counts = Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("cnt").desc, col("o_orderpriority"))
+        counts.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("o_orderstatus"),
+            col("o_orderpriority").as("mode_priority"), col("cnt"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH c AS (
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+          FROM orders GROUP BY o_orderstatus, o_orderpriority),
+        r AS (
+          SELECT o_orderstatus, o_orderpriority, cnt,
+            ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+              ORDER BY cnt DESC, o_orderpriority) AS rk
+          FROM c)
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+        FROM r WHERE rk = 1 ORDER BY o_orderstatus""")),
+
     // --------------------------------- ordered string aggregation
     // listagg/string_agg: the report-building aggregate. Deterministic
     // via sort_array over the collected set (collect_list order is

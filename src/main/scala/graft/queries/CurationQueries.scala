@@ -81,6 +81,33 @@ object CurationQueries {
           FROM documents)
         WHERE h % 10 = 0 ORDER BY doc_id""")),
 
+    // ----------------------------------- train/val/test split assignment
+    // The canonical dataset splitter: id-hash mod 10 → 8/1/1
+    // train/val/test. Deterministic (stable across runs, retries, and
+    // engines — the property that keeps eval sets leak-free as the
+    // corpus is re-processed), shuffle-free per row; the output here is
+    // the per-(lang, split) audit count a pipeline logs after assigning.
+    "samp_split" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .withColumn("b", uhash(concat(lit("doc_"), col("doc_id"))) % 10)
+          .withColumn("split",
+            when(col("b") < 8, "train").when(col("b") === 8, "val")
+              .otherwise(lit("test")))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some(s"""WITH a AS (
+          SELECT lang,
+            ${uhashSql("'doc_' || CAST(doc_id AS VARCHAR)")} % 10 AS b
+          FROM documents)
+        SELECT lang,
+          CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+            ELSE 'test' END AS split,
+          COUNT(*) AS n_docs
+        FROM a GROUP BY lang, split ORDER BY lang, split""")),
+
     // ----------------------------------------- domain-mix rebalancing
     // Downsample every source to the SMALLEST source's volume (uniform
     // mix): per-source keep threshold = floor(min_n * 1e6 / n), keep a

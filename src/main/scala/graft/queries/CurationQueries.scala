@@ -412,6 +412,46 @@ object CurationQueries {
         SELECT doc_id, rk, term, tfidf FROM rk
         WHERE rk <= 5 ORDER BY doc_id, rk""")),
 
+    // ------------------------------------ embedding norm extremes
+    // Data-quality screen for the vector corpus: the 5 largest-norm
+    // vectors per label — where corrupt embeddings (un-normalized,
+    // overflowed, wrong-scaled) surface first. norm² is the bit-exact
+    // sequential-fold ArrayDot (no order-dependent float sum), ranking
+    // is tie-broken by vec_id; one shuffle on label, top-k discards
+    // before the final sort.
+    "emb_norm_extremes" -> QueryDef(
+      (s, dir) => {
+        val v = Tables.rebalance(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("norm2", round(
+            graft.functions.VectorOps.arrayDot(col("v"), col("v")), 6))
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("norm2").desc, col("vec_id"))
+        v.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("label"), col("rk"), col("vec_id"), col("norm2"))
+          .orderBy(col("label"), col("rk"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        n2 AS (
+          SELECT vec_id, label,
+            ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(1, len(v) + 1),
+                i -> v[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])),
+              (acc, x) -> acc + x), 6) AS norm2
+          FROM e),
+        r AS (
+          SELECT label, vec_id, norm2,
+            ROW_NUMBER() OVER (PARTITION BY label
+              ORDER BY norm2 DESC, vec_id) AS rk
+          FROM n2)
+        SELECT label, rk, vec_id, norm2 FROM r
+        WHERE rk <= 5 ORDER BY label, rk""")),
+
     // ----------------------------------- int8 embedding quantization
     // Symmetric per-vector int8 quantization (q = round(x·127/max|x|))
     // — the compression step before shipping embeddings to an ANN

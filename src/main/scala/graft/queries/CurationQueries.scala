@@ -301,6 +301,82 @@ object CurationQueries {
         WHERE e.split_h <> 1
         GROUP BY e.doc_id ORDER BY e.doc_id""")),
 
+    // ----------------------------------------- BM25 retrieval scoring
+    // Full-text relevance ranking: top-20 documents for a fixed query
+    // under BM25 (k1 = 1.2, b = 0.75) — the scorer behind every search
+    // index, expressed as three keyed aggregations + one broadcast of
+    // the corpus stats (N, avgdl: a 1-row aggregate, in-plan). All
+    // inputs to the formula are exact integers; ln() and double
+    // arithmetic are bit-identical across engines; round(6) output.
+    "txt_search_bm25" -> QueryDef(
+      (s, dir) => {
+        val qTerms = Seq("scan", "join", "merge")
+        val toks = Tables.rebalance(Tables.documents(s, dir))
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), " ")).as("term"))
+        val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val stats = dlen.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("total_len"))
+        val tf = toks.filter(col("term").isin(qTerms: _*))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val scored = tf
+          .join(dlen, "doc_id")
+          .join(broadcast(df), "term")
+          .crossJoin(broadcast(stats))
+          .withColumn("avgdl",
+            col("total_len").cast("double") / col("n_docs").cast("double"))
+          .withColumn("idf", log(
+            (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+              (col("df").cast("double") + 0.5) + 1.0))
+          .withColumn("s", col("idf") *
+            (col("tf").cast("double") * 2.2) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+          // per-doc sum over the 3 query terms: tiny decimal-cast sum
+          // keeps the addition order-independent
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("s").cast("decimal(28,15)")).cast("double"), 6)
+            .as("bm25"))
+        // orderBy+limit compiles to TakeOrderedAndProject (per-partition
+        // top-k + driver merge — no global sort); the rank window then
+        // runs over just 20 rows
+        scored.orderBy(col("bm25").desc, col("doc_id")).limit(20)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id"))))
+          .select(col("rk"), col("doc_id"), col("bm25"))
+          .orderBy(col("rk"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+          FROM documents),
+        dlen AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dlen),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM t
+          WHERE term IN ('scan', 'join', 'merge') GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id,
+            ln((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+               (CAST(df.df AS DOUBLE) + 0.5) + 1.0) *
+            (CAST(tf.tf AS DOUBLE) * 2.2) /
+            (CAST(tf.tf AS DOUBLE) + 1.2 *
+              (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+                (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS s
+          FROM tf JOIN dlen ON tf.doc_id = dlen.doc_id
+          JOIN df ON tf.term = df.term CROSS JOIN stats),
+        agg AS (
+          SELECT doc_id,
+            ROUND(CAST(SUM(CAST(s AS DECIMAL(28,15))) AS DOUBLE), 6) AS bm25
+          FROM scored GROUP BY doc_id),
+        rk AS (
+          SELECT doc_id, bm25,
+            ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+          FROM agg)
+        SELECT rk, doc_id, bm25 FROM rk WHERE rk <= 20 ORDER BY rk""")),
+
     // -------------------------------- bigram LM cross-entropy scoring
     // Conditional language-model quality signal: per-doc mean
     // -ln p(w_i | w_{i-1}) under the corpus bigram model

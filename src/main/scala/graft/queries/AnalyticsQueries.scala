@@ -74,6 +74,39 @@ object AnalyticsQueries {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM u GROUP BY metric ORDER BY metric""")),
 
+    // ------------------------------------------ equi-width histogram
+    // 20-bucket value distribution of order totals: bounds come from a
+    // broadcast 1-row min/max aggregate (in-plan — one scan feeds both
+    // the bounds and the bucketing), bucket ids are floor division on
+    // doubles derived from identical inputs in both engines, and the
+    // max value is clamped into the last bucket. The aggregation output
+    // is 20 rows regardless of input size.
+    "rel_histogram" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val bounds = o.agg(min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        o.crossJoin(broadcast(bounds))
+          .withColumn("bucket", least(
+            floor((col("o_totalprice") - col("lo")) * 20.0 /
+              (col("hi") - col("lo"))).cast("int"),
+            lit(19)))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("o_totalprice")), 2).as("bucket_min"),
+            round(max(col("o_totalprice")), 2).as("bucket_max"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH b AS (
+          SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+        SELECT LEAST(CAST(FLOOR((o_totalprice - lo) * 20.0 / (hi - lo))
+            AS INTEGER), 19) AS bucket,
+          COUNT(*) AS n,
+          ROUND(MIN(o_totalprice), 2) AS bucket_min,
+          ROUND(MAX(o_totalprice), 2) AS bucket_max
+        FROM orders, b
+        GROUP BY 1 ORDER BY bucket""")),
+
     // ------------------------------------------- deterministic mode
     // Most-frequent value per group. Built-in mode() is tie-ambiguous
     // (engine- and partition-order-dependent); ranking on

@@ -74,6 +74,77 @@ object AnalyticsQueries {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM u GROUP BY metric ORDER BY metric""")),
 
+    // --------------------------------------- time-series anomalies
+    // z-score anomaly flags over the dense per-minute series: per type,
+    // minutes whose event count deviates > 2σ from that type's mean
+    // rate (gap minutes count as 0 — a dead feed IS an anomaly). All
+    // moments come from exact integer sums (Σn, Σn² as longs), so mean/
+    // variance/σ are identical doubles in both engines; round(6)
+    // output. Per-type stats are a tiny aggregate joined back broadcast.
+    "evt_anomaly" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("minute",
+            (unix_timestamp(date_trunc("minute", col("ts"))) / 60L).cast("long"))
+        val bounds = e.agg(min(col("minute")).as("lo"), max(col("minute")).as("hi"))
+        val spine = broadcast(e.select(col("event_type")).distinct())
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("minute"))
+        val dense = spine.join(
+            e.groupBy(col("event_type"), col("minute"))
+              .agg(count(lit(1)).as("cnt")),
+            Seq("event_type", "minute"), "left")
+          .select(col("event_type"), col("minute"),
+            coalesce(col("cnt"), lit(0L)).as("n"))
+        val stats = dense.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("m"), sum(col("n")).as("s1"),
+            sum(col("n") * col("n")).as("s2"))
+          .withColumn("mean", col("s1").cast("double") / col("m").cast("double"))
+          .withColumn("sd", sqrt(
+            col("s2").cast("double") / col("m").cast("double") -
+              (col("s1").cast("double") / col("m").cast("double")) *
+                (col("s1").cast("double") / col("m").cast("double"))))
+          .select(col("event_type"), col("mean"), col("sd"))
+        dense.join(broadcast(stats), "event_type")
+          .filter(col("sd") > 0)
+          .withColumn("z", round(
+            (col("n").cast("double") - col("mean")) / col("sd"), 6))
+          .filter(abs(col("z")) > 2.0)
+          .select(col("event_type"), col("minute"), col("n"), col("z"))
+          .orderBy(col("event_type"), col("minute"))
+      },
+      Some("""WITH e AS (
+          SELECT event_type,
+            CAST(epoch(date_trunc('minute', ts)) // 60 AS BIGINT) AS minute
+          FROM events),
+        b AS (SELECT MIN(minute) AS lo, MAX(minute) AS hi FROM e),
+        spine AS (
+          SELECT t.event_type,
+            CAST(unnest(range(b.lo, b.hi + 1)) AS BIGINT) AS minute
+          FROM (SELECT DISTINCT event_type FROM e) t, b),
+        c AS (SELECT event_type, minute, COUNT(*) AS cnt
+          FROM e GROUP BY event_type, minute),
+        dense AS (
+          SELECT s.event_type, s.minute, COALESCE(c.cnt, 0) AS n
+          FROM spine s LEFT JOIN c
+            ON s.event_type = c.event_type AND s.minute = c.minute),
+        st AS (
+          SELECT event_type, COUNT(*) AS m, SUM(n) AS s1, SUM(n * n) AS s2
+          FROM dense GROUP BY event_type),
+        st2 AS (
+          SELECT event_type,
+            CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE) AS mean,
+            sqrt(CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE) -
+              (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) *
+              (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))) AS sd
+          FROM st)
+        SELECT d.event_type, d.minute, d.n,
+          ROUND((CAST(d.n AS DOUBLE) - mean) / sd, 6) AS z
+        FROM dense d JOIN st2 ON d.event_type = st2.event_type
+        WHERE sd > 0
+          AND abs(ROUND((CAST(d.n AS DOUBLE) - mean) / sd, 6)) > 2.0
+        ORDER BY d.event_type, d.minute""")),
+
     // ------------------------------------------ equi-width histogram
     // 20-bucket value distribution of order totals: bounds come from a
     // broadcast 1-row min/max aggregate (in-plan — one scan feeds both

@@ -561,6 +561,41 @@ object CurationQueries {
             ELSE 0.0 END AS INTEGER) AS q
         FROM v WHERE dim <= 8 ORDER BY vec_id, dim""")),
 
+    // ------------------------------------- packing-waste planning
+    // Context-length planning analytic: if documents are packed
+    // WITHOUT crossing document boundaries (each doc padded to its own
+    // ceil(n/ctx) bins — the isolation-preserving alternative to
+    // pack_sequences' concat-chunk), how much capacity is padding at
+    // ctx ∈ {256, 512, 1024}? Pure integer math per row + one tiny
+    // aggregate — the number a team looks at before picking a context
+    // length. ((n + ctx - 1) div ctx is ceiling division on the
+    // positive token counts, identical in both engines.)
+    "pack_waste" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("n", size(split(trim(col("text")), " ")).cast("long"))
+        Seq(256, 512, 1024).map { ctx =>
+          d.select(lit(ctx).as("ctx"), col("n"),
+            expr(s"((n + ${ctx - 1}) div $ctx) * $ctx").as("cap"))
+            .groupBy(col("ctx"))
+            .agg(sum(col("n")).as("tokens"),
+              sum(col("cap")).as("capacity"),
+              round((sum(col("cap")) - sum(col("n"))).cast("double") /
+                sum(col("cap")).cast("double"), 6).as("waste_ratio"))
+        }.reduce(_ unionAll _)
+          .orderBy(col("ctx"))
+      },
+      Some("""WITH d AS (
+          SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+          FROM documents),
+        x AS (
+          SELECT ctx, n, ((n + ctx - 1) // ctx) * ctx AS cap
+          FROM d, (SELECT unnest([256, 512, 1024]) AS ctx))
+        SELECT ctx, SUM(n) AS tokens, SUM(cap) AS capacity,
+          ROUND(CAST(SUM(cap) - SUM(n) AS DOUBLE) / CAST(SUM(cap) AS DOUBLE), 6)
+            AS waste_ratio
+        FROM x GROUP BY ctx ORDER BY ctx""")),
+
     // ------------------------------------------ exact grouped percentiles
     // Spark's exact `percentile` and DuckDB's `quantile_cont` both
     // linear-interpolate over the sorted values; outputs rounded to 6dp

@@ -33,4 +33,51 @@ class AnalyticsSpec extends SparkSpec {
     val p = q("rel_agg_salted").queryExecution.executedPlan.toString
     assert("HashAggregate".r.findAllIn(p).size >= 4, p) // 2 phases x (partial+final)
   }
+
+  test("rel_histogram: bucket counts sum to the table size, buckets ordered") {
+    val rows = q("rel_histogram").collect()
+    val total = queries.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    val buckets = rows.map(_.getInt(0)).toSeq
+    assert(buckets == buckets.sorted && buckets.forall(b => b >= 0 && b <= 19))
+    // bucket value ranges never overlap out of order
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(2) + 1e-9,
+        s"bucket ${a.getInt(0)} max > bucket ${b.getInt(0)} min")
+      case _ =>
+    }
+  }
+
+  test("txt_search_bm25: scores strictly ranked, top-k bounded") {
+    val rows = q("txt_search_bm25").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val scores = rows.sortBy(_.getInt(0)).map(_.getDouble(2))
+    scores.sliding(2).foreach {
+      case Array(hi, lo) => assert(hi >= lo, s"rank order violated: $hi < $lo")
+      case _ =>
+    }
+    assert(scores.forall(_ > 0.0))
+  }
+
+  test("evt_anomaly: every flagged minute really deviates > 2 sigma") {
+    val rows = q("evt_anomaly").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3)) > 2.0, r.toString)
+    }
+  }
+
+  test("pack_waste: capacity bounds tokens; waste grows with context length") {
+    val rows = q("pack_waste").collect().sortBy(_.getInt(0))
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "capacity >= tokens")
+      val ratio = r.getDouble(3)
+      assert(ratio >= 0.0 && ratio < 1.0, r.toString)
+    }
+    // boundary-preserving packing pads each doc's last bin: bigger bins
+    // ⇒ more padding per doc ⇒ waste is non-decreasing in ctx
+    val ratios = rows.map(_.getDouble(3))
+    assert(ratios(0) <= ratios(1) && ratios(1) <= ratios(2), ratios.mkString(","))
+  }
 }

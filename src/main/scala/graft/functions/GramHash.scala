@@ -60,7 +60,10 @@ case class WordGramHashes(first: Expression, second: Expression, third: Expressi
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, n, p) =>
-      s"${ev.value} = graft.functions.WordGramHashes.compute($t, $n, $p);")
+      // Janino callers see no 3-arg overload for a Scala default arg —
+      // the `clamp` parameter must be passed explicitly or codegen fails
+      // to compile and the whole stage silently falls back to interpreted.
+      s"${ev.value} = graft.functions.WordGramHashes.compute($t, $n, $p, false);")
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): WordGramHashes =

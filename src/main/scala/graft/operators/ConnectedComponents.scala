@@ -67,4 +67,85 @@ object ConnectedComponents {
     }
     (labels.select(col("id"), col("comp").as("cluster_id")), iter)
   }
+
+  /** Web-scale path: alternating large-star/small-star edge rewriting
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Min-label propagation above needs DIAMETER rounds — fine
+    * for shallow near-dup graphs, quadratic-ish pain on a chain-shaped
+    * component. The star operations rewrite the edge set itself so path
+    * lengths halve each alternation: O(log n) rounds on any topology.
+    *
+    * large-star: every node attaches its LARGER neighbors to the
+    * smallest node it can see (`min(Γ(u) ∪ {u})`).
+    * small-star: every node attaches its smaller-or-equal neighbors
+    * (and itself) to that same minimum.
+    * Both are a groupBy-min plus a join — no per-node neighbor lists are
+    * ever materialized, so a 10⁹-degree hub node costs a shuffle, not
+    * executor memory. At the fixed point every component is a star
+    * rooted at its minimum id.
+    */
+  def runStar(vertices: DataFrame, edges: DataFrame, maxIter: Int = 35): DataFrame =
+    runStarCounted(vertices, edges, maxIter)._1
+
+  /** [[runStar]] plus the number of large+small alternations executed. */
+  def runStarCounted(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 35): (DataFrame, Int) = {
+    // canonical orientation: u > v, self-loops dropped
+    var e = edges
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = e.isEmpty
+    var prevCount = -1L
+    var prevSum = 0L
+    while (!converged && iter < maxIter) {
+      // ---- large-star ----
+      val sym = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val minNbr = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.join(minNbr, "u")
+        .where(col("v") > col("u"))
+        // v > u >= m, so (v, m) is already canonically oriented
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // ---- small-star (input already u > v, so min(Γ⁻(u) ∪ {u}) = min v) ----
+      val minS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(minS, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionAll(minS.select(col("u").as("a"), col("m").as("b")))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // convergence = edge-set fixed point, observed during the same
+      // materialization (count + order-independent xxhash64 checksum)
+      val obs = Observation()
+      val next = small
+        .observe(obs, count(lit(1)).as("cnt"),
+          // mask to 28 bits before the ANSI-checked sum: full-range
+          // xxhash64 longs overflow; 2^28 × 10^10 edges still fits
+          coalesce(sum(xxhash64(col("u"), col("v"))
+            .bitwiseAND(lit(0xFFFFFFFL))), lit(0L)).as("sum"))
+        .localCheckpoint()
+      val cnt = obs.get("cnt").asInstanceOf[Long]
+      val sumH = obs.get("sum").asInstanceOf[Long]
+      converged = cnt == prevCount && sumH == prevSum
+      prevCount = cnt
+      prevSum = sumH
+      e = next
+      iter += 1
+    }
+    // fixed point: each non-root points straight at its component min
+    val roots = e.groupBy(col("u")).agg(min(col("v")).as("root"))
+    val labels = vertices
+      .join(roots, vertices("id") === roots("u"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
+    (labels, iter)
+  }
 }

@@ -222,8 +222,8 @@ object CurationQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           FROM d)
         SELECT lang, doc_id, n_tokens,
-          (cum - n_tokens) // $PackCtxLen AS bin,
-          (cum - n_tokens) % $PackCtxLen AS bin_offset
+          CAST((cum - n_tokens) // $PackCtxLen AS BIGINT) AS bin,
+          CAST((cum - n_tokens) % $PackCtxLen AS BIGINT) AS bin_offset
         FROM c ORDER BY lang, doc_id""")),
 
     // ------------------------------------- stratified per-group sampling
@@ -591,7 +591,8 @@ object CurationQueries {
         x AS (
           SELECT ctx, n, ((n + ctx - 1) // ctx) * ctx AS cap
           FROM d, (SELECT unnest([256, 512, 1024]) AS ctx))
-        SELECT ctx, SUM(n) AS tokens, SUM(cap) AS capacity,
+        SELECT ctx, CAST(SUM(n) AS BIGINT) AS tokens,
+          CAST(SUM(cap) AS BIGINT) AS capacity,
           ROUND(CAST(SUM(cap) - SUM(n) AS DOUBLE) / CAST(SUM(cap) AS DOUBLE), 6)
             AS waste_ratio
         FROM x GROUP BY ctx ORDER BY ctx""")),

@@ -197,6 +197,35 @@ object DedupQueries {
             ON a.gh = b.gh AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id, a.sz, b.sz)"""
 
+  /** Shared oracle for `dedup_clusters` and `dedup_clusters_star`: the
+    * LSH pair graph closed with a recursive CTE — both Spark
+    * implementations (min-label and large-star/small-star) must agree
+    * with it bit-for-bit.
+    */
+  private val clustersOracleSql: String =
+    s"""WITH RECURSIVE $signaturesSql,
+        bx AS (
+          ${(0 until NumBands)
+            .map(b => s"SELECT doc_id, $b AS band_id, band$b AS sig FROM bands")
+            .mkString(" UNION ALL ")}),
+        bc AS (SELECT band_id, sig FROM bx GROUP BY band_id, sig
+          HAVING COUNT(*) <= $MinHashBucketCap),
+        bk AS (SELECT bx.* FROM bx
+          JOIN bc ON bx.band_id = bc.band_id AND bx.sig = bc.sig),
+        pr AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bk a JOIN bk b
+            ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        ed AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pr
+          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pr),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN ed e ON e.src = reach.id)
+        SELECT id AS doc_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY id ORDER BY doc_id"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------- exact dedup
@@ -256,28 +285,24 @@ object DedupQueries {
           .select(col("id").as("doc_id"), col("cluster_id"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH RECURSIVE $signaturesSql,
-        bx AS (
-          ${(0 until NumBands)
-            .map(b => s"SELECT doc_id, $b AS band_id, band$b AS sig FROM bands")
-            .mkString(" UNION ALL ")}),
-        bc AS (SELECT band_id, sig FROM bx GROUP BY band_id, sig
-          HAVING COUNT(*) <= $MinHashBucketCap),
-        bk AS (SELECT bx.* FROM bx
-          JOIN bc ON bx.band_id = bc.band_id AND bx.sig = bc.sig),
-        pr AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bk a JOIN bk b
-            ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        ed AS (
-          SELECT doc_a AS src, doc_b AS dst FROM pr
-          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pr),
-        reach(id, r) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT e.dst, reach.r FROM reach JOIN ed e ON e.src = reach.id)
-        SELECT id AS doc_id, MIN(r) AS cluster_id
-        FROM reach GROUP BY id ORDER BY doc_id""")),
+      Some(clustersOracleSql)),
+
+    // Same clusters via the web-scale path: alternating large-star/
+    // small-star edge rewriting (O(log n) rounds on any topology, vs
+    // diameter rounds for min-label). Declared against the IDENTICAL
+    // oracle as dedup_clusters, so the driver gate proves the two
+    // implementations agree every round.
+    "dedup_clusters_star" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id").as("id"))
+        val pairs = minhashPairs(s, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        graft.operators.ConnectedComponents.runStar(docs, pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(clustersOracleSql)),
 
     // ----------------------------------------------------------- SimHash
     "dedup_simhash" -> QueryDef(

@@ -78,23 +78,24 @@ object PipelineQueries {
     // negative log-likelihood (high ⇒ rare-token-heavy ⇒ candidate
     // outlier). Two stages: tiny model (distinct tokens) broadcast back
     // onto the token stream — no quadratic stage. The normalizer (total
-    // token count) is computed INSIDE the plan as an unpartitioned
-    // window sum over the already-aggregated model (distinct tokens —
-    // tiny), so one token scan feeds both the model and the normalizer:
-    // no separate driver-side count pass. Per-token -ln(p) is cast to
+    // token count) is a 1-row aggregate crossJoined as a broadcast onto
+    // the model (the BM25 corpus-stats pattern): an unpartitioned window
+    // over the model would serialize the whole vocabulary through one
+    // partition — a straggler once the corpus vocabulary is web-scale.
+    // Per-token -ln(p) is cast to
     // decimal(28,15) so the per-doc sum is order-independent; the final
     // mean is rounded to 6dp (cross-engine ln agrees to well below
     // that).
     "txt_cross_entropy" -> QueryDef(
       (s, dir) => {
         import org.apache.spark.sql.DataFrame
-        import org.apache.spark.sql.expressions.Window
         val toks: DataFrame = Tables.rebalance(Tables.documents(s, dir))
           .select(col("doc_id"),
             explode(split(trim(col("text")), " ")).as("w"))
+        val total = toks.agg(count(lit(1)).cast("long").as("total"))
         val model = toks.groupBy(col("w"))
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+          .crossJoin(broadcast(total))
           .withColumn("lp",
             (-log(col("cnt").cast("double") / col("total").cast("double")))
               .cast("decimal(28,15)"))

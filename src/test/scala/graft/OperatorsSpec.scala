@@ -87,6 +87,37 @@ class OperatorsSpec extends SparkSpec {
     assert(rounds == 10, s"expected diameter+1 = 10 rounds, got $rounds")
   }
 
+  test("ConnectedComponents.runStar: 1000-node chain converges in O(log n) rounds") {
+    // The adversarial case for min-label propagation (would need ~1000
+    // rounds); large-star/small-star halves path lengths every
+    // alternation, so a 1000-node chain must converge well inside
+    // log-ish rounds.
+    val n = 1000
+    val vertices = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) =
+      operators.ConnectedComponents.runStarCounted(vertices, edges)
+    assert(rounds <= 15, s"expected O(log n) alternations, got $rounds")
+    val got = labels.orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == (0L until n.toLong).map(i => (i, 0L)))
+  }
+
+  test("ConnectedComponents.runStar matches min-label on a multi-component graph") {
+    // components: {0..4} (star), {10,11,12} (triangle), {20,21} (edge),
+    // {30} (singleton)
+    val vertices = (Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L))
+      .toDF("id")
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 2L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L)).toDF("a", "b")
+    val star = operators.ConnectedComponents.runStar(vertices, edges)
+      .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val minl = operators.ConnectedComponents.run(vertices, edges)
+      .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(star == minl)
+    assert(star.toMap.apply(30L) == 30L) // singleton labels itself
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val l = queries.Tables.lineitem(spark, sf)
     val exact = l.select(countDistinct(col("l_partkey"))).head().getLong(0)

@@ -56,11 +56,22 @@ for name in sorted(oracle):
     elif len(g) != len(e):
         status.append(f"rows: spark={len(g)} duck={len(e)}")
     else:
-        eq = g.values == e.values
-        # elementwise with NaN handling
+        # elementwise with NaN handling; dtype-STRICT first — the driver
+        # hashes typed values, so int64-vs-float64 (e.g. DuckDB HUGEINT
+        # from SUM(BIGINT) materialized as float64) must fail here even
+        # though numpy says 3 == 3.0.
         mism = []
         for ci, c in enumerate(g.columns):
             a, b = g[c].values, e[c].values
+            da, db = np.asarray(a).dtype, np.asarray(b).dtype
+            # kind-strict: int-vs-float (e.g. DuckDB HUGEINT materialized
+            # as float64 vs Spark int64) must fail, like the driver's
+            # typed hash; width (int32 vs int64) hashes identically there
+            ka = "i" if da.kind in "iu" else da.kind
+            kb = "i" if db.kind in "iu" else db.kind
+            if ka != kb:
+                mism.append(f"col {c}: dtype kind spark={da} duck={db}")
+                continue
             if np.issubdtype(np.asarray(a).dtype, np.floating):
                 bad = ~((a == b) | (np.isnan(a.astype(float)) & np.isnan(b.astype(float))))
             else:

@@ -96,21 +96,48 @@ object ExactlyOnce {
   }
 
   /** Strategy 3: writeStream.foreachBatch body sending `key`/`value`
-    * string columns through per-partition transactional producers, the
-    * whole epoch fenced by the ledger. A crash before ANY partition's
-    * commit leaves no epoch marker ⇒ the replay re-runs the epoch (the
-    * aborted transactions never became visible); a present marker ⇒
-    * the replay is a no-op. The marker is written only after every
-    * partition's transaction committed (foreachPartition is an action —
-    * it returns after all tasks finish).
+    * string columns through per-partition transactional producers,
+    * fenced per (epoch, partition) — NOT per whole epoch. Kafka
+    * transactions are per-producer, so atomicity is per partition; if
+    * the ledger only fenced whole epochs, an epoch where partition A
+    * committed but partition B crashed would replay BOTH, re-sending A's
+    * records as visible duplicates to `read_committed` consumers (the
+    * same hole a stage retry after one task's commit opens). So each
+    * partition task writes its own `epoch-N.part-P` marker right after
+    * its commit, and a replayed / retried task that finds its marker
+    * skips without producing. Once every partition holds a marker the
+    * driver seals the epoch with the `epoch-N` marker (the fast-path
+    * fence for whole-epoch replays) and the part markers are garbage.
+    *
+    * Residual window, stated explicitly: a crash BETWEEN a partition's
+    * `commitTransaction()` and its marker write still re-sends that one
+    * partition on replay. Closing it needs broker cooperation — Flink
+    * does so by deferring commit to checkpoint-complete and, on
+    * recovery, resuming + committing the SAME transactional.id (an
+    * idempotent re-commit, not a re-send). The [[TxnProducer]] seam
+    * supports that deployment (stable `transactional.id` per partition);
+    * with the sandbox's scripted producers we fence everything up to
+    * that marker-write instant and document the gap rather than claim
+    * it closed.
     */
   def foreachBatchTransactional(ledgerPath: String,
       producerFactory: () => TxnProducer)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    writeFenced(spark, ledgerPath, batchId) { () =>
-      batch.select(col("key").cast("string"), col("value").cast("string"))
-        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(ledgerPath),
+      spark.sparkContext.hadoopConfiguration)
+    val epochMarker = new org.apache.hadoop.fs.Path(s"$ledgerPath/epoch-$batchId")
+    if (fs.exists(epochMarker)) return // whole epoch already sealed
+    batch.select(col("key").cast("string"), col("value").cast("string"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val pfs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(ledgerPath),
+          new org.apache.hadoop.conf.Configuration())
+        val pMarker = new org.apache.hadoop.fs.Path(
+          s"$ledgerPath/epoch-$batchId.part-$pid")
+        if (!pfs.exists(pMarker)) {
           val p = producerFactory()
           try {
             p.beginTransaction()
@@ -121,7 +148,11 @@ object ExactlyOnce {
               case e: Throwable => p.abortTransaction(); throw e
             }
           } finally p.close()
+          pfs.create(pMarker, true).close() // partition commit marker
         }
-    }
+      }
+    // foreachPartition returned ⇒ every partition committed (or was
+    // already fenced): seal the epoch
+    fs.create(epochMarker, true).close()
   }
 }

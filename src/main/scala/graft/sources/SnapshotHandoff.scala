@@ -59,8 +59,13 @@ object SnapshotHandoff {
       else {
         val in = f.open(target)
         try {
+          // InputStream.read may return fewer bytes than available (an
+          // object-store stream often does) — loop to EOF before parsing
+          // or a partial read silently truncates the watermark.
           val bytes = new Array[Byte](64)
-          val n = in.read(bytes)
+          var n = 0
+          var r = in.read(bytes, 0, bytes.length)
+          while (r > 0) { n += r; r = in.read(bytes, n, bytes.length - n) }
           Some(new String(bytes, 0, n, "UTF-8").trim.toLong)
         } finally in.close()
       }

@@ -20,8 +20,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    key), so total state is O(distinct buckets), not O(documents ×
   *    signature width). With the RocksDB state-store provider
   *    (`CdcPipeline` wires it) state spills to disk; for truly
-  *    unbounded streams swap NoTimeout for a processing-time timeout
-  *    to age out cold buckets.
+  *    unbounded streams pass `bucketTtlMs` to [[nearDupEvents]] — a
+  *    processing-time timeout ages out cold buckets so state stays
+  *    bounded by the TTL window.
   *  - Duplicate events are emitted per matching band; a consumer
   *    wanting doc-level verdicts distinct-aggregates downstream (kept
   *    out of this operator so the query stays single-stateful-stage).
@@ -59,19 +60,40 @@ object StreamingDedup {
   /** The streaming query body: first claimant of each (band, sig)
     * bucket is remembered; later arrivals emit a [[DupEvent]] against
     * it. Deterministic within a micro-batch (lowest doc_id claims).
+    *
+    * `bucketTtlMs` bounds state for truly unbounded streams: a bucket
+    * untouched for that long is dropped on the next micro-batch (a
+    * processing-time timeout), so state is O(buckets active within the
+    * TTL window), not O(all buckets ever). The semantic trade is
+    * explicit and matches every TTL'd dedup: a duplicate arriving AFTER
+    * its bucket expired is re-admitted as a fresh first-claimant.
+    * `None` (the default) keeps buckets forever — the exact batch-parity
+    * mode.
     */
-  def nearDupEvents(docs: DataFrame): Dataset[DupEvent] = {
+  def nearDupEvents(docs: DataFrame,
+      bucketTtlMs: Option[Long] = None): Dataset[DupEvent] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeoutConf = if (bucketTtlMs.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout()
+    else GroupStateTimeout.NoTimeout()
     bandRows(docs).as[BandRow]
       .groupByKey(r => (r.band, r.sig))
       .flatMapGroupsWithState[Long, DupEvent](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case ((band, _), rows, state: GroupState[Long]) =>
-          val ids = rows.map(_.doc_id).toSeq.sorted
-          val owner = state.getOption.getOrElse(ids.head)
-          if (!state.exists) state.update(owner)
-          ids.filter(_ != owner).map(DupEvent(_, owner, band)).iterator
+          if (state.hasTimedOut) {
+            // cold bucket aged out: forget the owner; the next claimant
+            // of this (band, sig) is admitted as new
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = rows.map(_.doc_id).toSeq.sorted
+            val owner = state.getOption.getOrElse(ids.head)
+            if (!state.exists) state.update(owner)
+            bucketTtlMs.foreach(state.setTimeoutDuration)
+            ids.filter(_ != owner).map(DupEvent(_, owner, band)).iterator
+          }
       }
   }
 }

@@ -16,9 +16,14 @@ object TxnRecorder {
   val sent = new AtomicLong(0)
   /** Sends fail once this many records have gone through (crash fault). */
   val failAfter = new AtomicInteger(Int.MaxValue)
+  /** Sends of ODD integer keys fail (after a short delay so the even
+    * partition's transaction deterministically commits first) — the
+    * partial-epoch-commit fault: one partition commits, another crashes.
+    */
+  val failOddKeys = new java.util.concurrent.atomic.AtomicBoolean(false)
   def reset(): Unit = {
     committedRecords.clear(); aborted.set(0); sent.set(0)
-    failAfter.set(Int.MaxValue)
+    failAfter.set(Int.MaxValue); failOddKeys.set(false)
   }
 }
 
@@ -31,6 +36,10 @@ class RecordingProducer extends graft.operators.ExactlyOnce.TxnProducer {
   override def send(key: String, value: String): Unit = {
     if (TxnRecorder.sent.incrementAndGet() > TxnRecorder.failAfter.get())
       throw new RuntimeException("simulated broker failure mid-transaction")
+    if (TxnRecorder.failOddKeys.get() && key.toLong % 2 == 1) {
+      Thread.sleep(500) // let the even partition commit first
+      throw new RuntimeException("simulated failure in odd-key partition")
+    }
     buffer += ((key, value))
   }
   override def commitTransaction(): Unit =
@@ -75,6 +84,48 @@ class DeliverySpec extends SparkSpec {
     // second replay: marker present ⇒ fenced no-op, nothing re-sent
     ExactlyOnce.foreachBatchTransactional(
       ledger, () => new RecordingProducer)(batch, 5L)
+    assert(TxnRecorder.committedRecords.size() == 100)
+  }
+
+  test("per-partition fencing: committed partition is NOT re-sent on epoch replay") {
+    import graft.operators.ExactlyOnce
+    import org.apache.spark.sql.functions.col
+    val ledger = Files.createTempDirectory("graft_txn_ledger_pp").toString
+    TxnRecorder.reset()
+
+    // two partitions split by key parity: evens commit, odds crash
+    val batch = spark.range(0, 100)
+      .repartitionByRange(2, col("id") % 2) // partition 0 = evens, 1 = odds
+      .selectExpr("CAST(id AS STRING) AS key", "CAST(id * 2 AS STRING) AS value")
+
+    TxnRecorder.failOddKeys.set(true)
+    intercept[Exception] {
+      ExactlyOnce.foreachBatchTransactional(
+        ledger, () => new RecordingProducer)(batch, 7L)
+    }
+    // partial epoch: the even partition committed and wrote its part
+    // marker; the odd partition aborted; the epoch is NOT sealed
+    val committed1 = TxnRecorder.committedRecords.toArray
+      .map(_.asInstanceOf[(String, String)]._1.toLong).toSet
+    assert(committed1 == (0L until 100L by 2).toSet,
+      s"expected exactly the evens committed, got ${committed1.size} keys")
+    assert(!new java.io.File(s"$ledger/epoch-7").exists())
+    assert(new java.io.File(ledger).list().exists(_.startsWith("epoch-7.part-")))
+
+    // replay of the SAME epoch: the committed partition is fenced by its
+    // part marker (no duplicate sends); only the aborted partition runs
+    TxnRecorder.failOddKeys.set(false)
+    ExactlyOnce.foreachBatchTransactional(
+      ledger, () => new RecordingProducer)(batch, 7L)
+    val keys = TxnRecorder.committedRecords.toArray
+      .map(_.asInstanceOf[(String, String)]._1.toLong).toSeq
+    assert(keys.size == 100, s"expected one copy of each record, got ${keys.size}")
+    assert(keys.distinct.size == 100, "duplicate records visible to read_committed")
+    assert(new java.io.File(s"$ledger/epoch-7").exists())
+
+    // whole-epoch replay after sealing: fast-path fenced no-op
+    ExactlyOnce.foreachBatchTransactional(
+      ledger, () => new RecordingProducer)(batch, 7L)
     assert(TxnRecorder.committedRecords.size() == 100)
   }
 

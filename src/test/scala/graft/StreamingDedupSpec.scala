@@ -56,6 +56,49 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucket TTL: expired buckets re-admit, live buckets still collide") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val events = StreamingDedup.nearDupEvents(
+      in.toDF().toDF("doc_id", "text"), bucketTtlMs = Some(4000L))
+    val q = events.writeStream.format("memory")
+      .queryName("dedup_events_ttl").outputMode("append").start()
+    // processAllAvailable NEVER RETURNS on a processing-time-timeout
+    // query: the engine keeps constructing (empty) batches to fire
+    // timeouts, so "no new data" is never signaled — poll the sink.
+    def awaitCount(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table("dedup_events_ttl").count() < n) {
+        assert(System.currentTimeMillis < deadline,
+          s"timed out waiting for $n dup events")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      // one batch: doc 1 claims, its copy doc 2 collides in all 4 bands
+      in.addData((1L, textA), (2L, textA))
+      awaitCount(4)
+      val evs1 = spark.table("dedup_events_ttl")
+        .as[StreamingDedup.DupEvent].collect()
+      assert(evs1.forall(e => e.doc_id == 2L && e.dup_of == 1L),
+        evs1.mkString(","))
+
+      // sleep past the TTL: the engine's self-triggered empty batches
+      // fire the processing-time timeout and drop the cold buckets
+      Thread.sleep(8000)
+
+      // doc 9 must be re-admitted as a fresh claimant (not flagged
+      // against doc 1); its copy doc 10 then collides against doc 9
+      in.addData((9L, textA), (10L, textA))
+      awaitCount(8)
+      val evs2 = spark.table("dedup_events_ttl")
+        .as[StreamingDedup.DupEvent].collect().filter(_.doc_id >= 9L)
+      assert(evs2.length == 4 &&
+        evs2.forall(e => e.doc_id == 10L && e.dup_of == 9L),
+        s"expected doc 9 re-admitted as owner, got ${evs2.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("bucket state survives a checkpoint restart: dup detected post-restart") {
     import java.nio.file.Files
     val work = Files.createTempDirectory("graft_sdedup").toString

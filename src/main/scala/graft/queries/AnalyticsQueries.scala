@@ -379,5 +379,131 @@ object AnalyticsQueries {
           COALESCE(c.cnt, 0) AS n, COALESCE(c.v, 0.0) AS value_sum
         FROM spine s LEFT JOIN c
           ON s.event_type = c.event_type AND s.minute = c.minute
-        ORDER BY s.event_type, s.minute""")))
+        ORDER BY s.event_type, s.minute""")),
+
+    // -------------------------------------------- gaps & islands
+    // Sequence-gap detection (the classic islands-and-gaps shape): the
+    // `click` stream's event_ids are a sparse subsequence of the dense
+    // global sequence; each hole between consecutive click ids is a gap
+    // [gap_start, gap_end]. One window sort on the filtered stream —
+    // the filter cuts the data BEFORE the sort, and a real deployment
+    // partitions the lead() by a shard key; here the global ORDER BY is
+    // the operator itself.
+    "evt_gaps" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.events(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("event_id"))
+          .withColumn("next_id",
+            lead(col("event_id"), 1).over(Window.orderBy(col("event_id"))))
+          .filter(col("next_id") - col("event_id") > 1)
+          .select((col("event_id") + 1).as("gap_start"),
+            (col("next_id") - 1).as("gap_end"),
+            (col("next_id") - col("event_id") - 1).as("gap_len"))
+          .orderBy(col("gap_start"))
+      },
+      Some("""WITH c AS (
+          SELECT event_id,
+            LEAD(event_id) OVER (ORDER BY event_id) AS next_id
+          FROM events WHERE event_type = 'click')
+        SELECT event_id + 1 AS gap_start, next_id - 1 AS gap_end,
+          next_id - event_id - 1 AS gap_len
+        FROM c WHERE next_id - event_id > 1 ORDER BY gap_start""")),
+
+    // -------------------------------------- event-type transition mining
+    // First-order Markov transitions: per user, consecutive event pairs
+    // (by ts, tie-broken by event_id so the sequence is total) counted
+    // across the corpus — the "what do users do next" table. One shuffle
+    // on user_id for the lag window, then a tiny (types × types)
+    // aggregate. The per-user window never collapses to one partition.
+    "evt_transitions" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("src"))
+          .withColumn("dst", lead(col("src"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("src"), col("dst"))
+      },
+      Some("""WITH seq AS (
+          SELECT user_id, event_type AS src,
+            LEAD(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS dst
+          FROM events)
+        SELECT src, dst, COUNT(*) AS n
+        FROM seq WHERE dst IS NOT NULL
+        GROUP BY src, dst ORDER BY src, dst""")),
+
+    // ------------------------------------------ sliding time windows
+    // Sliding-window aggregation (10-minute windows every 5 minutes):
+    // each event lands in exactly width/slide = 2 windows. Spark's
+    // `window(ts, w, s)` generator is mirrored in the oracle by
+    // unnesting the two aligned window starts per event — both compute
+    // starts on the epoch-aligned 5-minute grid. Cost is a controlled
+    // 2× row expansion then one aggregate; the grid arithmetic is exact
+    // integer math after date_trunc (the evt_resample lesson).
+    "evt_sliding_window" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+            col("value"))
+          .groupBy(col("w.start").as("win_start"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("value"))).cast("double").as("value_sum"))
+          .select(
+            (unix_timestamp(col("win_start")) / 60L).cast("long").as("win_min"),
+            col("n"), col("value_sum"))
+          .orderBy(col("win_min"))
+      },
+      Some("""WITH e AS (
+          SELECT CAST(epoch(date_trunc('minute', ts)) // 60 AS BIGINT)
+              // 5 * 5 AS grid_min,
+            value
+          FROM events),
+        x AS (
+          SELECT grid_min - k.k * 5 AS win_min, value
+          FROM e, (SELECT unnest([0, 1]) AS k) k)
+        SELECT win_min, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM x GROUP BY win_min ORDER BY win_min""")),
+
+    // --------------------------------------- time-windowed deduplication
+    // Keep the FIRST event per (user, type) in each 1-minute tumbling
+    // window — the batch shape of streaming dropDuplicates-with-
+    // watermark (StreamingDedup covers the online side). row_number
+    // inside the composite-key window; the filter drops ~duplicates
+    // before the output sort. Fully key-partitioned — no global window.
+    "evt_window_dedup" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"), col("event_type"),
+            col("minute"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("minute",
+            (unix_timestamp(date_trunc("minute", col("ts"))) / 60L)
+              .cast("long"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("minute"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (
+          SELECT event_id, user_id, event_type, ts,
+            CAST(epoch(date_trunc('minute', ts)) // 60 AS BIGINT) AS minute
+          FROM events),
+        r AS (
+          SELECT event_id, user_id, event_type, minute,
+            ROW_NUMBER() OVER (PARTITION BY user_id, event_type, minute
+              ORDER BY ts, event_id) AS rn
+          FROM e)
+        SELECT event_id, user_id, event_type, minute
+        FROM r WHERE rn = 1 ORDER BY event_id""")))
 }

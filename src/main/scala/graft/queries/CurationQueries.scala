@@ -619,5 +619,68 @@ object CurationQueries {
         SELECT o_orderstatus,
           CAST(unnest(range(1, 4)) AS INTEGER) AS q,
           ROUND(unnest(qs), 6) AS value
-        FROM p ORDER BY o_orderstatus, q""")))
+        FROM p ORDER BY o_orderstatus, q""")),
+
+    // ------------------------------------ quality-weighted sampling
+    // Deterministic weighted downsampling: each doc survives with
+    // probability proportional to a quality proxy (here length, capped
+    // at 1000 chars ⇒ per-mille weight), decided by comparing the doc's
+    // stable id-hash against its own weight — the retry-safe form of
+    // rand() < w that training-data reruns need (identical sample on
+    // every execution, any partitioning, both engines). Shuffle-free:
+    // a scan-side filter that pushes nothing but the projection.
+    "samp_weighted" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .withColumn("w_mille", least(col("n_chars"), lit(1000L)))
+          .filter(uhash(concat(lit("wdoc_"), col("doc_id"))) % 1000L <
+            col("w_mille"))
+          .select(col("doc_id"), col("lang"), col("w_mille"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, lang,
+          least(n_chars, 1000) AS w_mille
+        FROM documents
+        WHERE ${uhashSql("'wdoc_' || CAST(doc_id AS VARCHAR)")} % 1000
+          < least(n_chars, 1000)
+        ORDER BY doc_id""")),
+
+    // ------------------------------------ boilerplate phrase mining
+    // Cross-document repeated-phrase detection: 5-word phrases that
+    // appear in many DISTINCT documents are boilerplate (headers,
+    // licenses, navigation chrome) — the phrase list a cleaning pass
+    // subtracts before dedup so shared chrome doesn't glue unrelated
+    // docs together. Per-doc DISTINCT phrases (array_distinct inside
+    // the row) before the document-frequency aggregate, so a doc
+    // repeating its own phrase doesn't inflate df; the df aggregate is
+    // map-side combinable and the threshold cuts the long tail before
+    // the output sort.
+    "txt_boilerplate" -> QueryDef(
+      (s, dir) => {
+        val MinDf = 3
+        Tables.rebalance(Tables.documents(s, dir))
+          .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), array_distinct(
+            expr("""transform(sequence(0, size(toks) - 5),
+                    i -> concat_ws(' ', slice(toks, i + 1, 5)))"""))
+            .as("phrases"))
+          .select(col("doc_id"), explode(col("phrases")).as("phrase"))
+          .groupBy(col("phrase"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= MinDf)
+          .orderBy(col("df").desc, col("phrase"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS toks
+          FROM documents
+          WHERE len(string_split(trim(text), ' ')) >= 5),
+        p AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(0, len(toks) - 4),
+            i -> array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 5 AS INTEGER)], ' ')))) AS phrase
+          FROM t)
+        SELECT phrase, COUNT(*) AS df
+        FROM p GROUP BY phrase HAVING COUNT(*) >= 3
+        ORDER BY df DESC, phrase""")))
 }

@@ -271,5 +271,46 @@ object ExtendedQueries {
         SELECT label, dim,
           ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS centroid
         FROM x WHERE dim <= 8
-        GROUP BY label, dim ORDER BY label, dim""")))
+        GROUP BY label, dim ORDER BY label, dim""")),
+
+    // ---------------------------------------------- salted skew join
+    // The skew-join survival kit: when one join key holds a grossly
+    // disproportionate share of the fact rows, a plain hash join sends
+    // that key's entire mass to ONE reducer. Salting splits each fact
+    // row's key into (key, salt=hash(row) % S) and EXPLODES the build
+    // side S× so every (key, salt) pair still matches — the hot key's
+    // rows spread over S reducers at the cost of an S× replicated
+    // (small) build side. Result is provably identical to the plain
+    // join, which is exactly what the oracle checks. (AQE's runtime
+    // skew-join split covers sort-merge cases automatically; explicit
+    // salting is the portable form that also works pre-shuffle and in
+    // streaming joins.)
+    "rel_join_skew_salted" -> QueryDef(
+      (s, dir) => {
+        val Salt = 8
+        // per-type stats = the small build side (5 event types — maximal
+        // skew: each key carries ~20% of the fact table)
+        val dim = Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("type_n"))
+        val dimSalted = dim
+          .withColumn("salt",
+            explode(array((0 until Salt).map(lit): _*)))
+        val fact = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .withColumn("salt",
+            pmod(xxhash64(col("event_id")), lit(Salt)).cast("int"))
+        fact.join(dimSalted, Seq("event_type", "salt"))
+          .groupBy(col("event_type"), col("type_n"))
+          .agg(count(lit(1)).as("n_joined"),
+            sum(dec2(col("value"))).cast("double").as("value_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d AS (
+          SELECT event_type, COUNT(*) AS type_n FROM events
+          GROUP BY event_type)
+        SELECT e.event_type, d.type_n, COUNT(*) AS n_joined,
+          CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM events e JOIN d ON e.event_type = d.event_type
+        GROUP BY e.event_type, d.type_n ORDER BY e.event_type""")))
 }

@@ -100,5 +100,32 @@ object MultimodalQueries {
         SELECT doc_id, unnest(range(0, n_frames, 4)) AS frame_idx,
           unnest(range(0, n_frames, 4)) * 32 AS frame_off,
           least(32, n_bytes - unnest(range(0, n_frames, 4)) * 32) AS frame_len
-        FROM f ORDER BY doc_id, frame_idx""")))
+        FROM f ORDER BY doc_id, frame_idx""")),
+
+    // ---------------------------- exact binary-payload deduplication
+    // Content-hash dedup over the opaque binary column — the multimodal
+    // twin of `dedup_exact` (image/audio corpora are rife with re-posted
+    // byte-identical files). Grouping is on md5(payload), so the
+    // exchange ships a 16-byte digest per row, never the payload: at
+    // 100 TB the blobs stay columnar in the scan and only hashes move.
+    // md5 (not xxhash64) because both engines expose the identical
+    // RFC-1321 hex digest, making the digest itself oracle-checkable.
+    "mm_dedup_payload" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            encode(col("text"), "utf-8").as("payload"))
+          .groupBy(md5(col("payload")).as("digest"))
+          .agg(min(col("doc_id")).as("keeper_doc_id"),
+            count(lit(1)).as("n_copies"),
+            sum(length(col("payload")).cast("long")).as("total_bytes"))
+          .select(col("digest"), col("keeper_doc_id"), col("n_copies"),
+            col("total_bytes"))
+          .orderBy(col("keeper_doc_id"))
+      },
+      Some("""SELECT md5(text) AS digest,
+          MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies,
+          CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        FROM documents GROUP BY md5(text)
+        ORDER BY keeper_doc_id""")))
 }

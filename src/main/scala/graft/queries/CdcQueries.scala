@@ -297,5 +297,54 @@ object CdcQueries {
         CAST(event_id AS VARCHAR) ||
         ',"row":0,"thread":null,"query":null},"op":"' || op ||
         '","ts_ms":' || CAST(ts_ms AS VARCHAR) || '}' AS envelope_json
-        FROM img ORDER BY event_id""")))
+        FROM img ORDER BY event_id""")),
+
+    // ------------------------------------- dead-letter routing (DLQ)
+    // The route-and-quarantine operator every production CDC consumer
+    // wraps around its parser: classify each payload (well-formed /
+    // missing the configured key / structurally truncated), pass the
+    // good rows through, and aggregate the quarantine by error class
+    // with id bounds for triage. Corruption is injected DETERMINISTICALLY
+    // (id-modulus string surgery, identical in both engines) because
+    // the fixture payloads are uniformly clean — the classification
+    // predicates are the operator; swapping in real malformed input
+    // changes nothing in the plan. Per-row projection + one tiny
+    // aggregate; at 100 TB the classifier rides the scan.
+    "cdc_dlq" -> QueryDef(
+      (s, dir) => {
+        val corrupted = Tables.events(s, dir)
+          .select(col("event_id"),
+            when(col("event_id") % 97 === 0,
+              expr("substring(props, 1, length(props) - 1)")) // truncated
+              .when(col("event_id") % 89 === 0,
+                regexp_replace(col("props"), "\"k\"", "\"x\"")) // key renamed
+              .otherwise(col("props")).as("payload"))
+        corrupted
+          .withColumn("error_class",
+            when(!col("payload").endsWith("}"), lit("malformed"))
+              .when(get_json_object(col("payload"), "$.k").isNull,
+                lit("missing_key"))
+              .otherwise(lit("ok")))
+          .groupBy(col("error_class"))
+          .agg(count(lit(1)).as("n"),
+            min(col("event_id")).as("first_id"),
+            max(col("event_id")).as("last_id"))
+          .orderBy(col("error_class"))
+      },
+      Some("""WITH c AS (
+          SELECT event_id,
+            CASE WHEN event_id % 97 = 0 THEN substr(props, 1, length(props) - 1)
+                 WHEN event_id % 89 = 0 THEN replace(props, '"k"', '"x"')
+                 ELSE props END AS payload
+          FROM events),
+        cls AS (
+          SELECT event_id,
+            CASE WHEN NOT ends_with(payload, '}') THEN 'malformed'
+                 WHEN json_extract_string(payload, '$.k') IS NULL
+                   THEN 'missing_key'
+                 ELSE 'ok' END AS error_class
+          FROM c)
+        SELECT error_class, COUNT(*) AS n,
+          MIN(event_id) AS first_id, MAX(event_id) AS last_id
+        FROM cls GROUP BY error_class ORDER BY error_class""")))
 }

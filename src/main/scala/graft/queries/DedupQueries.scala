@@ -202,7 +202,10 @@ object DedupQueries {
     * implementations (min-label and large-star/small-star) must agree
     * with it bit-for-bit.
     */
-  private val clustersOracleSql: String =
+  /** The clusters CTE chain (LSH pair graph + recursive closure), sans
+    * final SELECT — composable by every clusters-consuming oracle.
+    */
+  private val clustersCtes: String =
     s"""WITH RECURSIVE $signaturesSql,
         bx AS (
           ${(0 until NumBands)
@@ -222,7 +225,10 @@ object DedupQueries {
         reach(id, r) AS (
           SELECT doc_id, doc_id FROM documents
           UNION
-          SELECT e.dst, reach.r FROM reach JOIN ed e ON e.src = reach.id)
+          SELECT e.dst, reach.r FROM reach JOIN ed e ON e.src = reach.id)"""
+
+  private val clustersOracleSql: String =
+    s"""$clustersCtes
         SELECT id AS doc_id, MIN(r) AS cluster_id
         FROM reach GROUP BY id ORDER BY doc_id"""
 
@@ -303,6 +309,48 @@ object DedupQueries {
           .orderBy(col("doc_id"))
       },
       Some(clustersOracleSql)),
+
+    // ------------------------------- canonical document selection
+    // Clusters → one KEPT document per cluster: the longest member
+    // (tie → lowest doc_id), plus the cluster's size and byte mass —
+    // the decision table a dedup pass actually materializes (which doc
+    // survives, what got folded into it). Cluster labels come from the
+    // same connected-components operator; keeper choice is one max_by
+    // aggregate over the (cluster, doc) join — no window over the full
+    // corpus, fully key-partitioned.
+    "dedup_canonical" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("n_chars"))
+        val pairs = minhashPairs(s, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        graft.operators.ConnectedComponents
+          .run(docs.select(col("id")), pairs)
+          .join(docs, "id")
+          .groupBy(col("cluster_id"))
+          .agg(
+            max_by(col("id"), struct(col("n_chars"), -col("id")))
+              .as("keeper_doc_id"),
+            count(lit(1)).as("cluster_size"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""$clustersCtes,
+        cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+          FROM reach GROUP BY id),
+        j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
+          FROM cl JOIN documents d USING (doc_id)),
+        rk AS (
+          SELECT cluster_id, doc_id, n_chars,
+            ROW_NUMBER() OVER (PARTITION BY cluster_id
+              ORDER BY n_chars DESC, doc_id ASC) AS r,
+            COUNT(*) OVER (PARTITION BY cluster_id) AS sz,
+            SUM(n_chars) OVER (PARTITION BY cluster_id) AS tchars
+          FROM j)
+        SELECT cluster_id, doc_id AS keeper_doc_id,
+          CAST(sz AS BIGINT) AS cluster_size,
+          CAST(tchars AS BIGINT) AS total_chars
+        FROM rk WHERE r = 1 ORDER BY cluster_id""")),
 
     // ----------------------------------------------------------- SimHash
     "dedup_simhash" -> QueryDef(

@@ -168,5 +168,80 @@ object SimilarityQueries {
           FROM scored)
         SELECT probe_id, vec_id, cos_sim, rnk FROM ranked
         WHERE rnk <= 5 ORDER BY probe_id, rnk"""
+      }),
+
+    // --------------------------------- product quantization (PQ) codes
+    // The vector-compression path for 100 TB embedding stores: split
+    // each 64-dim vector into 8 contiguous 8-dim subvectors and encode
+    // each subvector as the id of its nearest per-subspace codeword —
+    // 64 floats (256 B) become 8 codes (8 B), and ANN scoring becomes
+    // table lookups. Codebook = the IVF per-label centroids sliced per
+    // subspace (deterministic; a trained k-means codebook drops in
+    // without changing the plan). Both argmins use the identical
+    // c·c − 2·v·c expansion over 6dp-quantized codewords, so the
+    // assignment is bit-reproducible cross-engine (the sim_knn_ivf
+    // precedent). Plan: codebook is tiny and broadcast; encoding is a
+    // per-row map — no shuffle besides the final argmin aggregate,
+    // keyed on (vec, subspace).
+    "emb_pq_codes" -> QueryDef(
+      (s, dir) => {
+        val SubDim = 8
+        val NumSub = 8
+        val vecs = Tables.rebalance(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val cents = graft.operators.Ivf.codebook(vecs)
+        val subs = vecs.select(col("vec_id"), explode(expr(
+            s"""transform(sequence(0, ${NumSub - 1}),
+                s -> struct(s AS s, slice(v, s * $SubDim + 1, $SubDim) AS sv))"""))
+            .as("x"))
+          .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("vs"))
+        val csubs = cents.select(col("cell_id"), explode(expr(
+            s"""transform(sequence(0, ${NumSub - 1}),
+                s -> struct(s AS s, slice(c, s * $SubDim + 1, $SubDim) AS sc))"""))
+            .as("x"))
+          .select(col("cell_id"), col("x.s").as("s"), col("x.sc").as("cs"))
+        subs.join(broadcast(csubs), "s")
+          .withColumn("score",
+            graft.functions.VectorOps.arrayDot(col("cs"), col("cs")) -
+              graft.functions.VectorOps.arrayDot(col("vs"), col("cs")) * 2)
+          .groupBy(col("vec_id"), col("s"))
+          .agg(min_by(col("cell_id"), struct(col("score"), col("cell_id")))
+            .as("code"))
+          .select(col("vec_id"), col("s").as("subspace"), col("code"))
+          .orderBy(col("vec_id"), col("subspace"))
+      },
+      Some {
+        def dot8(a: String, b: String) =
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |  list_transform(range(1, 9),
+             |    i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)])),
+             |  (acc, x) -> acc + x)""".stripMargin
+        s"""WITH $vecSql,
+        cd AS (
+          SELECT cell_id, dim, ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS m
+          FROM (SELECT label AS cell_id,
+                  unnest(range(1, len(v) + 1)) AS dim,
+                  unnest(list_transform(v, el -> CAST(el AS DECIMAL(28,14)))) AS x
+                FROM n) u
+          GROUP BY cell_id, dim),
+        cents AS (SELECT cell_id, list(m ORDER BY dim) AS c FROM cd GROUP BY cell_id),
+        sp AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS s),
+        sv AS (
+          SELECT vec_id, s,
+            v[CAST(s * 8 + 1 AS INTEGER):CAST(s * 8 + 8 AS INTEGER)] AS vs
+          FROM n, sp),
+        cs AS (
+          SELECT cell_id, s,
+            c[CAST(s * 8 + 1 AS INTEGER):CAST(s * 8 + 8 AS INTEGER)] AS sc
+          FROM cents, sp),
+        ranked AS (
+          SELECT sv.vec_id, sv.s, cs.cell_id,
+            ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s ORDER BY
+              (${dot8("sc", "sc")} - ${dot8("vs", "sc")} * 2) ASC,
+              cs.cell_id ASC) AS r
+          FROM sv JOIN cs ON sv.s = cs.s)
+        SELECT vec_id, CAST(s AS INTEGER) AS subspace, cell_id AS code
+        FROM ranked WHERE r = 1 ORDER BY vec_id, subspace"""
       }))
 }

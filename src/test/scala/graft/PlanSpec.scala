@@ -76,4 +76,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("rel_join_skew_salted: replicated build side joins as broadcast") {
+    val p = plan("rel_join_skew_salted")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("emb_pq_codes: codebook broadcast, encoding join never shuffles vectors twice") {
+    val p = plan("emb_pq_codes")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("cdc_dlq: classifier rides the scan — single aggregate, no join") {
+    val p = plan("cdc_dlq")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }

@@ -56,8 +56,10 @@ object ScaleSmoke {
       s"${spark.read.parquet(s"$dir/embeddings.parquet").count()} vectors")
 
     Seq("dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
-      "txt_decontaminate", "samp_domain_mix", "samp_stratified",
-      "pack_sequences", "pipe_curate_e2e", "emb_quantize_int8",
+      "dedup_clusters_star", "dedup_canonical",
+      "txt_decontaminate", "txt_boilerplate", "samp_domain_mix",
+      "samp_stratified", "samp_weighted", "pack_sequences",
+      "pipe_curate_e2e", "emb_quantize_int8", "emb_pq_codes",
       "sim_knn_lsh").foreach { q =>
       time(s"$q 30x") {
         SparkEntry.queries(q)(spark, dir)

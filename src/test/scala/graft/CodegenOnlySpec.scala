@@ -40,37 +40,44 @@ class CodegenOnlySpec extends SparkSpec {
   }
 
   test("all five native expressions compile and evaluate under CODEGEN_ONLY") {
+    // a parquet-backed scan, NOT Seq(...).toDF: Project over a
+    // LocalRelation is constant-folded by ConvertToLocalRelation using
+    // INTERPRETED eval at optimization time, so a broken doGenCode
+    // passes undetected on local data — the round-2 trap, one layer up
     withCodegenOnly {
-      val df = Seq(
-        ("the quick brown fox jumps", Array(1.0, 2.0, 3.0), Array(0.5, 0.25, 2.0)),
-        ("a a a", Array(0.0, -1.0, 4.0), Array(1.0, 1.0, 1.0)),
-        ("", Array(2.5, 0.0, 0.0), Array(0.0, 3.0, 0.0)))
-        .toDF("text", "va", "vb")
-        // a filter keeps the expressions inside a WholeStageCodegen span
+      val df = spark.read.parquet(s"$sf/documents.parquet")
         .filter(length(col("text")) >= 0)
         .select(
+          col("doc_id"), col("text"),
           javaStringHash(col("text")).as("jh"),
-          arrayDot(col("va"), col("vb")).as("dot"),
           wordGramHashes(col("text"), 2, lit("p|")).as("grams"),
           clampedShingleHashes(col("text")).as("shingles"),
           minhashBands(clampedShingleHashes(col("text")), 16, 4).as("bands"))
+      // the expressions must sit inside a WholeStageCodegen span — that
+      // is the compile path whose failure silently de-optimizes
+      assert("\\*\\(\\d+\\)".r
+        .findFirstIn(df.queryExecution.executedPlan.toString).nonEmpty,
+        df.queryExecution.executedPlan.toString)
+      val rows = df.orderBy(col("doc_id")).limit(5).collect()
+      assert(rows.length == 5)
+      rows.foreach { r =>
+        val text = r.getString(1)
+        assert(r.getInt(2) == text.hashCode)
+        val toks = text.trim.split(" ", -1).toSeq
+        val grams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+          .toSeq.distinct.map(g => ("p|" + g).hashCode.toLong & 0xFFFFFFFFL)
+        assert(r.getSeq[Long](3) == grams)
+        assert(r.getSeq[Long](4).nonEmpty)    // clamp ⇒ ≥1 shingle
+        assert(r.getSeq[String](5).length == 4)
+      }
 
-      val rows = df.collect()
-      assert(rows.length == 3)
-
-      // Spot-check values so a "compiles but wrong" codegen path also fails.
-      val r0 = rows(0)
-      assert(r0.getInt(0) == "the quick brown fox jumps".hashCode)
-      assert(math.abs(r0.getDouble(1) - (1.0 * 0.5 + 2.0 * 0.25 + 3.0 * 2.0)) < 1e-9)
-      assert(r0.getSeq[Long](2) ==
-        Seq("the quick", "quick brown", "brown fox", "fox jumps")
-          .map(g => ("p|" + g).hashCode.toLong & 0xFFFFFFFFL))
-      assert(r0.getSeq[Long](3).nonEmpty)
-      assert(r0.getSeq[String](4).length == 4)
-
-      val r2 = rows(2)
-      assert(r2.getSeq[Long](2).isEmpty)    // "" has no 2-grams
-      assert(r2.getSeq[Long](3).length == 1) // clamp ⇒ at least one shingle
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .filter(col("vec_id") >= 0)
+        .select(col("vec_id"), arrayDot(col("v"), col("v")).as("dot"))
+        .orderBy(col("vec_id")).limit(3).collect()
+      assert(emb.length == 3 && emb.forall(_.getDouble(1) > 0))
     }
   }
 }

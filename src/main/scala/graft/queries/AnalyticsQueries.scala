@@ -381,6 +381,34 @@ object AnalyticsQueries {
           ON s.event_type = c.event_type AND s.minute = c.minute
         ORDER BY s.event_type, s.minute""")),
 
+    // ---------------------------------- incremental rollup maintenance
+    // The materialized-view maintenance identity: a rollup kept as
+    // per-day PARTIAL states (count + exact-decimal sum) merged with a
+    // new day's partials re-aggregates to exactly the from-scratch
+    // rollup — history is never rescanned. Here the two "materialized
+    // generations" are the even/odd days; the oracle is the direct
+    // single-pass aggregate, so the driver hash proves the
+    // merge-of-partials is value-preserving (the same algebra that
+    // makes map-side combine and AQE stage re-use safe). At 100 TB the
+    // old generation is a tiny stored table and only the delta scans.
+    "rel_rollup_incremental" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("day", date_trunc("DAY", col("ts")))
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("event_type"), col("day"))
+            .agg(count(lit(1)).as("pn"), sum(dec2(col("value"))).as("pv"))
+        partial(e.filter(dayofmonth(col("day")) % 2 === 0))
+          .unionAll(partial(e.filter(dayofmonth(col("day")) % 2 === 1)))
+          .groupBy(col("event_type"))
+          .agg(sum(col("pn")).as("n"),
+            sum(col("pv")).cast("double").as("value_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // -------------------------------------------- gaps & islands
     // Sequence-gap detection (the classic islands-and-gaps shape): the
     // `click` stream's event_ids are a sparse subsequence of the dense

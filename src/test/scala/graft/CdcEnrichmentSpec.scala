@@ -99,6 +99,22 @@ class CdcEnrichmentSpec extends SparkSpec {
     assert(out.length == 1)
   }
 
+  test("schema drift: unknown columns pass through untouched (schemaless, SURVEY §1.5)") {
+    // a column added upstream mid-stream must survive enrichment — the
+    // reference is schemaless (no registry, schema changes suppressed),
+    // so the Jackson path may not project to a known field set
+    val drifted = golden.replace(
+      """"pprice":"125.12"""",
+      """"pprice":"125.12","new_col":{"nested":[1,2]},"added_flag":true""")
+    val out = enrich(Seq(drifted),
+      """[{"db":"test_db","table":"product_01","primary_key":"pid"}]""")
+    assert(out.length == 1)
+    val json = out.head.value
+    assert(json.contains(""""new_col":{"nested":[1,2]}"""), json)
+    assert(json.contains(""""added_flag":true"""), json)
+    assert(out.head.partitionKey == "test_db.product_01.1") // pk unaffected
+  }
+
   test("Column-API enrichment matches the Jackson path bit-for-bit") {
     val dynamic = queries.CdcQueries.defs("cdc_enrich_mysql").fn(spark, sf)
     val expr = queries.CdcQueries.defs("cdc_enrich_expr").fn(spark, sf)

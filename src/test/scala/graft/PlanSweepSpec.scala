@@ -1,0 +1,59 @@
+package graft
+
+/** Whole-surface plan audit: every declared query's physical plan is
+  * screened for the two patterns that do not survive a 100× scale-up.
+  *
+  *   - `CartesianProduct` — never acceptable: it means a non-broadcast
+  *     all-pairs stage slipped in (the exact failure the LSH/IVF/block
+  *     caps exist to prevent).
+  *   - `BroadcastNestedLoopJoin` — acceptable ONLY where the broadcast
+  *     side is a deliberately tiny relation (probe sets, 1-row
+  *     corpus-stats aggregates, generated spines). Those queries are
+  *     allowlisted BY NAME so a new unlisted BNLJ — e.g. a join whose
+  *     equi-condition was accidentally lost, degrading a hash join into
+  *     a broadcast loop over the fact table — fails the build.
+  *
+  * A per-query gate (PlanSpec) pins the plans we actively designed;
+  * this sweep catches regressions in the other ninety.
+  */
+class PlanSweepSpec extends SparkSpec {
+
+  /** Queries where a BroadcastNestedLoopJoin is the designed shape:
+    * the broadcast side is bounded by construction (see each note).
+    */
+  private val bnljByDesign: Set[String] = Set(
+    "sim_knn_brute",      // broadcast probe set vs vector scan — the exact baseline
+    "sim_knn_ivf",        // broadcast codebook crossJoin (assignment argmin)
+    "txt_cross_entropy",  // crossJoin(broadcast(1-row total))
+    "txt_search_bm25",    // crossJoin(broadcast(1-row corpus stats))
+    "txt_tfidf",          // crossJoin(broadcast(1-row doc count))
+    "evt_resample",       // broadcast types × broadcast 1-row bounds spine
+    "evt_anomaly",        // broadcast per-series stats onto the dense spine
+    "rel_histogram"       // broadcast 1-row min/max bounds
+  )
+
+  test("no declared query plans a CartesianProduct; BNLJ only where designed") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sawBnlj = scala.collection.mutable.Set.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLANNING FAILED: $e" }
+      if (plan.startsWith("PLANNING FAILED"))
+        offenders += s"$name: $plan"
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin")) {
+        sawBnlj += name
+        if (!bnljByDesign(name))
+          offenders += s"$name: unlisted BroadcastNestedLoopJoin"
+      }
+    }
+    // exact match both ways: an allowlisted query whose plan no longer
+    // needs a BNLJ must be removed from the list, keeping the gate tight
+    (bnljByDesign -- sawBnlj).foreach { stale =>
+      offenders += s"$stale: allowlisted but plans no BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}

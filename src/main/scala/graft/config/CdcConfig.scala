@@ -204,7 +204,10 @@ object CdcParams {
       case Array(k, v) if k.startsWith("-") => k.stripPrefix("-") -> v
     }.toMap
     CdcParams(
-      brokerList = kv.getOrElse("broker_list", ""),
+      // the reference's flag is `kafka_broker`
+      // (ParameterToolUtils.scala:30); `broker_list` kept as an alias
+      brokerList = kv.getOrElse("kafka_broker",
+        kv.getOrElse("broker_list", "")),
       topic = kv.getOrElse("topic", ""),
       topicPrefix = kv.getOrElse("topic_prefix", ""),
       host = kv.getOrElse("host", ""),

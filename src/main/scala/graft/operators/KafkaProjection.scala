@@ -50,6 +50,22 @@ object KafkaProjection {
     else base
   }
 
+  /** The reference's NON-simple partitioner
+    * (`FlinkCDCPartitioner.scala:9-12`): the partition is the Java hash
+    * of the `source.kafka_partition_key` field READ BACK OUT OF THE
+    * RECORD JSON — for sources that inject an explicit routing key into
+    * the envelope rather than relying on the enriched partitionKey.
+    * Records without the field (the common case) fall back to the
+    * simple partitioner so a mixed stream still routes completely.
+    */
+  def partitionBySourceKey(value: Column, fallbackKey: Column,
+      numPartitions: Int): Column = {
+    val kpk = get_json_object(value.cast("string"),
+      "$.source.kafka_partition_key")
+    JavaHash.partitionFor(coalesce(kpk, fallbackKey.cast("string")),
+      numPartitions)
+  }
+
   /** Producer options for the Kafka writer: at-least-once by default (the
     * reference README itself recommends it, README.md:33); `acks=-1` and a
     * 900 s transaction timeout mirror the hardcoded producer config

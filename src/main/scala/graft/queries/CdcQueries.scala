@@ -152,6 +152,42 @@ object CdcQueries {
         CAST(abs((CASE WHEN hc >= 2147483648 THEN hc - 4294967296 ELSE hc END) % 12) AS INTEGER) AS partition
         FROM h ORDER BY partition_key""")),
 
+    // ---------------- non-simple partitioner (source.kafka_partition_key)
+    // The reference ships TWO partitioners: the simple one hashes the
+    // enriched partitionKey (cdc_route_topic_partition above); the
+    // non-simple one (FlinkCDCPartitioner.scala:9-12) re-parses the
+    // record and hashes `source.kafka_partition_key` — for producers
+    // that inject an explicit routing key into the envelope. Here a
+    // deterministic third of the stream carries the injected key and
+    // the rest falls back to the simple key, proving both paths and
+    // the mixed-stream fallback in one oracle-checked query.
+    "cdc_route_source_kpk" -> QueryDef(
+      (s, dir) => {
+        val recs = Tables.events(s, dir).select(
+          col("event_id"),
+          when(col("event_id") % 3 === 0,
+            concat(lit("{\"source\":{\"kafka_partition_key\":\""),
+              col("event_type"), lit("-"), col("user_id").cast("string"),
+              lit("\"}}")))
+            .otherwise(lit("{\"source\":{}}")).as("value"),
+          concat(lit("test_db.events."), col("event_id").cast("string"))
+            .as("fallback"))
+        recs.select(col("event_id"),
+          KafkaProjection.partitionBySourceKey(
+            col("value"), col("fallback"), 12).as("partition"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""WITH r AS (
+          SELECT event_id,
+            CASE WHEN event_id % 3 = 0
+              THEN event_type || '-' || CAST(user_id AS VARCHAR)
+              ELSE 'test_db.events.' || CAST(event_id AS VARCHAR) END AS k
+          FROM events),
+        h AS (SELECT event_id, ${javaHashSql("k")} AS hc FROM r)
+        SELECT event_id,
+          CAST(abs((CASE WHEN hc >= 2147483648 THEN hc - 4294967296 ELSE hc END) % 12) AS INTEGER) AS partition
+        FROM h ORDER BY event_id""")),
+
     // ------------------------------ no-PK fallback (operator #5 branch)
     "cdc_enrich_nopk" -> QueryDef(
       (s, dir) => {

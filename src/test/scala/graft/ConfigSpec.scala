@@ -107,6 +107,16 @@ class ConfigSpec extends AnyFunSuite {
       Map("max.request.size" -> "1073741824", "linger.ms" -> "5"))
   }
 
+  test("kafka_broker is the reference's flag name; broker_list stays an alias") {
+    // ParameterToolUtils.scala:30 — the reference reads `kafka_broker`
+    val ref = CdcParams.fromArgs(Array("-kafka_broker", "b-1:9092"))
+    assert(ref.brokerList == "b-1:9092")
+    // both present: the reference name wins
+    val both = CdcParams.fromArgs(Array(
+      "-kafka_broker", "ref:9092", "-broker_list", "alias:9092"))
+    assert(both.brokerList == "ref:9092")
+  }
+
   test("jdbc snapshot chunk math") {
     import graft.sources.JdbcSnapshot._
     assert(numChunks(1, 8096, 8096) == 1)

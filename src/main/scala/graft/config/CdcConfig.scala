@@ -163,7 +163,14 @@ final case class CdcParams(
     deliveryGuarantee: String = "exactly_once",
     parallel: Int = 4,
     disableChaining: Boolean = false,
-    kafkaProperties: Map[String, String] = Map.empty) {
+    kafkaProperties: Map[String, String] = Map.empty,
+    // reference env switch (ParameterToolUtils.scala:68 `project_env`):
+    // "prod" = managed-runtime config, anything else = local
+    projectEnv: String = "local",
+    // Mongo-app flags (getMongoCDC2MSKParams: `copy_existing`,
+    // `collection_list`) — the initial-load toggle and collection regex
+    copyExisting: Boolean = false,
+    collectionList: String = ".*") {
   def tablePkConfig: TablePkConfig = TablePkConfig.parse(tablePk)
   def startupPosition: StartupPosition = StartupPosition.parse(position)
 
@@ -226,6 +233,9 @@ object CdcParams {
       deliveryGuarantee = kv.getOrElse("delivery_guarantee", "exactly_once"),
       parallel = kv.getOrElse("parallel", "4").toInt,
       disableChaining = kv.getOrElse("disable_chaining", "false") == "true",
+      projectEnv = kv.getOrElse("project_env", "local"),
+      copyExisting = kv.getOrElse("copy_existing", "false") == "true",
+      collectionList = kv.getOrElse("collection_list", ".*"),
       kafkaProperties = kv.get("kafka_properties").map { props =>
         // "k=v,k=v" pass-through producer props (MySQLCDC2AWSMSK.scala:204-212)
         props.split(",").toIndexedSeq.flatMap { p =>

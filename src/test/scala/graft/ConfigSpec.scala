@@ -107,6 +107,18 @@ class ConfigSpec extends AnyFunSuite {
       Map("max.request.size" -> "1073741824", "linger.ms" -> "5"))
   }
 
+  test("mongo-app flags parse: copy_existing, collection_list, project_env") {
+    val p = CdcParams.fromArgs(Array(
+      "-copy_existing", "true", "-collection_list", "events.*",
+      "-project_env", "prod"))
+    assert(p.copyExisting)
+    assert(p.collectionList == "events.*")
+    assert(p.projectEnv == "prod")
+    // defaults match the reference's local-dev posture
+    val d = CdcParams.fromArgs(Array("-topic", "t"))
+    assert(!d.copyExisting && d.collectionList == ".*" && d.projectEnv == "local")
+  }
+
   test("kafka_broker is the reference's flag name; broker_list stays an alias") {
     // ParameterToolUtils.scala:30 — the reference reads `kafka_broker`
     val ref = CdcParams.fromArgs(Array("-kafka_broker", "b-1:9092"))

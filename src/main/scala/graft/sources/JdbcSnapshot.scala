@@ -46,9 +46,21 @@ object JdbcSnapshot {
     }
   }
 
-  /** Snapshot one table through the chunked JDBC reader. */
+  /** Snapshot one table through the chunked JDBC reader.
+    *
+    * Chunking REQUIRES a primary key (the reference's incremental
+    * snapshot algorithm has the same constraint — README.md:7: tables
+    * without a PK must disable it via
+    * `scan.incremental.snapshot.enabled=false`). For a key-less table
+    * use [[readSingle]], the explicit single-reader equivalent of that
+    * disabled mode, instead of silently degrading.
+    */
   def read(spark: SparkSession, params: CdcParams, db: String,
-      table: String, pkCol: String, minKey: Long, maxKey: Long): DataFrame =
+      table: String, pkCol: String, minKey: Long, maxKey: Long): DataFrame = {
+    require(pkCol != null && pkCol.nonEmpty,
+      s"chunked snapshot of $db.$table needs a primary-key column; " +
+        "key-less tables must use JdbcSnapshot.readSingle " +
+        "(reference: scan.incremental.snapshot.enabled=false)")
     spark.read
       .format("jdbc")
       .option("url", s"jdbc:mysql://${params.host}:${params.port}/$db" +
@@ -61,6 +73,25 @@ object JdbcSnapshot {
       .option("upperBound", (maxKey + 1).toString)
       .option("numPartitions",
         numChunks(minKey, maxKey, params.chunkSize).toString)
+      .option("fetchsize", math.min(params.chunkSize, 10000).toString)
+      .load()
+  }
+
+  /** Single-reader whole-table snapshot — the key-less-table mode (the
+    * reference's `scan.incremental.snapshot.enabled=false`): one
+    * partition, no key-range predicates, bounded only by `fetchsize`
+    * cursor batching. Use only when no PK exists; it cannot parallelize
+    * and cannot checkpoint mid-table.
+    */
+  def readSingle(spark: SparkSession, params: CdcParams, db: String,
+      table: String): DataFrame =
+    spark.read
+      .format("jdbc")
+      .option("url", s"jdbc:mysql://${params.host}:${params.port}/$db" +
+        s"?serverTimezone=${params.serverTimeZone}")
+      .option("dbtable", s"$db.$table")
+      .option("user", params.username)
+      .option("password", params.password)
       .option("fetchsize", math.min(params.chunkSize, 10000).toString)
       .load()
 }

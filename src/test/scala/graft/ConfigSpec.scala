@@ -129,6 +129,16 @@ class ConfigSpec extends AnyFunSuite {
     assert(both.brokerList == "ref:9092")
   }
 
+  test("chunked snapshot refuses key-less tables (points at readSingle)") {
+    val e = intercept[IllegalArgumentException] {
+      // the guard fires before the session is touched — no Spark needed
+      graft.sources.JdbcSnapshot.read(null, CdcParams(),
+        "test_db", "no_pk_table", pkCol = "", 0L, 100L)
+    }
+    assert(e.getMessage.contains("readSingle"))
+    assert(e.getMessage.contains("scan.incremental.snapshot.enabled=false"))
+  }
+
   test("jdbc snapshot chunk math") {
     import graft.sources.JdbcSnapshot._
     assert(numChunks(1, 8096, 8096) == 1)

@@ -47,10 +47,27 @@ object Bench {
     try SparkEntry.queries("rel_q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => }
 
+    // per-query shuffle-byte accounting: stage-completion metrics
+    // accumulated across the timed pass (listener delivery is async, so
+    // a short settle runs after each query before the delta is read —
+    // close enough for the MB-granularity the artifact reports)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) shuffleBytes.addAndGet(
+            m.shuffleReadMetrics.totalBytesRead +
+              m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+
     val timedSet =
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
         SparkEntry.queries.toSeq
       else SparkEntry.queries.toSeq.filter(q => headline.contains(q._1))
+    val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = timedSet.sortBy(_._1).map { case (name, fn) =>
       // full materialization through the noop sink: unlike count(),
       // Catalyst cannot eliminate the final ORDER BY under an aggregate,
@@ -68,9 +85,15 @@ object Bench {
         // drain warm-up garbage outside the timed window, so the
         // allocation burst doesn't bill a GC pause to the timed pass
         System.gc()
+        Thread.sleep(200) // settle async listener events from the warm pass
+        val sb0 = shuffleBytes.get()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200)
+        shuffleMb(name) =
+          math.round((shuffleBytes.get() - sb0) / 1048576.0 * 100) / 100.0
+        name -> dt
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -79,9 +102,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sm = shuffleMb.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"materialization":"noop-sink","methodology":"per-query warm run, then timed steady-state run"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sm,"sf":"$sfDir","failed":$failed,"materialization":"noop-sink","methodology":"per-query warm run, then timed steady-state run"}""")
     spark.stop()
   }
 }

@@ -136,4 +136,43 @@ class StreamingOpsSpec extends SparkSpec {
       assert(last == Map("a" -> 3L, "b" -> 1L))
     } finally q.stop()
   }
+
+  test("DLQ split-writer: good path and quarantine, both epoch-fenced") {
+    import java.nio.file.Files
+    import graft.operators.DlqRouter
+    implicit val sc = spark.sqlContext
+    val work = Files.createTempDirectory("graft_dlq").toString
+    val (good, dlq, ledger) = (s"$work/good", s"$work/dlq", s"$work/ledger")
+
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "payload").writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch(DlqRouter.foreachBatchSplit(good, dlq, ledger) _)
+      .start()
+    try {
+      in.addData(
+        (1L, """{"k": 7}"""),          // ok
+        (2L, """{"k": 8"""),           // malformed (truncated)
+        (3L, """{"x": 9}"""),          // missing_key
+        (4L, """{"k": 10}"""))         // ok
+      q.processAllAvailable()
+
+      val goodRows = spark.read.parquet(good)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(goodRows == Seq(1L, 4L), goodRows.mkString(","))
+
+      val dlqRows = spark.read.parquet(dlq)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(dlqRows == Map(2L -> "malformed", 3L -> "missing_key"), dlqRows)
+
+      // the epoch is fenced: re-running the same batch body is a no-op
+      val batch0 = spark.read.parquet(good).sparkSession
+        .createDataFrame(Seq((9L, """{"k": 1}"""))).toDF("id", "payload")
+      DlqRouter.foreachBatchSplit(good, dlq, ledger)(batch0, 0L)
+      assert(spark.read.parquet(good)
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L),
+        "replayed epoch 0 must be fenced")
+    } finally q.stop()
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -168,6 +168,112 @@ object SimilarityQueries {
           FROM scored)
         SELECT probe_id, vec_id, cos_sim, rnk FROM ranked
         WHERE rnk <= 5 ORDER BY probe_id, rnk"""
+      }),
+
+    // ------------------------- PQ asymmetric-distance (ADC) top-k search
+    // The search half of the PQ story: the probe computes ONE distance
+    // table (per subspace × codeword — 8 × 10 tiny rows here, broadcast)
+    // and every candidate is scored by summing 8 table lookups through
+    // its codes — no full-vector math per candidate, which is why a
+    // 100 TB code store can be scanned at memory bandwidth. Per-subspace
+    // distances are cast to exact decimal before the sum so the
+    // 8-term addition is order-independent (groupBy sum order is not);
+    // ranking is on the exact decimal, rounded only for display.
+    "emb_pq_adc" -> QueryDef(
+      (s, dir) => {
+        val SubDim = 8
+        val NumSub = 8
+        val vecs = Tables.rebalance(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val cents = graft.operators.Ivf.codebook(vecs)
+        val subs = vecs.select(col("vec_id"), explode(expr(
+            s"""transform(sequence(0, ${NumSub - 1}),
+                s -> struct(s AS s, slice(v, s * $SubDim + 1, $SubDim) AS sv))"""))
+            .as("x"))
+          .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("vs"))
+        val csubs = cents.select(col("cell_id"), explode(expr(
+            s"""transform(sequence(0, ${NumSub - 1}),
+                s -> struct(s AS s, slice(c, s * $SubDim + 1, $SubDim) AS sc))"""))
+            .as("x"))
+          .select(col("cell_id"), col("x.s").as("s"), col("x.sc").as("cs"))
+        def dot(a: Column, b: Column) =
+          graft.functions.VectorOps.arrayDot(a, b)
+        val codes = subs.join(broadcast(csubs), "s")
+          .withColumn("score", dot(col("cs"), col("cs")) -
+            dot(col("vs"), col("cs")) * 2)
+          .groupBy(col("vec_id"), col("s"))
+          .agg(min_by(col("cell_id"), struct(col("score"), col("cell_id")))
+            .as("code"))
+        val table = subs.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("probe_id"), col("s"), col("vs").as("ps"))
+          .join(broadcast(csubs), "s")
+          .select(col("probe_id"), col("s"), col("cell_id").as("code"),
+            (dot(col("cs"), col("cs")) - dot(col("ps"), col("cs")) * 2)
+              .cast("decimal(28,12)").as("d"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("sd").asc, col("vec_id").asc)
+        broadcast(table).join(codes, Seq("s", "code"))
+          .filter(col("probe_id") =!= col("vec_id"))
+          .groupBy(col("probe_id"), col("vec_id"))
+          .agg(sum(col("d")).as("sd"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("probe_id"), col("vec_id"),
+            round(col("sd").cast("double"), 6).as("adc_score"), col("rnk"))
+          .orderBy(col("probe_id"), col("rnk"))
+      },
+      Some {
+        def dot8(a: String, b: String) =
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |  list_transform(range(1, 9),
+             |    i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)])),
+             |  (acc, x) -> acc + x)""".stripMargin
+        s"""WITH $vecSql,
+        cd AS (
+          SELECT cell_id, dim, ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS m
+          FROM (SELECT label AS cell_id,
+                  unnest(range(1, len(v) + 1)) AS dim,
+                  unnest(list_transform(v, el -> CAST(el AS DECIMAL(28,14)))) AS x
+                FROM n) u
+          GROUP BY cell_id, dim),
+        cents AS (SELECT cell_id, list(m ORDER BY dim) AS c FROM cd GROUP BY cell_id),
+        sp AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS s),
+        sv AS (
+          SELECT vec_id, s,
+            v[CAST(s * 8 + 1 AS INTEGER):CAST(s * 8 + 8 AS INTEGER)] AS vs
+          FROM n, sp),
+        cs AS (
+          SELECT cell_id, s,
+            c[CAST(s * 8 + 1 AS INTEGER):CAST(s * 8 + 8 AS INTEGER)] AS sc
+          FROM cents, sp),
+        ranked AS (
+          SELECT sv.vec_id, sv.s, cs.cell_id,
+            ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s ORDER BY
+              (${dot8("sc", "sc")} - ${dot8("vs", "sc")} * 2) ASC,
+              cs.cell_id ASC) AS r
+          FROM sv JOIN cs ON sv.s = cs.s),
+        codes AS (SELECT vec_id, s, cell_id AS code FROM ranked WHERE r = 1),
+        p AS (SELECT vec_id AS probe_id, s, vs AS ps
+          FROM sv WHERE vec_id % 100 = 0),
+        tab AS (
+          SELECT p.probe_id, cs.s, cs.cell_id AS code,
+            CAST((${dot8("sc", "sc")} - ${dot8("ps", "sc")} * 2)
+              AS DECIMAL(28,12)) AS d
+          FROM p JOIN cs ON p.s = cs.s),
+        scored AS (
+          SELECT tab.probe_id, codes.vec_id, SUM(tab.d) AS sd
+          FROM tab JOIN codes ON tab.s = codes.s AND tab.code = codes.code
+          WHERE tab.probe_id <> codes.vec_id
+          GROUP BY tab.probe_id, codes.vec_id),
+        ranked2 AS (
+          SELECT probe_id, vec_id, sd,
+            ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY sd ASC, vec_id ASC) AS rnk
+          FROM scored)
+        SELECT probe_id, vec_id, ROUND(CAST(sd AS DOUBLE), 6) AS adc_score,
+          CAST(rnk AS INTEGER) AS rnk
+        FROM ranked2 WHERE rnk <= 5 ORDER BY probe_id, rnk"""
       }),
 
     // --------------------------------- product quantization (PQ) codes

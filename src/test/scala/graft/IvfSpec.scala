@@ -32,4 +32,31 @@ class IvfSpec extends SparkSpec {
     val recall = hit.toDouble / nExact
     assert(recall >= 0.3, s"recall@10 = $recall (hit $hit of $nExact)")
   }
+
+  test("PQ codes: 8 codes per vector, every code a valid codeword id") {
+    import org.apache.spark.sql.functions._
+    val codes = SparkEntry.queries("emb_pq_codes")(spark, sf)
+    val n = queries.Tables.embeddings(spark, sf).count()
+    assert(codes.count() == n * 8)
+    val perVec = codes.groupBy(col("vec_id")).count()
+      .filter(col("count") =!= 8).count()
+    assert(perVec == 0, "every vector must emit exactly 8 subspace codes")
+    val bad = codes.filter(col("code") < 0 || col("code") > 9).count()
+    assert(bad == 0, "codes must be codeword ids 0..9")
+  }
+
+  test("PQ ADC: 5 ranked hits per probe, scores non-decreasing, no self-hit") {
+    import org.apache.spark.sql.functions._
+    val adc = SparkEntry.queries("emb_pq_adc")(spark, sf).collect()
+    val byProbe = adc.groupBy(_.getLong(0))
+    assert(byProbe.nonEmpty)
+    byProbe.foreach { case (probe, rows) =>
+      assert(rows.length == 5, s"probe $probe: ${rows.length} hits")
+      val byRank = rows.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == Seq(1, 2, 3, 4, 5))
+      val scores = byRank.map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted, s"probe $probe: scores not ascending")
+      assert(rows.forall(_.getLong(1) != probe), "self-hit leaked")
+    }
+  }
 }

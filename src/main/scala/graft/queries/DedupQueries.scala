@@ -310,6 +310,35 @@ object DedupQueries {
       },
       Some(clustersOracleSql)),
 
+    // ------------------------------- cluster-size distribution report
+    // The number a dedup pass is judged by: how many clusters of each
+    // size exist and how much document mass sits in them (size 1 =
+    // unique docs; the tail = near-dup families). Two keyed aggregates
+    // over the cluster labels — output is O(distinct sizes), a
+    // dashboard-sized report at any corpus scale.
+    "dedup_cluster_sizes" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id").as("id"))
+        val pairs = minhashPairs(s, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        graft.operators.ConnectedComponents.run(docs, pairs)
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("size"))
+          .groupBy(col("size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("size")).as("n_docs"))
+          .orderBy(col("size"))
+      },
+      Some(s"""$clustersCtes,
+        cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+          FROM reach GROUP BY id),
+        sz AS (SELECT cluster_id, COUNT(*) AS size
+          FROM cl GROUP BY cluster_id)
+        SELECT size, COUNT(*) AS n_clusters,
+          CAST(SUM(size) AS BIGINT) AS n_docs
+        FROM sz GROUP BY size ORDER BY size""")),
+
     // ------------------------------- canonical document selection
     // Clusters → one KEPT document per cluster: the longest member
     // (tie → lowest doc_id), plus the cluster's size and byte mass —

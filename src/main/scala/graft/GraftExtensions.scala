@@ -4,7 +4,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{JavaStringHash, WordGramHashes}
+import graft.functions.{ArrayDot, ClampedShingleHashes, JavaStringHash,
+  MinHashBands, WordGramHashes}
 
 /** SQL-surface registration of graft's native expressions.
   *
@@ -21,10 +22,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.javaStringHashDescriptor)
     e.injectFunction(GraftFunctions.wordGramHashesDescriptor)
+    e.injectFunction(GraftFunctions.arrayDotDescriptor)
+    e.injectFunction(GraftFunctions.clampedShingleHashesDescriptor)
+    e.injectFunction(GraftFunctions.minhashBandsDescriptor)
   }
 }
 
 object GraftFunctions {
+
+  /** SQL callers pass codebook geometry as int literals; anything else
+    * is a config error worth failing loudly at analysis time.
+    */
+  private def intLit(e: Expression, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
 
   private[graft] val javaStringHashDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -39,15 +52,43 @@ object GraftFunctions {
     (children: Seq[Expression]) =>
       WordGramHashes(children(0), children(1), children(2)))
 
+  private[graft] val arrayDotDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("array_dot"),
+    new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+    (children: Seq[Expression]) => ArrayDot(children(0), children(1)))
+
+  private[graft] val clampedShingleHashesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("clamped_shingle_hashes"),
+    new ExpressionInfo(
+      classOf[ClampedShingleHashes].getName, "clamped_shingle_hashes"),
+    (children: Seq[Expression]) =>
+      ClampedShingleHashes(children(0), children(1)))
+
+  private[graft] val minhashBandsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_bands"),
+    new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+    (children: Seq[Expression]) => MinHashBands(children(0),
+      intLit(children(1), "numHashes"), intLit(children(2), "bandSize")))
+
   /** Register graft functions on a live session. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "java_string_hash",
-      exprs => JavaStringHash(exprs.head),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "java_string_hash", exprs => JavaStringHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "word_gram_hashes",
-      exprs => WordGramHashes(exprs(0), exprs(1), exprs(2)),
-      "built-in")
+      exprs => WordGramHashes(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "clamped_shingle_hashes",
+      exprs => ClampedShingleHashes(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_bands",
+      exprs => MinHashBands(exprs(0), intLit(exprs(1), "numHashes"),
+        intLit(exprs(2), "bandSize")), "built-in")
   }
 }

@@ -83,4 +83,25 @@ class GramHashSpec extends SparkSpec {
       "SELECT word_gram_hashes('a b c', 2, 'en|') AS g").head().getSeq[Long](0)
     assert(r == oracle("a b c", 2, "en|"))
   }
+
+  test("SQL registration: all five native expressions callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("""SELECT
+        java_string_hash('abc') AS jh,
+        array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        word_gram_hashes('a b c', 2, 'p|') AS g,
+        clamped_shingle_hashes('a b c', '') AS sh,
+        minhash_bands(clamped_shingle_hashes('a b c', ''), 16, 4) AS b
+      """).head()
+    assert(r.getInt(0) == "abc".hashCode)
+    assert(r.getDouble(1) == 1.0 * 3 + 2.0 * 4)
+    assert(r.getSeq[Long](2) == oracle("a b c", 2, "p|"))
+    assert(r.getSeq[Long](3).nonEmpty)
+    assert(r.getSeq[String](4).length == 4)
+    // geometry args must be literals — a column there is a config error
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_bands(clamped_shingle_hashes('a', ''), CAST(id AS INT), 4) FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
 }

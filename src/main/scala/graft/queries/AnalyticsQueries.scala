@@ -381,6 +381,42 @@ object AnalyticsQueries {
           ON s.event_type = c.event_type AND s.minute = c.minute
         ORDER BY s.event_type, s.minute""")),
 
+    // ------------------------------------- RANGE-frame moving aggregate
+    // Value-offset window frames (RANGE BETWEEN 10 PRECEDING AND
+    // CURRENT ROW over the minute axis) — the time-based moving sum
+    // that rows-frames (rel_window_frames) cannot express when the
+    // series has gaps: the frame covers the last 10 MINUTES, not the
+    // last 10 ROWS. Computed over the per-(type, minute) aggregate, so
+    // the window input is already dense-keyed and partitioned; exact
+    // decimal sums keep both engines bit-identical.
+    "rel_range_frame" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("minute"))
+          .rangeBetween(-10, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("minute",
+            (unix_timestamp(date_trunc("minute", col("ts"))) / 60L).cast("long"))
+          .groupBy(col("event_type"), col("minute"))
+          .agg(sum(dec2(col("value"))).as("v"))
+          .withColumn("moving_10m",
+            sum(col("v")).over(w).cast("double"))
+          .select(col("event_type"), col("minute"),
+            col("v").cast("double").as("minute_sum"), col("moving_10m"))
+          .orderBy(col("event_type"), col("minute"))
+      },
+      Some("""WITH m AS (
+          SELECT event_type,
+            CAST(epoch(date_trunc('minute', ts)) // 60 AS BIGINT) AS minute,
+            SUM(CAST(value AS DECIMAL(18,2))) AS v
+          FROM events GROUP BY event_type, minute)
+        SELECT event_type, minute,
+          CAST(v AS DOUBLE) AS minute_sum,
+          CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY minute
+            RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS moving_10m
+        FROM m ORDER BY event_type, minute""")),
+
     // ---------------------------------- incremental rollup maintenance
     // The materialized-view maintenance identity: a rollup kept as
     // per-day PARTIAL states (count + exact-decimal sum) merged with a

@@ -621,6 +621,43 @@ object CurationQueries {
           ROUND(unnest(qs), 6) AS value
         FROM p ORDER BY o_orderstatus, q""")),
 
+    // --------------------------------- temperature-based mixture weights
+    // The pretraining-mix math (T5/UL2 style): per-source sampling
+    // rates proportional to n^α with α = 0.5, flattening the natural
+    // distribution toward uniform — small sources get boosted, huge
+    // ones damped. Pure arithmetic over the tiny per-source count
+    // table; α = 0.5 is computed with sqrt, which IEEE requires to be
+    // correctly rounded in BOTH engines (unlike pow), and the weight is
+    // pinned to exact decimal before the normalizing sum so the result
+    // is bit-reproducible. The `boost` column is rate / natural-rate —
+    // the factor each source is over- or under-sampled by.
+    "samp_temperature" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.documents(s, dir)
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .withColumn("w",
+            sqrt(col("n").cast("double")).cast("decimal(28,12)"))
+        val z = c.agg(sum(col("w")).as("z"), sum(col("n")).as("total"))
+        c.crossJoin(broadcast(z))
+          .select(col("source"), col("n"),
+            round(col("w").cast("double") / col("z").cast("double"), 6)
+              .as("mix_rate"),
+            round((col("w").cast("double") / col("z").cast("double")) /
+              (col("n").cast("double") / col("total").cast("double")), 6)
+              .as("boost"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH c AS (
+          SELECT source, COUNT(*) AS n,
+            CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(28,12)) AS w
+          FROM documents GROUP BY source),
+        z AS (SELECT SUM(w) AS z, CAST(SUM(n) AS BIGINT) AS total FROM c)
+        SELECT source, n,
+          ROUND(CAST(w AS DOUBLE) / CAST(z AS DOUBLE), 6) AS mix_rate,
+          ROUND((CAST(w AS DOUBLE) / CAST(z AS DOUBLE)) /
+            (CAST(n AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS boost
+        FROM c, z ORDER BY source""")),
+
     // ------------------------------------ quality-weighted sampling
     // Deterministic weighted downsampling: each doc survives with
     // probability proportional to a quality proxy (here length, capped

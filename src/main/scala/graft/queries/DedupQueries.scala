@@ -310,6 +310,65 @@ object DedupQueries {
       },
       Some(clustersOracleSql)),
 
+    // ----------------------------- PageRank over the candidate graph
+    // Power-iteration PageRank (10 rounds, damping 0.85) on the LSH
+    // pair graph — ranking the "hub" documents whose text is shared the
+    // most widely (the canonical-selection signal that size alone
+    // misses). ALL arithmetic is integer fixed-point in rank-micros
+    // (1e6 = rank 1.0): per-edge contribution is floor(rank/deg) and
+    // the damping update is 150000 + (85·Σ)//100, so every engine —
+    // and every task retry — produces the same bits, no float-sum
+    // order dependence anywhere. Per round: one join + one keyed sum,
+    // lineage truncated via localCheckpoint (the CC loop pattern).
+    // The oracle unrolls the same 10 rounds as chained CTEs.
+    "graph_pagerank" -> QueryDef(
+      (s, dir) => {
+        val nodes = Tables.documents(s, dir)
+          .select(col("doc_id").as("id"))
+        // one minhashPairs instance: its observed bucket-cap metric may
+        // appear only once per plan (DUPLICATED_METRICS_NAME otherwise)
+        val pairs = minhashPairs(s, dir)
+        val ed = pairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs
+            .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .localCheckpoint()
+        val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        var pr = nodes.withColumn("rank", lit(1000000L)).localCheckpoint()
+        for (_ <- 1 to 10) {
+          val sums = ed.join(pr, ed("src") === pr("id"))
+            .join(deg, "src")
+            .select(col("dst"), expr("rank div dg").as("contrib"))
+            .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
+          pr = nodes.join(sums, nodes("id") === sums("dst"), "left")
+            .select(col("id"),
+              (lit(150000L) + expr("85 * coalesce(c, 0L) div 100"))
+                .as("rank"))
+            .localCheckpoint()
+        }
+        pr.select(col("id").as("doc_id"), col("rank").as("rank_micro"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val rounds = (1 to 10).map { k =>
+          s"""p$k AS (
+            SELECT b.id,
+              CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
+            FROM p0 b LEFT JOIN (
+              SELECT ed.dst AS id, SUM(p${k - 1}.rank // prdeg.dg) AS c
+              FROM ed JOIN p${k - 1} ON ed.src = p${k - 1}.id
+                JOIN prdeg ON prdeg.src = ed.src
+              GROUP BY ed.dst) s ON b.id = s.id)"""
+        }.mkString(",\n")
+        s"""$clustersCtes,
+        p0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank
+          FROM documents),
+        prdeg AS (SELECT src, COUNT(*) AS dg FROM ed GROUP BY src),
+        $rounds
+        SELECT id AS doc_id, rank AS rank_micro
+        FROM p10 ORDER BY doc_id"""
+      }),
+
     // ------------------------------- cluster-size distribution report
     // The number a dedup pass is judged by: how many clusters of each
     // size exist and how much document mass sits in them (size 1 =

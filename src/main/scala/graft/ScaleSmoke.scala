@@ -56,7 +56,7 @@ object ScaleSmoke {
       s"${spark.read.parquet(s"$dir/embeddings.parquet").count()} vectors")
 
     Seq("dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
-      "dedup_clusters_star", "dedup_canonical",
+      "dedup_clusters_star", "dedup_canonical", "graph_pagerank",
       "txt_decontaminate", "txt_boilerplate", "samp_domain_mix",
       "samp_stratified", "samp_weighted", "pack_sequences",
       "pipe_curate_e2e", "emb_quantize_int8", "emb_pq_codes",

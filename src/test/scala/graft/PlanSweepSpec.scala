@@ -29,7 +29,8 @@ class PlanSweepSpec extends SparkSpec {
     "txt_tfidf",          // crossJoin(broadcast(1-row doc count))
     "evt_resample",       // broadcast types × broadcast 1-row bounds spine
     "evt_anomaly",        // broadcast per-series stats onto the dense spine
-    "rel_histogram"       // broadcast 1-row min/max bounds
+    "rel_histogram",      // broadcast 1-row min/max bounds
+    "samp_temperature"    // crossJoin(broadcast(1-row normalizer))
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only where designed") {

@@ -118,6 +118,20 @@ class OperatorsSpec extends SparkSpec {
     assert(star.toMap.apply(30L) == 30L) // singleton labels itself
   }
 
+  test("graph_pagerank: singletons settle at the damping floor, hubs above it") {
+    val pr = SparkEntry.queries("graph_pagerank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val paired = queries.DedupQueries.minhashPairs(spark, sf)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(pr.nonEmpty)
+    // a doc with no candidate edges receives no contributions: its rank
+    // is exactly the damping floor 0.15 in micros after round 1
+    pr.foreach { case (id, rank) =>
+      if (!paired(id)) assert(rank == 150000L, s"singleton $id rank $rank")
+      else assert(rank > 150000L, s"paired doc $id rank $rank not above floor")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val l = queries.Tables.lineitem(spark, sf)
     val exact = l.select(countDistinct(col("l_partkey"))).head().getLong(0)

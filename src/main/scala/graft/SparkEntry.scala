@@ -22,6 +22,7 @@ object SparkEntry {
       TextQueries.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++
+      ClusteringQueries.defs ++
       MultimodalQueries.defs ++
       CurationQueries.defs ++
       AnalyticsQueries.defs

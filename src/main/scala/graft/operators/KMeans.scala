@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps.arrayDot
+
+/** Distributed Lloyd's k-means over an `array<double>` embedding column —
+  * the clustering half of semantic dedup (SemDeDup-style) and the
+  * trained-codebook upgrade path for the IVF/PQ operators ([[Ivf]] uses
+  * per-label means as its codebook; `fit` produces the learned
+  * equivalent with the identical centroid contract: 6 dp-quantized
+  * exact-decimal means).
+  *
+  * Determinism: seeding is the k lowest-`vec_id` vectors (no RNG — a
+  * k-means++ seed would need a random draw per round, which breaks
+  * cross-engine reproducibility); assignment argmin expands squared L2
+  * as c·c − 2·v·c (v·v constant per vector) with ties to the lowest
+  * cluster id; recomputed means are ORDER-INDEPENDENT decimal(28,14)
+  * sums divided as double and quantized to 6 dp, so shuffle order never
+  * leaks into the next iteration's assignment.
+  *
+  * Scale (100 TB): centroids are k tiny rows — BROADCAST to the
+  * assignment map, so each iteration is one scan + one partial-aggregated
+  * shuffle keyed on (cluster, dim) for the means. Nothing is ever
+  * collected to the driver; iteration count is a fixed small constant
+  * (Lloyd's converges in quality, not correctness — training pipelines
+  * run 5-25 iterations regardless of corpus size).
+  */
+object KMeans {
+
+  /** Deterministic seed centroids: the k lowest-id vectors, cluster
+    * id = rank 0..k-1. The global window runs over k rows only (the
+    * limit is applied first).
+    */
+  def seed(vecs: DataFrame, k: Int): DataFrame =
+    vecs.orderBy(col("vec_id")).limit(k)
+      .withColumn("cluster",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+      .select(col("cluster"), col("v").as("c"))
+
+  /** Nearest-centroid assignment: vec_id → cluster. */
+  def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("score",
+        arrayDot(col("c"), col("c")) - arrayDot(col("v"), col("c")) * 2)
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cluster"), struct(col("score"), col("cluster")))
+        .as("cluster"))
+
+  /** Recomputed per-cluster means (exact decimal, 6 dp-quantized) —
+    * same centroid contract as [[Ivf.codebook]]. Clusters that lose
+    * every member simply drop out (deterministic in both engines).
+    */
+  def means(vecs: DataFrame, asn: DataFrame): DataFrame =
+    vecs.join(asn, "vec_id")
+      .select(col("cluster"), posexplode(col("v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(round(sum(col("col").cast("decimal(28,14)")).cast("double")
+        / count(lit(1)), 6).as("m"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cluster"), expr("transform(pm, x -> x.m)").as("c"))
+
+  /** `iters` Lloyd rounds from the deterministic seed; returns the
+    * final (assignment, centroids). Centroids are localCheckpoint'ed
+    * per round (k rows — pennies) so the lineage stays one-iteration
+    * deep instead of nesting the full scan `iters` times.
+    */
+  def fit(vecs: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    var cents = seed(vecs, k).localCheckpoint()
+    for (_ <- 1 to iters)
+      cents = means(vecs, assign(vecs, cents)).localCheckpoint()
+    (assign(vecs, cents), cents)
+  }
+}

@@ -569,5 +569,35 @@ object AnalyticsQueries {
               ORDER BY ts, event_id) AS rn
           FROM e)
         SELECT event_id, user_id, event_type, minute
-        FROM r WHERE rn = 1 ORDER BY event_id""")))
+        FROM r WHERE rn = 1 ORDER BY event_id""")),
+
+    // ----------------------------- cumulative distinct users (growth)
+    // "Distinct users to date" without a running COUNT(DISTINCT) (which
+    // needs full per-day user state): each user collapses to their
+    // FIRST active day (one keyed min — map-side partial), then growth
+    // is a per-day count plus a cumulative window over the tiny day
+    // series. State after the first aggregate is O(users), the window
+    // runs over O(days) rows — the standard scalable form of a growth
+    // curve at any event volume.
+    "evt_user_growth" -> QueryDef(
+      (s, dir) => {
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("day"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("new_users"))
+          .withColumn("cum_users", sum(col("new_users")).over(w))
+          .orderBy(col("day"))
+      },
+      Some("""WITH f AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+          FROM events GROUP BY user_id),
+        g AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY day)
+        SELECT day, new_users,
+          CAST(SUM(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_users
+        FROM g ORDER BY day""")))
 }

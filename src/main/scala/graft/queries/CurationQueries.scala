@@ -719,5 +719,92 @@ object CurationQueries {
           FROM t)
         SELECT phrase, COUNT(*) AS df
         FROM p GROUP BY phrase HAVING COUNT(*) >= 3
-        ORDER BY df DESC, phrase""")))
+        ORDER BY df DESC, phrase""")),
+
+    // ------------------------- sliding-window chunking (size/stride)
+    // The context-window chunker that feeds packing: each document is
+    // cut into 128-token chunks on a 96-token stride (32-token overlap
+    // so no boundary context is lost), the last chunk keeping whatever
+    // remains. Pure per-row integer math — a generate-and-explode with
+    // no shuffle at any corpus size; chunk boundaries are (doc_id,
+    // chunk_idx)-addressed so the downstream tokenizer can fetch slices
+    // without re-reading neighbors.
+    "docs_chunk_overlap" -> QueryDef(
+      (s, dir) => {
+        val (size_, stride) = (128, 96)
+        Tables.documents(s, dir)
+          .withColumn("n",
+            size(split(trim(col("text")), " ")).cast("long"))
+          .select(col("doc_id"), col("n"),
+            explode(expr(s"sequence(CAST(0 AS BIGINT), (n - 1) div $stride)"))
+              .as("chunk_idx"))
+          .select(col("doc_id"), col("chunk_idx"),
+            (col("chunk_idx") * stride).as("start_tok"),
+            least(lit(size_.toLong), col("n") - col("chunk_idx") * stride)
+              .as("n_toks"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id,
+            CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+          FROM documents),
+        c AS (SELECT doc_id, n,
+            unnest(range(0, (n - 1) // 96 + 1)) AS chunk_idx
+          FROM d)
+        SELECT doc_id, chunk_idx,
+          chunk_idx * 96 AS start_tok,
+          least(128, n - chunk_idx * 96) AS n_toks
+        FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // ----------------------- model-based quality scoring (linear head)
+    // Inference for a trained quality classifier: a fixed linear model
+    // over cheap per-document features (token count, mean token length,
+    // stopword ratio, type-token ratio), squashed with softsign
+    // z/(1+|z|) instead of a sigmoid — softsign is exact double
+    // arithmetic (add/mul/div/abs only), so the score is bit-identical
+    // across engines where exp() differs in the last ulp. Per-row math,
+    // no shuffle; swapping in real trained weights changes constants,
+    // not the plan.
+    "docs_quality_model" -> QueryDef(
+      (s, dir) => {
+        val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on",
+          "for", "with").map(w => s"'$w'").mkString(", ")
+        Tables.documents(s, dir)
+          .withColumn("toks", split(trim(col("text")), " "))
+          .withColumn("nw", size(col("toks")).cast("double"))
+          .withColumn("mtl",
+            length(replace(col("text"), lit(" "), lit(""))).cast("double")
+              / col("nw"))
+          .withColumn("stopr",
+            expr(s"size(filter(toks, t -> t IN ($stop)))").cast("double")
+              / col("nw"))
+          .withColumn("ttr",
+            size(array_distinct(col("toks"))).cast("double") / col("nw"))
+          .withColumn("z",
+            col("nw") * 0.01 + col("mtl") * 0.5 + col("stopr") * -2.0
+              + col("ttr") * 3.0 + -4.1)
+          .select(col("doc_id"),
+            (col("z") / (abs(col("z")) + 1.0)).as("score"),
+            when(col("z") > 0, 1L).otherwise(0L).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+          FROM documents),
+        f AS (SELECT doc_id,
+            CAST(len(toks) AS DOUBLE) AS nw,
+            CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE) AS mtl,
+            CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and',
+              'to', 'in', 'is', 'on', 'for', 'with'))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE) AS stopr,
+            CAST(len(list_distinct(toks)) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE) AS ttr
+          FROM d),
+        z AS (SELECT doc_id,
+            nw * 0.01 + mtl * 0.5 + stopr * -2.0 + ttr * 3.0 + -4.1 AS z
+          FROM f)
+        SELECT doc_id, z / (abs(z) + 1.0) AS score,
+          CAST(CASE WHEN z > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM z ORDER BY doc_id""")))
 }

@@ -134,5 +134,63 @@ object TextQueries {
         ${jh("lower(trim(text))")} AS fingerprint,
         ${jh("regexp_replace(lower(trim(text)), '[^a-z0-9]+', ' ', 'g')")} AS fingerprint_norm
         FROM documents ORDER BY doc_id"""
-      }))
+      }),
+
+    // ------------------------------- vocabulary-lookup tokenization
+    // The id-mapping step of a tokenizer: build a frequency-ranked
+    // vocabulary (top-256 tokens, ties broken lexicographically, ids
+    // 1..256; OOV → 0) and encode every document as its id sequence.
+    // The encoded sequence is verified exactly via a 31-polynomial fold
+    // over the ids in position order (`ids_hash`) — scalar output, but
+    // any sequence difference changes the hash.
+    //
+    // Scale: the vocabulary is a keyed count (map-side partial) whose
+    // top-k is a TakeOrdered (no global sort materialization), then 256
+    // rows BROADCAST to the encode join; per-doc reassembly is one
+    // keyed aggregate. A real BPE vocab (50k rows) broadcasts just the
+    // same.
+    "txt_tokenize_vocab" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val VocabSize = 256
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(split(trim(col("text")), " ")))
+          .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        val vocab = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok").asc).limit(VocabSize)
+          .withColumn("tid", row_number()
+            .over(Window.orderBy(col("cnt").desc, col("tok").asc))
+            .cast("long"))
+          .select(col("tok"), col("tid"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .withColumn("tid", coalesce(col("tid"), lit(0L)))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+            array_sort(collect_list(struct(col("pos"), col("tid"))))
+              .as("pt"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            expr("""aggregate(transform(pt, x -> x.tid),
+                CAST(0 AS BIGINT),
+                (acc, t) -> (acc * 31 + t) % 4294967296)""").as("ids_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS toks
+          FROM documents),
+        t AS (SELECT doc_id,
+          unnest(range(1, len(toks) + 1)) AS p, unnest(toks) AS tok
+          FROM d),
+        v AS (SELECT tok,
+            ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS tid
+          FROM t GROUP BY tok QUALIFY tid <= 256),
+        enc AS (SELECT t.doc_id, t.p, COALESCE(v.tid, 0) AS tid
+          FROM t LEFT JOIN v USING (tok))
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list(tid ORDER BY p)),
+            (a, b) -> (a * 31 + b) % 4294967296) AS ids_hash
+        FROM enc GROUP BY doc_id ORDER BY doc_id""")))
 }

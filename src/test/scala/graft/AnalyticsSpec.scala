@@ -80,4 +80,33 @@ class AnalyticsSpec extends SparkSpec {
     val ratios = rows.map(_.getDouble(3))
     assert(ratios(0) <= ratios(1) && ratios(1) <= ratios(2), ratios.mkString(","))
   }
+
+  test("evt_user_growth: cumulative curve is the running sum ending at " +
+      "the distinct-user total") {
+    val rows = q("evt_user_growth").collect()
+    assert(rows.nonEmpty)
+    var running = 0L
+    rows.foreach { r =>
+      val (newU, cum) = (r.getLong(1), r.getLong(2))
+      assert(newU >= 1, "a day only appears when someone is new on it")
+      running += newU
+      assert(cum === running, s"cum $cum != running $running")
+    }
+    val totalUsers = graft.queries.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"))
+      .distinct().count()
+    assert(running === totalUsers)
+  }
+
+  test("txt_tokenize_vocab: oov bounded by length, hash reproducible") {
+    val a = q("txt_tokenize_vocab").collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (n, oov, h) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(oov >= 0 && oov <= n)
+      assert(h >= 0 && h < 4294967296L, s"hash out of fold range: $h")
+    }
+    val b = q("txt_tokenize_vocab").collect()
+    assert(a.toSeq === b.toSeq)
+  }
 }

@@ -117,4 +117,46 @@ class CurationSpec extends SparkSpec {
       assert(vals(0) <= vals(1) && vals(1) <= vals(2), vals.mkString(","))
     }
   }
+
+  // --------------------------------------------- docs_chunk_overlap
+
+  test("chunking tiles every document: stride 96, size <= 128, full cover") {
+    import spark.implicits._
+    val chunks = q("docs_chunk_overlap")
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"n_toks")
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    val nDocs = graft.queries.Tables.documents(spark, sf).count()
+    assert(chunks.size.toLong === nDocs, "every doc gets >= 1 chunk")
+    chunks.values.foreach { cs =>
+      val sorted = cs.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, idx, start, n), i) =>
+        assert(idx === i.toLong)
+        assert(start === i.toLong * 96)
+        assert(n >= 1 && n <= 128, s"chunk len $n")
+      }
+      // consecutive chunks overlap by 32 tokens except a shorter tail
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, n1), (_, _, s2, _)) =>
+          assert(s1 + n1 - s2 === 32L || s1 + n1 < s2 + 32,
+            s"bad overlap at $s1+$n1 vs $s2")
+        case _ =>
+      }
+    }
+  }
+
+  // --------------------------------------------- docs_quality_model
+
+  test("quality model: score in (-1,1), keep == (score > 0)") {
+    val rows = q("docs_quality_model").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (score, keep) = (r.getDouble(1), r.getLong(2))
+      assert(score > -1.0 && score < 1.0, s"softsign out of range: $score")
+      assert((keep == 1L) === (score > 0.0), r.toString)
+    }
+    // the fixture corpus is not degenerate: both classes occur
+    val kept = rows.count(_.getLong(2) == 1L)
+    assert(kept > 0 && kept < rows.length,
+      s"degenerate classifier: $kept/${rows.length} kept")
+  }
 }

@@ -30,7 +30,9 @@ class PlanSweepSpec extends SparkSpec {
     "evt_resample",       // broadcast types × broadcast 1-row bounds spine
     "evt_anomaly",        // broadcast per-series stats onto the dense spine
     "rel_histogram",      // broadcast 1-row min/max bounds
-    "samp_temperature"    // crossJoin(broadcast(1-row normalizer))
+    "samp_temperature",   // crossJoin(broadcast(1-row normalizer))
+    "sim_kmeans",         // broadcast k-centroid crossJoin (assignment argmin)
+    "dedup_semantic"      // same k-centroid assignment + broadcast k-row reps
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only where designed") {

@@ -382,5 +382,38 @@ object CdcQueries {
           FROM c)
         SELECT error_class, COUNT(*) AS n,
           MIN(event_id) AS first_id, MAX(event_id) AS last_id
-        FROM cls GROUP BY error_class ORDER BY error_class""")))
+        FROM cls GROUP BY error_class ORDER BY error_class""")),
+
+    // --------------------------- CDC stream observability (op mix)
+    // The health dashboard a CDC pipeline ships with: per-op volume,
+    // row-image presence (Debezium's rule: deletes carry only `before`,
+    // creates only `after`, updates both), and the event-time span
+    // covered — one keyed aggregate over the envelope, O(ops) output at
+    // any stream volume. Validates the envelope constructor's image
+    // rules against an independent restatement of them in the oracle.
+    "cdc_op_stats" -> QueryDef(
+      (s, dir) => {
+        graft.sources.CdcReplay
+          .envelope(Tables.rebalance(Tables.events(s, dir)))
+          .groupBy(col("op"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("before").isNotNull, 1L).otherwise(0L))
+              .as("n_before_img"),
+            sum(when(col("after").isNotNull, 1L).otherwise(0L))
+              .as("n_after_img"),
+            min(col("ts_ms")).as("first_ts_ms"),
+            max(col("ts_ms")).as("last_ts_ms"))
+          .orderBy(col("op"))
+      },
+      Some(s"""WITH e AS (
+          SELECT event_id, $opSql AS op,
+            CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS ts_ms
+          FROM events)
+        SELECT op, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN op IN ('d', 'u') THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_before_img,
+          CAST(SUM(CASE WHEN op IN ('c', 'u') THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_after_img,
+          MIN(ts_ms) AS first_ts_ms, MAX(ts_ms) AS last_ts_ms
+        FROM e GROUP BY op ORDER BY op""")))
 }

@@ -806,5 +806,62 @@ object CurationQueries {
           FROM f)
         SELECT doc_id, z / (abs(z) + 1.0) AS score,
           CAST(CASE WHEN z > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-        FROM z ORDER BY doc_id""")))
+        FROM z ORDER BY doc_id""")),
+
+    // ------------------------ per-dimension embedding standardization
+    // Whitening (z-scoring) each embedding dimension before clustering
+    // or quantization: per-dim mean and second moment as ORDER-
+    // INDEPENDENT exact-decimal sums (the Ivf.codebook contract),
+    // quantized to 6 dp so variance — and therefore every standardized
+    // value — is bit-reproducible regardless of shuffle order. The
+    // 64-row stats table is broadcast back onto the scan: two linear
+    // passes, one tiny shuffle keyed on dim. Output: the first 8
+    // standardized dims of every 100th vector (the audit sample).
+    "emb_whiten" -> QueryDef(
+      (s, dir) => {
+        val vecs = Tables.rebalance(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val stats = vecs.select(posexplode(col("v")))
+          .groupBy(col("pos"))
+          .agg(
+            round(sum(col("col").cast("decimal(28,14)")).cast("double")
+              / count(lit(1)), 6).as("m"),
+            round(sum((col("col") * col("col")).cast("decimal(28,14)"))
+              .cast("double") / count(lit(1)), 6).as("msq"))
+          .select((col("pos") + 1).as("dim"), col("m"),
+            (col("msq") - col("m") * col("m")).as("var"))
+        vecs.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id"), posexplode(col("v")))
+          .select(col("vec_id"), (col("pos") + 1).as("dim"),
+            col("col").as("x"))
+          .filter(col("dim") <= 8)
+          .join(broadcast(stats), "dim")
+          .select(col("vec_id"), col("dim"),
+            when(col("var") > 0,
+              round((col("x") - col("m")) / sqrt(col("var")), 6))
+              .otherwise(lit(0.0)).as("w"))
+          .orderBy(col("vec_id"), col("dim"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        u AS (SELECT vec_id,
+            unnest(range(1, len(v) + 1)) AS dim,
+            unnest(v) AS x
+          FROM e),
+        st AS (SELECT dim,
+            ROUND(CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE)
+              / COUNT(*), 6) AS m,
+            ROUND(CAST(SUM(CAST(x * x AS DECIMAL(28,14))) AS DOUBLE)
+              / COUNT(*), 6) AS msq
+          FROM u GROUP BY dim),
+        s2 AS (SELECT dim, m, msq - m * m AS var FROM st)
+        SELECT u.vec_id, u.dim,
+          CASE WHEN s2.var > 0
+            THEN ROUND((u.x - s2.m) / sqrt(s2.var), 6)
+            ELSE 0.0 END AS w
+        FROM u JOIN s2 USING (dim)
+        WHERE u.vec_id % 100 = 0 AND u.dim <= 8
+        ORDER BY u.vec_id, u.dim""")))
 }

@@ -312,5 +312,75 @@ object ExtendedQueries {
         SELECT e.event_type, d.type_n, COUNT(*) AS n_joined,
           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         FROM events e JOIN d ON e.event_type = d.event_type
-        GROUP BY e.event_type, d.type_n ORDER BY e.event_type""")))
+        GROUP BY e.event_type, d.type_n ORDER BY e.event_type""")),
+
+    // ------------------------ pure band join via interval bucketing
+    // Error events within ±5 s of any purchase, with NO shared equi key
+    // — the join a naive plan executes as an all-pairs theta join. The
+    // scale form: bucket time into 10 s cells (cell width >= band), key
+    // purchases by their cell, explode each error to its 3 candidate
+    // cells, join on the CELL (hash join), then apply the exact band
+    // predicate. Each true pair matches in exactly one candidate cell
+    // (a purchase has one cell), so no dedup pass is needed. Work is
+    // O(rows × 3) + pairs-in-band — never O(n²); the oracle states the
+    // same semantics as the naive theta join.
+    "rel_band_join_bucketed" -> QueryDef(
+      (s, dir) => {
+        val Band = 5L
+        val Cell = 10L
+        val e = Tables.rebalance(Tables.events(s, dir))
+          .withColumn("t", unix_timestamp(col("ts")))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("t").as("tp"),
+            expr(s"t div $Cell").as("cell"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("t").as("te"),
+            explode(expr(
+              s"array(t div $Cell - 1, t div $Cell, t div $Cell + 1)"))
+              .as("cell"))
+        purchases.join(errors, Seq("cell"))
+          .filter(abs(col("tp") - col("te")) <= Band)
+          .select(col("purchase_id"), col("error_id"),
+            (col("te") - col("tp")).as("dt_s"))
+          .orderBy(col("purchase_id"), col("error_id"))
+      },
+      Some("""WITH e AS (
+          SELECT event_id, event_type,
+            CAST(floor(epoch(ts)) AS BIGINT) AS t
+          FROM events)
+        SELECT p.event_id AS purchase_id, x.event_id AS error_id,
+          x.t - p.t AS dt_s
+        FROM e p JOIN e x
+          ON p.event_type = 'purchase' AND x.event_type = 'error'
+          AND abs(p.t - x.t) <= 5
+        ORDER BY purchase_id, error_id""")),
+
+    // --------------------- contiguous global ids without a global sort
+    // Dense 0-based ids in (lang, doc_id) order, WITHOUT the
+    // single-partition window a naive ROW_NUMBER() OVER (ORDER BY ...)
+    // plans: ranks are computed per lang (parallel windows), the
+    // per-lang offsets come from a running sum over the TINY lang-count
+    // table (broadcast back), and the id is offset + local rank. This
+    // is the scalable form of zipWithIndex for a 100 TB corpus — the
+    // only global pass is over O(groups) rows. The oracle is the naive
+    // global ROW_NUMBER, proving the decomposition exact.
+    "rel_global_ids" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val offsets = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("offset",
+            coalesce(sum(col("n")).over(Window.orderBy(col("lang"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("lang"), col("offset"))
+        docs.withColumn("rk", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+          .join(broadcast(offsets), "lang")
+          .select(col("doc_id"), col("lang"),
+            (col("offset") + col("rk") - 1).as("gid"))
+          .orderBy(col("gid"))
+      },
+      Some("""SELECT doc_id, lang,
+          ROW_NUMBER() OVER (ORDER BY lang, doc_id) - 1 AS gid
+        FROM documents ORDER BY gid""")))
 }

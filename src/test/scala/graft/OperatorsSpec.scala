@@ -140,4 +140,75 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("bucketed band join equals the naive theta join") {
+    val e = queries.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("t"))
+    val p = e.filter(col("event_type") === "purchase").as("p")
+    val x = e.filter(col("event_type") === "error").as("x")
+    val naive = p.join(x, abs(col("p.t") - col("x.t")) <= 5)
+      .select(col("p.event_id").as("purchase_id"),
+        col("x.event_id").as("error_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = SparkEntry.queries("rel_band_join_bucketed")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("purchase_id"),
+        r.getAs[Long]("error_id")))
+    assert(bucketed.length === bucketed.toSet.size, "no duplicate pairs")
+    assert(bucketed.toSet === naive,
+      s"bucketed ${bucketed.length} pairs vs naive ${naive.size}")
+  }
+
+  test("rel_global_ids: dense contiguous ids in (lang, doc_id) order") {
+    val rows = SparkEntry.queries("rel_global_ids")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("gid") === i.toLong, s"gap at $i")
+    }
+    val ordered = rows.map(r => (r.getAs[String]("lang"),
+      r.getAs[Long]("doc_id")))
+    assert(ordered.sameElements(ordered.sorted), "ids follow (lang, doc_id)")
+  }
+
+  test("emb_whiten standardizes: whitened dims have mean ~0, var ~1") {
+    val vecs = queries.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val stats = vecs.select(posexplode(col("v")))
+      .groupBy(col("pos"))
+      .agg(avg(col("col")).as("m"), var_pop(col("col")).as("var"))
+      .filter(col("var") > 0)
+      .select((col("pos") + 1).as("dim"), col("m"), col("var"))
+    val check = vecs.select(col("vec_id"), posexplode(col("v")))
+      .select((col("pos") + 1).as("dim"), col("col").as("x"))
+      .join(stats, "dim")
+      .select(col("dim"), ((col("x") - col("m")) / sqrt(col("var"))).as("w"))
+      .groupBy(col("dim"))
+      .agg(avg(col("w")).as("wm"), var_pop(col("w")).as("wv"))
+      .collect()
+    check.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-6, s"mean ${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-6, s"var ${r.getDouble(2)}")
+    }
+    // and the declared audit sample exists with finite values
+    val sample = SparkEntry.queries("emb_whiten")(spark, sf).collect()
+    assert(sample.nonEmpty)
+    sample.foreach(r => assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+  }
+
+  test("cdc_op_stats: Debezium image rules hold per op") {
+    val rows = SparkEntry.queries("cdc_op_stats")(spark, sf).collect()
+    val total = queries.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === total)
+    rows.foreach { r =>
+      val (op, n, nb, na) = (r.getAs[String]("op"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_before_img"), r.getAs[Long]("n_after_img"))
+      op match {
+        case "c" => assert(nb === 0L && na === n)
+        case "d" => assert(nb === n && na === 0L)
+        case "u" => assert(nb === n && na === n)
+        case other => fail(s"unexpected op $other")
+      }
+      assert(r.getAs[Long]("first_ts_ms") <= r.getAs[Long]("last_ts_ms"))
+    }
+  }
 }

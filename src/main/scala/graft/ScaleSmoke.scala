@@ -60,7 +60,9 @@ object ScaleSmoke {
       "txt_decontaminate", "txt_boilerplate", "samp_domain_mix",
       "samp_stratified", "samp_weighted", "pack_sequences",
       "pipe_curate_e2e", "emb_quantize_int8", "emb_pq_codes",
-      "sim_knn_lsh").foreach { q =>
+      "sim_knn_lsh", "sim_kmeans", "dedup_semantic", "emb_whiten",
+      "txt_tokenize_vocab", "docs_chunk_overlap", "rel_global_ids",
+      "rel_band_join_bucketed").foreach { q =>
       time(s"$q 30x") {
         SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()

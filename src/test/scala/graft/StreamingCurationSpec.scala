@@ -51,4 +51,48 @@ class StreamingCurationSpec extends SparkSpec {
       assert(streamed.toSeq == batch.toSeq)
     } finally q.stop()
   }
+
+  test("stream-static vocab encode: streamed docs join the broadcast " +
+      "vocab and match the batch encoding") {
+    import org.apache.spark.sql.expressions.Window
+    // static side: frequency-ranked vocab built once (the batch
+    // artifact a live tokenizer would load), tiny and broadcast
+    val rows = (1L to 120L).map(i =>
+      (i, s"alpha beta gamma token$i alpha beta delta"))
+    val toks = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), posexplode(split(trim(col("text")), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(4)
+      .withColumn("tid", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
+      .select(col("tok"), col("tid"))
+
+    def encode(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), posexplode(split(trim(col("text")), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .withColumn("tid", coalesce(col("tid"), lit(0L)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_oov"))
+
+    val batch = encode(rows.toDF("doc_id", "text"))
+      .collect().map(_.toString).sorted
+
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = encode(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("vocab_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData(rows.take(60): _*)
+      in.addData(rows.drop(60): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("vocab_stream")
+        .collect().map(_.toString).sorted
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
 }

@@ -94,4 +94,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("rel_band_join_bucketed: theta band join executes as a hash/SMJ " +
+      "join on the cell key") {
+    val p = plan("rel_band_join_bucketed")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("rel_global_ids: doc windows are lang-partitioned — the only " +
+      "single-partition work is the tiny offset table") {
+    val p = plan("rel_global_ids")
+    // the per-doc rank window must carry a partition spec
+    assert(p.contains("row_number()") &&
+      p.contains("windowspecdefinition(lang"), p)
+    // offsets come back via broadcast, not a shuffled join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("emb_whiten + txt_tokenize_vocab: stats/vocab broadcast back " +
+      "onto the scan") {
+    assert(plan("emb_whiten").contains("BroadcastHashJoin"))
+    val tv = plan("txt_tokenize_vocab")
+    assert(tv.contains("BroadcastHashJoin"), tv)
+    // top-k vocab selection must be a TakeOrdered, not a global sort
+    assert(tv.contains("TakeOrderedAndProject"), tv)
+  }
+
+  test("sim_kmeans: centroids broadcast to the assignment argmin, " +
+      "which partial-aggregates before its exchange") {
+    val p = plan("sim_kmeans")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the argmin min_by runs map-side (partial) before the vec_id
+    // exchange — the earlier Lloyd rounds sit behind localCheckpoints
+    assert(p.contains("partial_min_by"), p)
+  }
 }

@@ -808,6 +808,43 @@ object CurationQueries {
           CAST(CASE WHEN z > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM z ORDER BY doc_id""")),
 
+    // ---------------------- fractional-epoch repetition (mix planning)
+    // Pretraining mixes repeat high-value sources a FRACTIONAL number
+    // of epochs (e.g. 2.3×): every doc gets floor(rate) copies, plus
+    // one more for the deterministic hash-chosen `frac` of docs — so
+    // the realized rate converges to the target per source while
+    // staying reproducible across runs and task retries (a rand()
+    // lottery is neither). Rates here derive from the source-name hash
+    // (swap in a curated table without changing the plan); per-row
+    // integer math + one keyed aggregate, shuffle-free until the tiny
+    // audit rollup.
+    "samp_epoch_mix" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .withColumn("rate_micro",
+            lit(500000L) + uhash(col("source")) % 2000001L)
+          .withColumn("dh",
+            uhash(concat(lit("doc_"), col("doc_id"))) % 1000000L)
+          .withColumn("copies",
+            expr("rate_micro div 1000000") +
+              when(col("dh") < col("rate_micro") % 1000000L, 1L)
+                .otherwise(0L))
+          .groupBy(col("source"), col("rate_micro"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("copies")).as("n_emitted"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH r AS (
+          SELECT doc_id, source,
+            500000 + (${uhashSql("source")} % 2000001) AS rate_micro,
+            ${uhashSql("'doc_' || CAST(doc_id AS VARCHAR)")} % 1000000 AS dh
+          FROM documents)
+        SELECT source, rate_micro, COUNT(*) AS n_docs,
+          CAST(SUM(rate_micro // 1000000 +
+            CASE WHEN dh < rate_micro % 1000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_emitted
+        FROM r GROUP BY source, rate_micro ORDER BY source""")),
+
     // ------------------------ per-dimension embedding standardization
     // Whitening (z-scoring) each embedding dimension before clustering
     // or quantization: per-dim mean and second moment as ORDER-

@@ -20,6 +20,52 @@ object MultimodalQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // ------------------- WebDataset-style shard manifest planning
+    // Assigns samples to fixed-byte-budget shards (64 KiB here; 1 GiB
+    // in production) in deterministic (source, doc_id) order: a sample
+    // belongs to the shard where its payload STARTS (concat-and-cut,
+    // the tar-shard rule). The running byte offset is a per-source
+    // window — partitioned, so no global single-partition sort exists
+    // at any corpus size — and the manifest is one keyed aggregate:
+    // O(shards) output rows that downstream loaders read instead of
+    // listing objects.
+    "mm_shard_manifest" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ShardBytes = 65536L
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            length(encode(col("text"), "utf-8")).cast("long").as("bytes"))
+          .withColumn("cum", sum(col("bytes")).over(w))
+          .withColumn("shard_id",
+            expr(s"(cum - bytes) div $ShardBytes"))
+          .groupBy(col("source"), col("shard_id"))
+          .agg(count(lit(1)).as("n_samples"),
+            sum(col("bytes")).as("shard_bytes"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("source"), col("shard_id"))
+      },
+      Some("""WITH b AS (
+          SELECT doc_id, source,
+            CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+          FROM documents),
+        c AS (SELECT doc_id, source, bytes,
+            CAST(SUM(bytes) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+          FROM b),
+        sh AS (SELECT source, (cum - bytes) // 65536 AS shard_id,
+            bytes, doc_id
+          FROM c)
+        SELECT source, shard_id, COUNT(*) AS n_samples,
+          CAST(SUM(bytes) AS BIGINT) AS shard_bytes,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM sh GROUP BY source, shard_id
+        ORDER BY source, shard_id""")),
+
     // --------------------------- binary payload + metadata + features
     "mm_features" -> QueryDef(
       (s, dir) => {

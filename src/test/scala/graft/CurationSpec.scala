@@ -159,4 +159,42 @@ class CurationSpec extends SparkSpec {
     assert(kept > 0 && kept < rows.length,
       s"degenerate classifier: $kept/${rows.length} kept")
   }
+
+  // ------------------------------------------------ samp_epoch_mix
+
+  test("epoch mix: emitted volume bounded by floor/ceil of the rate") {
+    val rows = q("samp_epoch_mix").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rate, n, emitted) = (r.getAs[Long]("rate_micro"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_emitted"))
+      assert(rate >= 500000L && rate <= 2500001L)
+      val lo = (rate / 1000000L) * n
+      val hi = (rate / 1000000L + 1L) * n
+      assert(emitted >= lo && emitted <= hi,
+        s"emitted $emitted outside [$lo, $hi] for rate $rate, n $n")
+    }
+  }
+
+  // --------------------------------------------- mm_shard_manifest
+
+  test("shard manifest: contiguous shard ids, byte totals conserved") {
+    val m = q("mm_shard_manifest").collect()
+      .groupBy(_.getAs[String]("source"))
+    val totals = graft.queries.Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(sum(length(encode(col("text"), "utf-8")).cast("long")).as("b"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(m.keySet === totals.keySet)
+    m.foreach { case (src, shards) =>
+      val ids = shards.map(_.getAs[Long]("shard_id")).sorted
+      assert(ids.head === 0L)
+      assert(ids === (0L until ids.length).toArray.toSeq.toArray,
+        s"$src shard ids not contiguous: ${ids.mkString(",")}")
+      assert(shards.map(_.getAs[Long]("shard_bytes")).sum === totals(src)._1)
+      assert(shards.map(_.getAs[Long]("n_samples")).sum === totals(src)._2)
+    }
+  }
 }

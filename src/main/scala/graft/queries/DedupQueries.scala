@@ -581,5 +581,71 @@ object DedupQueries {
             list_transform(range(1, 65),
               i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)])),
             (acc, x) -> acc + x) / (a.norm * b.norm) >= 0.25
-        ORDER BY vec_a, vec_b""")))
+        ORDER BY vec_a, vec_b""")),
+
+    // ----------------------- incremental dedup (new batch vs corpus)
+    // The daily-ingest shape: a ~10% hash-selected increment is checked
+    // against the REST of the corpus (the standing index) — each new
+    // doc is either a near-dup of something existing (any shared LSH
+    // bucket) or new-unique. At 100 TB the corpus side is the
+    // precomputed signature store keyed on (band, signature): the
+    // increment's signatures are per-row (no shuffle), the probe is one
+    // bucket-keyed join against the index, and NOTHING rescans corpus
+    // text. Output per increment doc: dup flag, distinct existing
+    // matches, and the lowest matching corpus doc (the merge target).
+    "dedup_incremental" -> QueryDef(
+      (s, dir) => {
+        val bands = graft.functions.MinHashBands.minhashBands(
+          graft.functions.ClampedShingleHashes.clampedShingleHashes(
+            col("text")), NumHashes, BandSize)
+        val longb = Tables.rebalance(Tables.documents(s, dir))
+          .withColumn("h", uhash(concat(lit("doc_"), col("doc_id"))))
+          .withColumn("bands", bands)
+          .select(col("doc_id"), col("h"),
+            explode(array((0 until NumBands).map(b =>
+              struct(lit(b).as("band_id"),
+                element_at(col("bands"), b + 1).as("sig"))): _*))
+              .as("bk"))
+          .select(col("doc_id"), col("h"),
+            col("bk.band_id").as("band_id"), col("bk.sig").as("sig"))
+        val inc = longb.filter(col("h") % 10 === 0)
+          .select(col("doc_id"), col("band_id"), col("sig"))
+        val corp = longb.filter(col("h") % 10 =!= 0)
+          .select(col("doc_id").as("cdoc"), col("band_id"), col("sig"))
+        val matches = inc.join(corp, Seq("band_id", "sig"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("cdoc")).as("nm"),
+            min(col("cdoc")).as("first_match"))
+        inc.select(col("doc_id")).distinct()
+          .join(matches, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("nm").isNotNull, 1L).otherwise(0L).as("is_dup"),
+            coalesce(col("nm"), lit(0L)).as("n_matches"),
+            col("first_match"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val unbands = (0 until NumBands).map(b =>
+          s"SELECT doc_id, h, $b AS band_id, band$b AS sig FROM hb")
+          .mkString(" UNION ALL ")
+        s"""WITH $signaturesSql,
+        hb AS (SELECT bands.*,
+            ${uhashSql("'doc_' || CAST(doc_id AS VARCHAR)")} AS h
+          FROM bands),
+        lb AS ($unbands),
+        ib AS (SELECT doc_id, band_id, sig FROM lb WHERE h % 10 = 0),
+        cb AS (SELECT doc_id AS cdoc, band_id, sig FROM lb
+          WHERE h % 10 <> 0),
+        m AS (SELECT ib.doc_id, COUNT(DISTINCT cb.cdoc) AS nm,
+            MIN(cb.cdoc) AS first_match
+          FROM ib JOIN cb ON ib.band_id = cb.band_id AND ib.sig = cb.sig
+          GROUP BY ib.doc_id)
+        SELECT i.doc_id,
+          CAST(CASE WHEN m.nm IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+          CAST(COALESCE(m.nm, 0) AS BIGINT) AS n_matches,
+          m.first_match
+        FROM (SELECT DISTINCT doc_id FROM ib) i
+        LEFT JOIN m ON i.doc_id = m.doc_id
+        ORDER BY i.doc_id"""
+      }))
 }

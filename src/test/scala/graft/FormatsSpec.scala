@@ -29,6 +29,13 @@ class FormatsSpec extends SparkSpec {
     assert(back.exceptAll(src).count() == 0 && back.count() == src.count())
   }
 
+  test("orc round-trip preserves values (the third columnar landing format)") {
+    val src = queries.Tables.supplier(spark, sf)
+    src.write.mode("overwrite").orc(s"$tmp/supplier_orc")
+    val back = spark.read.schema(src.schema).orc(s"$tmp/supplier_orc")
+    assert(back.exceptAll(src).count() == 0 && back.count() == src.count())
+  }
+
   test("partitioned parquet write + partition pruning on read") {
     val src = queries.Tables.orders(spark, sf)
       .withColumn("status", col("o_orderstatus"))

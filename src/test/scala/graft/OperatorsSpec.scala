@@ -195,6 +195,24 @@ class OperatorsSpec extends SparkSpec {
     sample.foreach(r => assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
   }
 
+  test("dedup_incremental: flags consistent, increment is the hash split") {
+    val rows = SparkEntry.queries("dedup_incremental")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dup, nm) = (r.getAs[Long]("is_dup"), r.getAs[Long]("n_matches"))
+      assert((dup == 1L) === (nm > 0L), r.toString)
+      assert((dup == 0L) === r.isNullAt(r.fieldIndex("first_match")),
+        r.toString)
+    }
+    // the increment is exactly the samp_hash-rule 10% split
+    val expected = queries.Tables.documents(spark, sf)
+      .withColumn("h", graft.queries.QueryDef.uhash(
+        concat(lit("doc_"), col("doc_id"))))
+      .filter(col("h") % 10 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === expected)
+  }
+
   test("cdc_op_stats: Debezium image rules hold per op") {
     val rows = SparkEntry.queries("cdc_op_stats")(spark, sf).collect()
     val total = queries.Tables.events(spark, sf).count()

@@ -599,5 +599,50 @@ object AnalyticsQueries {
           CAST(SUM(new_users) OVER (ORDER BY day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
             AS cum_users
-        FROM g ORDER BY day""")))
+        FROM g ORDER BY day""")),
+
+    // ------------------------------- A/B experiment readout (lift)
+    // The experimentation primitive: users split into control/treatment
+    // by the deterministic id hash (stable across runs AND across the
+    // backfill/live boundary — a rand() split is neither), then per
+    // event type: per-arm event volume and mean value, and the relative
+    // lift. Means use exact decimal sums (shuffle-order-proof); the
+    // whole readout is one keyed aggregate with conditional sums — no
+    // join, O(event_types) output at any traffic volume.
+    "evt_ab_lift" -> QueryDef(
+      (s, dir) => {
+        import QueryDef.{dec2, uhash}
+        val e = Tables.rebalance(Tables.events(s, dir))
+          .withColumn("arm",
+            uhash(concat(lit("u_"), col("user_id"))) % 2)
+        e.groupBy(col("event_type"))
+          .agg(
+            count(when(col("arm") === 0, 1)).as("n_ctrl"),
+            count(when(col("arm") === 1, 1)).as("n_treat"),
+            (sum(when(col("arm") === 0, dec2(col("value")))).cast("double")
+              / count(when(col("arm") === 0, 1))).as("ctrl_mean"),
+            (sum(when(col("arm") === 1, dec2(col("value")))).cast("double")
+              / count(when(col("arm") === 1, 1))).as("treat_mean"))
+          .withColumn("lift",
+            round(col("treat_mean") / col("ctrl_mean") - 1.0, 6))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH a AS (
+          SELECT event_type, value,
+            ${QueryDef.uhashSql("'u_' || CAST(user_id AS VARCHAR)")} % 2
+              AS arm
+          FROM events),
+        g AS (SELECT event_type,
+            COUNT(CASE WHEN arm = 0 THEN 1 END) AS n_ctrl,
+            COUNT(CASE WHEN arm = 1 THEN 1 END) AS n_treat,
+            CAST(SUM(CASE WHEN arm = 0
+              THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+              / COUNT(CASE WHEN arm = 0 THEN 1 END) AS ctrl_mean,
+            CAST(SUM(CASE WHEN arm = 1
+              THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+              / COUNT(CASE WHEN arm = 1 THEN 1 END) AS treat_mean
+          FROM a GROUP BY event_type)
+        SELECT event_type, n_ctrl, n_treat, ctrl_mean, treat_mean,
+          ROUND(treat_mean / ctrl_mean - 1.0, 6) AS lift
+        FROM g ORDER BY event_type""")))
 }

@@ -900,5 +900,63 @@ object CurationQueries {
             ELSE 0.0 END AS w
         FROM u JOIN s2 USING (dim)
         WHERE u.vec_id % 100 = 0 AND u.dim <= 8
-        ORDER BY u.vec_id, u.dim""")))
+        ORDER BY u.vec_id, u.dim""")),
+
+    // -------------------- standardized-distance outlier screen (top-20)
+    // Diagonal-Mahalanobis outliers: per vector, sum over dims of
+    // ((x−m)/sd)² against the same 6 dp-quantized whitening stats —
+    // the screen that catches corrupt/degenerate vectors a plain norm
+    // check misses (emb_norm_extremes' complement: a vector can have a
+    // normal norm but sit far out on a few dims). Per-dim terms are
+    // cast to exact decimal before the per-vector sum, so the score is
+    // independent of aggregation order; top-20 is a TakeOrdered, not a
+    // global sort.
+    "emb_outlier" -> QueryDef(
+      (s, dir) => {
+        val vecs = Tables.rebalance(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val stats = vecs.select(posexplode(col("v")))
+          .groupBy(col("pos"))
+          .agg(
+            round(sum(col("col").cast("decimal(28,14)")).cast("double")
+              / count(lit(1)), 6).as("m"),
+            round(sum((col("col") * col("col")).cast("decimal(28,14)"))
+              .cast("double") / count(lit(1)), 6).as("msq"))
+          .select(col("pos"), col("m"),
+            (col("msq") - col("m") * col("m")).as("var"))
+          .filter(col("var") > 0)
+        vecs.select(col("vec_id"), posexplode(col("v")))
+          .join(broadcast(stats), "pos")
+          .select(col("vec_id"),
+            (((col("col") - col("m")) / sqrt(col("var"))) *
+              ((col("col") - col("m")) / sqrt(col("var"))))
+              .cast("decimal(28,12)").as("t"))
+          .groupBy(col("vec_id"))
+          .agg(round(sum(col("t")).cast("double"), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(20)
+      },
+      Some("""WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        u AS (SELECT vec_id,
+            unnest(range(1, len(v) + 1)) - 1 AS pos,
+            unnest(v) AS x
+          FROM e),
+        st AS (SELECT pos,
+            ROUND(CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE)
+              / COUNT(*), 6) AS m,
+            ROUND(CAST(SUM(CAST(x * x AS DECIMAL(28,14))) AS DOUBLE)
+              / COUNT(*), 6) AS msq
+          FROM u GROUP BY pos),
+        s2 AS (SELECT pos, m, msq - m * m AS var FROM st
+          WHERE msq - m * m > 0),
+        sc AS (SELECT u.vec_id,
+            CAST(((u.x - s2.m) / sqrt(s2.var)) *
+              ((u.x - s2.m) / sqrt(s2.var)) AS DECIMAL(28,12)) AS t
+          FROM u JOIN s2 USING (pos))
+        SELECT vec_id, ROUND(CAST(SUM(t) AS DOUBLE), 6) AS score
+        FROM sc GROUP BY vec_id
+        ORDER BY score DESC, vec_id ASC LIMIT 20""")))
 }

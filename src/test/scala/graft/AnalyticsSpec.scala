@@ -98,6 +98,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(running === totalUsers)
   }
 
+  test("evt_ab_lift: arms partition the traffic; lift consistent with means") {
+    val rows = q("evt_ab_lift").collect()
+    assert(rows.nonEmpty)
+    val perType = graft.queries.Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_ctrl") + r.getAs[Long]("n_treat") === perType(t))
+      val expect = r.getAs[Double]("treat_mean") /
+        r.getAs[Double]("ctrl_mean") - 1.0
+      assert(math.abs(r.getAs[Double]("lift") - expect) < 1e-6)
+    }
+  }
+
+  test("emb_outlier: 20 rows, non-negative scores, descending order") {
+    val rows = q("emb_outlier").collect()
+    assert(rows.length === 20)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ >= 0.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("txt_tokenize_vocab: oov bounded by length, hash reproducible") {
     val a = q("txt_tokenize_vocab").collect()
     assert(a.nonEmpty)

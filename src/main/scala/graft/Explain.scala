@@ -10,6 +10,27 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.Explain <queryName> [sfDir] [reps]
   */
 object Explain {
+
+  /** `--all`: one summary line per declared query — the exchange/join
+    * census of every physical plan (the whole-surface audit PlanSweep
+    * gates mechanically, in human-readable artifact form).
+    */
+  private def auditAll(spark: SparkSession, sfDir: String): Unit = {
+    println("| query | exchanges | BHJ | SMJ | BNLJ | cartesian | " +
+      "takeOrdered | aggregates |")
+    println("|---|---|---|---|---|---|---|---|")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p =
+        try fn(spark, sfDir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLANNING FAILED: $e" }
+      def n(pat: String) = pat.r.findAllIn(p).size
+      println(s"| $name | ${n("Exchange ")} | ${n("BroadcastHashJoin")} | " +
+        s"${n("SortMergeJoin")} | ${n("BroadcastNestedLoopJoin")} | " +
+        s"${n("CartesianProduct")} | ${n("TakeOrderedAndProject")} | " +
+        s"${n("(?:Hash|Sort|ObjectHash)Aggregate")} |")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("rel_q1_agg")
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
@@ -25,6 +46,11 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (name == "--all") {
+      auditAll(spark, sfDir)
+      spark.stop()
+      return
+    }
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     (1 to reps).foreach { i =>

@@ -62,7 +62,8 @@ object ScaleSmoke {
       "pipe_curate_e2e", "emb_quantize_int8", "emb_pq_codes",
       "sim_knn_lsh", "sim_kmeans", "dedup_semantic", "emb_whiten",
       "txt_tokenize_vocab", "docs_chunk_overlap", "rel_global_ids",
-      "rel_band_join_bucketed").foreach { q =>
+      "rel_band_join_bucketed", "dedup_incremental", "emb_outlier",
+      "samp_epoch_mix", "mm_shard_manifest", "evt_ab_lift").foreach { q =>
       time(s"$q 30x") {
         SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()

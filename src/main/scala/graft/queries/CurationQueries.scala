@@ -902,6 +902,37 @@ object CurationQueries {
         WHERE u.vec_id % 100 = 0 AND u.dim <= 8
         ORDER BY u.vec_id, u.dim""")),
 
+    // ------------------------ token-length distribution (log2 buckets)
+    // The context-length planning input (pack_waste's upstream): docs
+    // and token mass per power-of-two length bucket. One keyed
+    // aggregate over a per-row bucket id — O(log max_len) output rows
+    // at any corpus size. floor(log2(n)) via bit length keeps the
+    // bucket id in exact integer math (no cross-engine log() doubles).
+    "docs_length_histogram" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .withColumn("n",
+            size(split(trim(col("text")), " ")).cast("long"))
+          .withColumn("bucket",
+            when(col("n") <= 0, lit(0L))
+              .otherwise(length(bin(col("n"))).cast("long") - 1))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+            min(col("n")).as("min_len"), max(col("n")).as("max_len"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH d AS (
+          SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+          FROM documents),
+        b AS (SELECT n,
+            CASE WHEN n <= 0 THEN 0
+              ELSE CAST(LENGTH(bin(n)) - 1 AS BIGINT) END AS bucket
+          FROM d)
+        SELECT bucket, COUNT(*) AS n_docs,
+          CAST(SUM(n) AS BIGINT) AS n_tokens,
+          MIN(n) AS min_len, MAX(n) AS max_len
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
     // -------------------- standardized-distance outlier screen (top-20)
     // Diagonal-Mahalanobis outliers: per vector, sum over dims of
     // ((x−m)/sd)² against the same 6 dp-quantized whitening stats —

@@ -355,6 +355,38 @@ object ExtendedQueries {
           AND abs(p.t - x.t) <= 5
         ORDER BY purchase_id, error_id""")),
 
+    // ------------------------- join-key skew census (salting planner)
+    // The report that decides WHEN to salt: the 20 hottest join keys
+    // and each one's skew multiple (its row count vs the uniform
+    // per-key mean). One partial-aggregated count per key, a 1-row
+    // corpus-stats broadcast (the BM25 pattern), and a TakeOrdered —
+    // no global sort, O(k) output. The integer product cnt × n_keys
+    // stays exact; only the final ratio is a double.
+    "rel_skew_report" -> QueryDef(
+      (s, dir) => {
+        val counts = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+        val stats = counts.agg(count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("n_rows"))
+        counts.crossJoin(broadcast(stats))
+          .select(col("l_orderkey"), col("cnt"),
+            round((col("cnt") * col("n_keys")).cast("double")
+              / col("n_rows").cast("double"), 6).as("skew_x"))
+          .orderBy(col("cnt").desc, col("l_orderkey").asc)
+          .limit(20)
+      },
+      Some("""WITH c AS (
+          SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem
+          GROUP BY l_orderkey),
+        s AS (SELECT COUNT(*) AS n_keys,
+            CAST(SUM(cnt) AS BIGINT) AS n_rows
+          FROM c)
+        SELECT c.l_orderkey, c.cnt,
+          ROUND(CAST(c.cnt * s.n_keys AS DOUBLE)
+            / CAST(s.n_rows AS DOUBLE), 6) AS skew_x
+        FROM c CROSS JOIN s
+        ORDER BY c.cnt DESC, c.l_orderkey ASC LIMIT 20""")),
+
     // --------------------- contiguous global ids without a global sort
     // Dense 0-based ids in (lang, doc_id) order, WITHOUT the
     // single-partition window a naive ROW_NUMBER() OVER (ORDER BY ...)

@@ -160,6 +160,24 @@ class CurationSpec extends SparkSpec {
       s"degenerate classifier: $kept/${rows.length} kept")
   }
 
+  // ------------------------------------------ docs_length_histogram
+
+  test("length histogram: buckets tile the corpus, bounds respect 2^b") {
+    val rows = q("docs_length_histogram").collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.queries.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val (lo, hi) = (r.getAs[Long]("min_len"), r.getAs[Long]("max_len"))
+      assert(lo <= hi)
+      if (b > 0) {
+        assert(lo >= (1L << b), s"bucket $b min $lo")
+        assert(hi < (1L << (b + 1)), s"bucket $b max $hi")
+      }
+    }
+  }
+
   // ------------------------------------------------ samp_epoch_mix
 
   test("epoch mix: emitted volume bounded by floor/ceil of the rate") {

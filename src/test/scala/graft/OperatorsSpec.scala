@@ -195,6 +195,23 @@ class OperatorsSpec extends SparkSpec {
     sample.foreach(r => assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
   }
 
+  test("rel_skew_report: hottest keys descending, skew multiple exact") {
+    val rows = SparkEntry.queries("rel_skew_report")(spark, sf).collect()
+    assert(rows.length === 20)
+    val counts = queries.Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (nKeys, nRows) = (counts.size.toLong, counts.values.sum)
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val k = r.getAs[Long]("l_orderkey")
+      assert(r.getAs[Long]("cnt") === counts(k))
+      val expect = counts(k).toDouble * nKeys / nRows
+      assert(math.abs(r.getAs[Double]("skew_x") - expect) < 1e-6)
+    }
+  }
+
   test("dedup_incremental: flags consistent, increment is the hash split") {
     val rows = SparkEntry.queries("dedup_incremental")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -32,7 +32,8 @@ class PlanSweepSpec extends SparkSpec {
     "rel_histogram",      // broadcast 1-row min/max bounds
     "samp_temperature",   // crossJoin(broadcast(1-row normalizer))
     "sim_kmeans",         // broadcast k-centroid crossJoin (assignment argmin)
-    "dedup_semantic"      // same k-centroid assignment + broadcast k-row reps
+    "dedup_semantic",     // same k-centroid assignment + broadcast k-row reps
+    "rel_skew_report"     // crossJoin(broadcast(1-row key-count stats))
   )
 
   test("no declared query plans a CartesianProduct; BNLJ only where designed") {

@@ -415,5 +415,53 @@ object CdcQueries {
           CAST(SUM(CASE WHEN op IN ('c', 'u') THEN 1 ELSE 0 END) AS BIGINT)
             AS n_after_img,
           MIN(ts_ms) AS first_ts_ms, MAX(ts_ms) AS last_ts_ms
-        FROM e GROUP BY op ORDER BY op""")))
+        FROM e GROUP BY op ORDER BY op""")),
+
+    // ---------------- snapshot chunk planning (operator #1, splitSize)
+    // The reference's snapshot phase reads each table in splitSize-row
+    // PK-range chunks (default 8096, MySQLCDC2AWSMSK.scala:255-258) —
+    // this query IS that plan for the events table: per chunk, its key
+    // range and actual row count (the skew report for parallel snapshot
+    // readers; JdbcSnapshot.chunkPredicates generates the same ranges
+    // as WHERE clauses). The PK stats are a 1-row broadcast; chunk
+    // assignment is exact integer math at the scan; output is
+    // O(chunks). Mirrors JdbcSnapshot.numChunks: n = ceil(span/8096),
+    // step = max(span div n, 1), last chunk unbounded above.
+    "cdc_snapshot_chunks" -> QueryDef(
+      (s, dir) => {
+        val ChunkSize = 8096L
+        val stats = Tables.events(s, dir)
+          .agg(min(col("event_id")).as("mn"), max(col("event_id")).as("mx"))
+          .select(col("mn"), col("mx"),
+            (col("mx") - col("mn") + 1).as("span"))
+          .select(col("mn"),
+            expr(s"(span + ${ChunkSize - 1}) div $ChunkSize").as("n"),
+            col("span"))
+          .select(col("mn"), col("n"),
+            greatest(expr("span div n"), lit(1L)).as("step"))
+        Tables.rebalance(Tables.events(s, dir))
+          .select(col("event_id"))
+          .crossJoin(broadcast(stats))
+          .select(
+            least(col("n") - 1, expr("(event_id - mn) div step"))
+              .as("chunk_id"),
+            col("event_id"))
+          .groupBy(col("chunk_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("event_id")).as("lo_key"),
+            max(col("event_id")).as("hi_key"))
+          .orderBy(col("chunk_id"))
+      },
+      Some("""WITH s0 AS (
+          SELECT MIN(event_id) AS mn, MAX(event_id) AS mx,
+            MAX(event_id) - MIN(event_id) + 1 AS span
+          FROM events),
+        s1 AS (SELECT mn, (span + 8095) // 8096 AS n, span FROM s0),
+        st AS (SELECT mn, n, greatest(span // n, 1) AS step FROM s1),
+        a AS (SELECT least(st.n - 1, (e.event_id - st.mn) // st.step)
+              AS chunk_id, e.event_id
+          FROM events e CROSS JOIN st)
+        SELECT chunk_id, COUNT(*) AS n_rows,
+          MIN(event_id) AS lo_key, MAX(event_id) AS hi_key
+        FROM a GROUP BY chunk_id ORDER BY chunk_id""")))
 }

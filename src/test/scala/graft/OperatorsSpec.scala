@@ -230,6 +230,27 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("doc_id")).toSet === expected)
   }
 
+  test("cdc_snapshot_chunks matches JdbcSnapshot's chunk math, " +
+      "tiles the key span") {
+    val rows = SparkEntry.queries("cdc_snapshot_chunks")(spark, sf)
+      .collect()
+    val e = queries.Tables.events(spark, sf)
+      .agg(min(col("event_id")), max(col("event_id")), count(lit(1)))
+      .head()
+    val (mn, mx, total) = (e.getLong(0), e.getLong(1), e.getLong(2))
+    assert(rows.length ===
+      graft.sources.JdbcSnapshot.numChunks(mn, mx, 8096))
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === total)
+    assert(rows.map(_.getAs[Long]("chunk_id")).toSeq ===
+      (0L until rows.length).toSeq)
+    // chunk key ranges are disjoint and ordered
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi_key") < b.getAs[Long]("lo_key"))
+      case _ =>
+    }
+  }
+
   test("cdc_op_stats: Debezium image rules hold per op") {
     val rows = SparkEntry.queries("cdc_op_stats")(spark, sf).collect()
     val total = queries.Tables.events(spark, sf).count()

@@ -33,8 +33,30 @@ class PlanSweepSpec extends SparkSpec {
     "samp_temperature",   // crossJoin(broadcast(1-row normalizer))
     "sim_kmeans",         // broadcast k-centroid crossJoin (assignment argmin)
     "dedup_semantic",     // same k-centroid assignment + broadcast k-row reps
-    "rel_skew_report"     // crossJoin(broadcast(1-row key-count stats))
+    "rel_skew_report",    // crossJoin(broadcast(1-row key-count stats))
+    "cdc_snapshot_chunks" // crossJoin(broadcast(1-row PK-range stats))
   )
+
+  test("every declared query ends in a global total order (the oracle " +
+      "hash compares rows in returned order)") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def totalOrder(lp: LogicalPlan): Boolean = lp match {
+      case s: Sort => s.global
+      case GlobalLimit(_, child) => totalOrder(child)
+      case LocalLimit(_, child) => totalOrder(child)
+      case Project(_, child) => totalOrder(child)
+      case _ => false
+    }
+    val missing = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val ok =
+          try totalOrder(fn(spark, sf).queryExecution.optimizedPlan)
+          catch { case _: Throwable => false }
+        if (ok) None else Some(name)
+    }
+    assert(missing.isEmpty,
+      s"queries without a root ORDER BY: ${missing.mkString(", ")}")
+  }
 
   test("no declared query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

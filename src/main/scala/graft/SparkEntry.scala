@@ -25,7 +25,8 @@ object SparkEntry {
       ClusteringQueries.defs ++
       MultimodalQueries.defs ++
       CurationQueries.defs ++
-      AnalyticsQueries.defs
+      AnalyticsQueries.defs ++
+      OpsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the reference's whole pipeline shape end-to-end: events parquet →

@@ -414,5 +414,51 @@ object ExtendedQueries {
       },
       Some("""SELECT doc_id, lang,
           ROW_NUMBER() OVER (ORDER BY lang, doc_id) - 1 AS gid
-        FROM documents ORDER BY gid""")))
+        FROM documents ORDER BY gid""")),
+
+    // ------------------------------------------- TPC-H Q5-shaped macro join
+    // Six-table star join (fact ⋈ 3 mid dims ⋈ 2 broadcast dims) with a
+    // selective date filter and an exact-decimal revenue rollup — the
+    // canonical join-ordering / broadcast-selection benchmark shape. The
+    // region→nation reduction happens FIRST and broadcasts, so supplier
+    // is pre-filtered to one region before it ever reaches the fact
+    // table; orders is date-pruned at the scan.
+    "rel_tpch_q5" -> QueryDef(
+      (s, dir) => {
+        val r = broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "ASIA"))
+        val n = broadcast(Tables.nation(s, dir)
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name")))
+        val sup = Tables.supplier(s, dir)
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        val l = Tables.lineitem(s, dir).select(col("l_orderkey"),
+          col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(dec2(col("l_extendedprice")) *
+              (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")))
 }

@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.MisraGries
+
+/** Production-pipeline operations wave: the checks and layout passes a
+  * 100 TB ingest runs around the queries themselves.
+  *
+  *  - `dq_expectations`  — single-pass per-column data-quality profile
+  *    (null count, exact distinct, min/max) over a fact table: the
+  *    expectation census run before a corpus snapshot is blessed.
+  *  - `dq_orphans`       — referential-integrity orphan census across the
+  *    star-schema joins (anti-join shape, broadcast where the dim is tiny).
+  *  - `lake_zorder`      — Z-order (Morton) layout clustering: min-max
+  *    normalize two dimensions to 16 bits each via a broadcast 1-row
+  *    bounds row, interleave bits per row (pure projection — no global
+  *    sort), bucket by z-prefix into target files, and report per-file
+  *    min/max envelopes on BOTH dimensions — the stats that drive
+  *    data-skipping after a rewrite.
+  *  - `txt_heavy_hitters` — exact heavy hitters via the two-pass sketch
+  *    pattern: a Misra–Gries summary (O(k) merged state, map-side
+  *    combined) nominates candidates, a second linear pass recounts only
+  *    candidates against a broadcast ≤k-element set, and the n/(k+1)
+  *    support threshold makes the result provably exact
+  *    ([[graft.operators.MisraGries]]).
+  */
+object OpsQueries {
+
+  /** Heavy-hitter capacity: guarantees exactness for support > n/(K+1). */
+  private val HhK = 64
+
+  /** Z-order: bits per dimension after min-max normalization. */
+  private val ZBits = 16
+
+  /** Z-order: keep the top bits of the 2*ZBits-bit z-value as the file
+    * id — 2^6 = 64 target files.
+    */
+  private val ZFileBits = 6
+
+  // ---------------------------------------------------------------- dq
+  /** (name, spark min/max → canonical string, duckdb min/max SQL body). */
+  private case class ColProfile(
+      name: String,
+      toStr: Column => Column,
+      duckMin: String,
+      duckMax: String)
+
+  private val orderCols: Seq[ColProfile] = Seq(
+    ColProfile("o_orderkey", _.cast("string"),
+      "CAST(MIN(o_orderkey) AS VARCHAR)", "CAST(MAX(o_orderkey) AS VARCHAR)"),
+    ColProfile("o_custkey", _.cast("string"),
+      "CAST(MIN(o_custkey) AS VARCHAR)", "CAST(MAX(o_custkey) AS VARCHAR)"),
+    ColProfile("o_orderstatus", identity,
+      "MIN(o_orderstatus)", "MAX(o_orderstatus)"),
+    // money double → decimal(18,2) before stringifying: exact 2-decimal
+    // rendering in both engines (same rule as every money aggregate)
+    ColProfile("o_totalprice", _.cast("decimal(18,2)").cast("string"),
+      "CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)",
+      "CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)"),
+    // timestamps canonicalized to epoch seconds (UTC session both sides)
+    ColProfile("o_orderdate", c => unix_timestamp(c).cast("string"),
+      "CAST(CAST(epoch(MIN(o_orderdate)) AS BIGINT) AS VARCHAR)",
+      "CAST(CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS VARCHAR)"),
+    ColProfile("o_orderpriority", identity,
+      "MIN(o_orderpriority)", "MAX(o_orderpriority)"))
+
+  // ------------------------------------------------------------ orphans
+  private def orphanCensus(
+      name: String,
+      left: DataFrame, lk: String,
+      right: DataFrame, rk: String,
+      broadcastDim: Boolean): DataFrame = {
+    val rkeys0 = right.select(col(rk))
+    val rkeys = if (broadcastDim) broadcast(rkeys0) else rkeys0
+    // right keys are PKs (unique) so left_outer preserves left cardinality;
+    // one pass yields total and orphan counts together
+    left.select(col(lk)).join(rkeys, col(lk) === col(rk), "left_outer")
+      .agg(count(lit(1)).as("total_rows"),
+        sum(when(col(rk).isNull, 1L).otherwise(0L)).as("orphan_rows"))
+      .select(lit(name).as("relation"), col("orphan_rows"), col("total_rows"))
+  }
+
+  // ------------------------------------------------------------- zorder
+  /** Interleave the low [[ZBits]] bits of x (even positions) and y (odd
+    * positions) — plain shift/and/or over longs, fully codegen'd.
+    */
+  private def interleave(x: Column, y: Column): Column =
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** DuckDB mirror of [[interleave]] over columns xn/yn (unrolled sum of
+    * disjoint bit terms — identical to the OR of the Spark fold).
+    */
+  private val interleaveSql: String =
+    (0 until ZBits).flatMap { i =>
+      Seq(s"(((xn >> $i) & 1) << ${2 * i})", s"(((yn >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---------------------------------------------- data-quality profile
+    "dq_expectations" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        // one aggregation row carrying every column's profile (the
+        // multi-distinct expands once; still a single scan), then
+        // stack() pivots it into one row per column
+        val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: orderCols.flatMap { cp =>
+          Seq(
+            sum(when(col(cp.name).isNull, 1L).otherwise(0L)).as(s"${cp.name}__null"),
+            countDistinct(col(cp.name)).as(s"${cp.name}__dist"),
+            cp.toStr(min(col(cp.name))).as(s"${cp.name}__min"),
+            cp.toStr(max(col(cp.name))).as(s"${cp.name}__max"))
+        }
+        val wide = o.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = orderCols.map { cp =>
+          s"'${cp.name}', ${cp.name}__null, ${cp.name}__dist, ${cp.name}__min, ${cp.name}__max"
+        }.mkString(", ")
+        wide.selectExpr(
+          s"stack(${orderCols.size}, $stackArgs) AS (col_name, n_null, n_distinct, min_val, max_val)",
+          "n_rows")
+          .orderBy(col("col_name"))
+      },
+      Some(orderCols.map { cp =>
+        s"""SELECT '${cp.name}' AS col_name,
+           |  COUNT(*) - COUNT(${cp.name}) AS n_null,
+           |  COUNT(DISTINCT ${cp.name}) AS n_distinct,
+           |  ${cp.duckMin} AS min_val,
+           |  ${cp.duckMax} AS max_val,
+           |  COUNT(*) AS n_rows
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY col_name")),
+
+    // ------------------------------------------------------ orphan census
+    "dq_orphans" -> QueryDef(
+      (s, dir) => {
+        orphanCensus("lineitem->orders",
+          Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey", broadcastDim = false)
+          .unionAll(orphanCensus("orders->customer",
+            Tables.orders(s, dir), "o_custkey",
+            Tables.customer(s, dir), "c_custkey", broadcastDim = false))
+          .unionAll(orphanCensus("supplier->nation",
+            Tables.supplier(s, dir), "s_nationkey",
+            Tables.nation(s, dir), "n_nationkey", broadcastDim = true))
+          .orderBy(col("relation"))
+      },
+      Some("""SELECT * FROM (
+        SELECT 'lineitem->orders' AS relation,
+          (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+             ON o.o_orderkey = l.l_orderkey WHERE o.o_orderkey IS NULL) AS orphan_rows,
+          (SELECT COUNT(*) FROM lineitem) AS total_rows
+        UNION ALL
+        SELECT 'orders->customer',
+          (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+             ON c.c_custkey = o.o_custkey WHERE c.c_custkey IS NULL),
+          (SELECT COUNT(*) FROM orders)
+        UNION ALL
+        SELECT 'supplier->nation',
+          (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n
+             ON n.n_nationkey = s.s_nationkey WHERE n.n_nationkey IS NULL),
+          (SELECT COUNT(*) FROM supplier)
+        ) ORDER BY relation""")),
+
+    // ----------------------------------------------- z-order file layout
+    "lake_zorder" -> QueryDef(
+      (s, dir) => {
+        val base = Tables.orders(s, dir).select(
+          col("o_custkey").as("x"),
+          expr("unix_timestamp(o_orderdate) div 86400").as("y"))
+        val bounds = base.agg(
+          min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+          min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+        def norm(v: Column, lo: Column, hi: Column): Column =
+          when(hi === lo, lit(0L))
+            .otherwise(((v - lo) * ((1 << ZBits) - 1)).cast("long") / (hi - lo))
+            .cast("long")
+        val z = base.crossJoin(broadcast(bounds))
+          .withColumn("xn", norm(col("x"), col("xmin"), col("xmax")))
+          .withColumn("yn", norm(col("y"), col("ymin"), col("ymax")))
+          .withColumn("zval", interleave(col("xn"), col("yn")))
+          .withColumn("file_id", shiftright(col("zval"), 2 * ZBits - ZFileBits))
+        z.groupBy(col("file_id"))
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).as("min_cust"), max(col("x")).as("max_cust"),
+            min(col("y")).as("min_day"), max(col("y")).as("max_day"))
+          .orderBy(col("file_id"))
+      },
+      Some(s"""WITH base AS (
+          SELECT o_custkey AS x,
+                 CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS y
+          FROM orders
+        ), b AS (
+          SELECT MIN(x) AS xmin, MAX(x) AS xmax,
+                 MIN(y) AS ymin, MAX(y) AS ymax FROM base
+        ), n AS (
+          SELECT x, y,
+            CASE WHEN xmax = xmin THEN 0
+                 ELSE ((x - xmin) * ${(1 << ZBits) - 1}) // (xmax - xmin) END AS xn,
+            CASE WHEN ymax = ymin THEN 0
+                 ELSE ((y - ymin) * ${(1 << ZBits) - 1}) // (ymax - ymin) END AS yn
+          FROM base CROSS JOIN b
+        ), z AS (
+          SELECT x, y, ($interleaveSql) >> ${2 * ZBits - ZFileBits} AS file_id
+          FROM n
+        )
+        SELECT file_id, COUNT(*) AS n,
+          MIN(x) AS min_cust, MAX(x) AS max_cust,
+          MIN(y) AS min_day, MAX(y) AS max_day
+        FROM z GROUP BY file_id ORDER BY file_id""")),
+
+    // ------------------------------------------------ exact heavy hitters
+    "txt_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val words = Tables.rebalance(Tables.documents(s, dir))
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+        // pass 1: Misra–Gries sketch → one row (counts: ≤K entries, n)
+        val sketch = words.as[String].select(new MisraGries(HhK).toColumn)
+        // pass 2: recount ONLY the candidates (broadcast ≤K-key map),
+        // then the support threshold makes the answer exact
+        words.crossJoin(broadcast(sketch.toDF("counts", "n")))
+          .filter(array_contains(map_keys(col("counts")), col("word")))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("cnt"), first(col("n")).as("total_words"))
+          .filter(col("cnt") * (HhK + 1) > col("total_words"))
+          .select(col("word"), col("cnt"))
+          .orderBy(col("cnt").desc, col("word"))
+      },
+      Some(s"""WITH w AS (
+          SELECT w AS word FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE LENGTH(w) > 0
+        ), tot AS (SELECT COUNT(*) AS n FROM w)
+        SELECT word, COUNT(*) AS cnt
+        FROM w GROUP BY word
+        HAVING COUNT(*) * ${HhK + 1} > (SELECT n FROM tot)
+        ORDER BY cnt DESC, word"""))
+  )
+}

@@ -34,7 +34,9 @@ class PlanSweepSpec extends SparkSpec {
     "sim_kmeans",         // broadcast k-centroid crossJoin (assignment argmin)
     "dedup_semantic",     // same k-centroid assignment + broadcast k-row reps
     "rel_skew_report",    // crossJoin(broadcast(1-row key-count stats))
-    "cdc_snapshot_chunks" // crossJoin(broadcast(1-row PK-range stats))
+    "cdc_snapshot_chunks", // crossJoin(broadcast(1-row PK-range stats))
+    "lake_zorder",        // crossJoin(broadcast(1-row min/max bounds))
+    "txt_heavy_hitters"   // crossJoin(broadcast(1-row ≤k-candidate sketch))
   )
 
   test("every declared query ends in a global total order (the oracle " +

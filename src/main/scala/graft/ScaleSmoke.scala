@@ -63,7 +63,11 @@ object ScaleSmoke {
       "sim_knn_lsh", "sim_kmeans", "dedup_semantic", "emb_whiten",
       "txt_tokenize_vocab", "docs_chunk_overlap", "rel_global_ids",
       "rel_band_join_bucketed", "dedup_incremental", "emb_outlier",
-      "samp_epoch_mix", "mm_shard_manifest", "evt_ab_lift").foreach { q =>
+      "samp_epoch_mix", "mm_shard_manifest", "evt_ab_lift",
+      // dup-saturated corpus is the worst case for span mining (every
+      // gram is duplicated => maximal islands) and exercises the
+      // sketch's eviction path hard (30x token stream)
+      "txt_dup_spans", "txt_heavy_hitters", "txt_bpe_pairs").foreach { q =>
       time(s"$q 30x") {
         SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()

@@ -460,5 +460,35 @@ object ExtendedQueries {
           AND r_name = 'ASIA'
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
-        GROUP BY n_name ORDER BY revenue DESC, n_name""")))
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // --------------------------------------- window navigation functions
+    // The remaining window-function family: offset navigation (lag /
+    // lead-by-2), positional nth_value under an explicit running frame,
+    // and the two rank-ratio functions — exact integer ratios, so the
+    // doubles are bit-identical across engines.
+    "rel_window_navfuncs" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.select(col("o_orderkey"), col("o_orderstatus"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 2).over(w).as("next2_key"),
+          nth_value(col("o_orderkey"), 3).over(wRun).as("third_key"),
+          cume_dist().over(w).as("cd"),
+          percent_rank().over(w).as("pr"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+          LAG(o_orderkey, 1) OVER w AS prev_key,
+          LEAD(o_orderkey, 2) OVER w AS next2_key,
+          NTH_VALUE(o_orderkey, 3) OVER (PARTITION BY o_orderstatus
+            ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key,
+          CUME_DIST() OVER w AS cd,
+          PERCENT_RANK() OVER w AS pr
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        ORDER BY o_orderkey""")))
 }

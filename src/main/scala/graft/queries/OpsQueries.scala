@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.MisraGries
@@ -241,6 +242,208 @@ object OpsQueries {
         SELECT word, COUNT(*) AS cnt
         FROM w GROUP BY word
         HAVING COUNT(*) * ${HhK + 1} > (SELECT n FROM tot)
-        ORDER BY cnt DESC, word"""))
+        ORDER BY cnt DESC, word""")),
+
+    // -------------------------------------------- duplicated-span mining
+    // Substring-level exact dedup (the "repeated span" shape of
+    // exact-substring training-data dedup): every maximal run of word
+    // positions whose L-gram also occurs in ANOTHER document. Inverted
+    // index on the gram (min≠max doc beats a count-distinct), semi-join
+    // back, islands (pos - row_number) to merge overlapping grams into
+    // maximal spans. Joins key on the gram STRING for bit-exact oracle
+    // parity; at corpus scale the key would be the 64-bit gram hash
+    // (same family as dedup_ngram_jaccard) to shrink shuffle width.
+    "txt_dup_spans" -> QueryDef(
+      (s, dir) => {
+        val L = 8
+        val grams = Tables.rebalance(Tables.documents(s, dir))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= L)
+          .select(col("doc_id"), posexplode(expr(
+            s"""transform(sequence(0, size(toks) - $L),
+                i -> concat_ws(' ', slice(toks, i + 1, $L)))""")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gram"))
+        val dupGrams = grams.groupBy(col("gram"))
+          .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+          .filter(col("dmin") =!= col("dmax"))
+          .select(col("gram"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        grams.join(dupGrams, Seq("gram"), "left_semi")
+          .withColumn("isl", col("pos") - row_number().over(w))
+          .groupBy(col("doc_id"), col("isl"))
+          .agg(min(col("pos")).as("span_start"),
+            (max(col("pos")) - min(col("pos")) + L).as("span_words"))
+          .select(col("doc_id"), col("span_start"), col("span_words"))
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 8
+        ), g AS (
+          SELECT doc_id, i AS pos,
+            array_to_string(list_slice(toks,
+              CAST(i AS INTEGER) + 1, CAST(i AS INTEGER) + 8), ' ') AS gram
+          FROM d, UNNEST(range(0, len(toks) - 7)) AS t(i)
+        ), dupg AS (
+          SELECT gram FROM g GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)
+        ), dp AS (
+          SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dupg)
+        ), isl AS (
+          SELECT doc_id, pos,
+            pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+          FROM dp
+        )
+        SELECT doc_id, MIN(pos) AS span_start,
+          MAX(pos) - MIN(pos) + 8 AS span_words
+        FROM isl GROUP BY doc_id, isl
+        ORDER BY doc_id, span_start""")),
+
+    // ------------------------------------------- data-skipping A/B report
+    // Quantifies what lake_zorder buys: per-file (min,max) envelopes on
+    // BOTH dimensions under (a) the natural date-bucketed layout and
+    // (b) the z-order layout, probed with 16 deterministic 2-D range
+    // queries (custkey-range × day-range, each 1/8 of the domain,
+    // diagonally spread). Reports files whose envelope intersects each
+    // probe — the exact min/max pruning a lake format performs. All
+    // stages after the two per-file aggregations are ≤64-row
+    // broadcasts; integer math throughout.
+    "lake_skip_report" -> QueryDef(
+      (s, dir) => {
+        val base = Tables.orders(s, dir).select(
+          col("o_custkey").as("x"),
+          expr("unix_timestamp(o_orderdate) div 86400").as("y"))
+        val bounds = base.agg(
+          min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+          min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+        def norm(v: Column, lo: Column, hi: Column): Column =
+          when(hi === lo, lit(0L))
+            .otherwise(((v - lo) * ((1 << ZBits) - 1)).cast("long") / (hi - lo))
+            .cast("long")
+        val withBounds = base.crossJoin(broadcast(bounds))
+        val envNat = withBounds
+          .withColumn("file_id",
+            when(col("ymax") === col("ymin"), lit(0L))
+              .otherwise(((col("y") - col("ymin")) * 63).cast("long") /
+                (col("ymax") - col("ymin")))
+              .cast("long"))
+          .groupBy(col("file_id"))
+          .agg(min(col("x")).as("fxmin"), max(col("x")).as("fxmax"),
+            min(col("y")).as("fymin"), max(col("y")).as("fymax"))
+        val envZ = withBounds
+          .withColumn("xn", norm(col("x"), col("xmin"), col("xmax")))
+          .withColumn("yn", norm(col("y"), col("ymin"), col("ymax")))
+          .withColumn("file_id",
+            shiftright(interleave(col("xn"), col("yn")), 2 * ZBits - ZFileBits))
+          .groupBy(col("file_id"))
+          .agg(min(col("x")).as("fxmin"), max(col("x")).as("fxmax"),
+            min(col("y")).as("fymin"), max(col("y")).as("fymax"))
+        val probes = s.range(16).toDF("probe_id")
+          .crossJoin(broadcast(bounds))
+          .select(col("probe_id"),
+            (col("xmin") + ((col("xmax") - col("xmin")) *
+              ((col("probe_id") * 5) % 16)).cast("long") / 16).cast("long").as("cust_lo"),
+            ((col("xmax") - col("xmin")).cast("long") / 8).cast("long").as("cw"),
+            (col("ymin") + ((col("ymax") - col("ymin")) *
+              ((col("probe_id") * 7) % 16)).cast("long") / 16).cast("long").as("day_lo"),
+            ((col("ymax") - col("ymin")).cast("long") / 8).cast("long").as("dw"))
+          .select(col("probe_id"), col("cust_lo"),
+            (col("cust_lo") + col("cw")).as("cust_hi"),
+            col("day_lo"), (col("day_lo") + col("dw")).as("day_hi"))
+        def hits(env: DataFrame, out: String): DataFrame =
+          probes.join(broadcast(env),
+            col("fxmax") >= col("cust_lo") && col("fxmin") <= col("cust_hi") &&
+              col("fymax") >= col("day_lo") && col("fymin") <= col("day_hi"),
+            "left_outer")
+            .groupBy(col("probe_id"))
+            .agg(count(col("file_id")).as(out))
+        hits(envNat, "nat_files")
+          .join(hits(envZ, "z_files"), Seq("probe_id"))
+          .orderBy(col("probe_id"))
+      },
+      Some(s"""WITH base AS (
+          SELECT o_custkey AS x,
+                 CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS y
+          FROM orders
+        ), b AS (
+          SELECT MIN(x) AS xmin, MAX(x) AS xmax,
+                 MIN(y) AS ymin, MAX(y) AS ymax FROM base
+        ), env_nat AS (
+          SELECT CASE WHEN ymax = ymin THEN 0
+                   ELSE ((y - ymin) * 63) // (ymax - ymin) END AS file_id,
+            MIN(x) AS fxmin, MAX(x) AS fxmax,
+            MIN(y) AS fymin, MAX(y) AS fymax
+          FROM base CROSS JOIN b GROUP BY 1
+        ), n AS (
+          SELECT x, y,
+            CASE WHEN xmax = xmin THEN 0
+                 ELSE ((x - xmin) * ${(1 << ZBits) - 1}) // (xmax - xmin) END AS xn,
+            CASE WHEN ymax = ymin THEN 0
+                 ELSE ((y - ymin) * ${(1 << ZBits) - 1}) // (ymax - ymin) END AS yn
+          FROM base CROSS JOIN b
+        ), env_z AS (
+          SELECT ($interleaveSql) >> ${2 * ZBits - ZFileBits} AS file_id,
+            MIN(x) AS fxmin, MAX(x) AS fxmax,
+            MIN(y) AS fymin, MAX(y) AS fymax
+          FROM n GROUP BY 1
+        ), probes AS (
+          SELECT i AS probe_id,
+            xmin + ((xmax - xmin) * ((i * 5) % 16)) // 16 AS cust_lo,
+            xmin + ((xmax - xmin) * ((i * 5) % 16)) // 16
+              + (xmax - xmin) // 8 AS cust_hi,
+            ymin + ((ymax - ymin) * ((i * 7) % 16)) // 16 AS day_lo,
+            ymin + ((ymax - ymin) * ((i * 7) % 16)) // 16
+              + (ymax - ymin) // 8 AS day_hi
+          FROM range(0, 16) AS t(i) CROSS JOIN b
+        ), nat_hits AS (
+          SELECT p.probe_id, COUNT(e.file_id) AS nat_files
+          FROM probes p LEFT JOIN env_nat e
+            ON e.fxmax >= p.cust_lo AND e.fxmin <= p.cust_hi
+           AND e.fymax >= p.day_lo AND e.fymin <= p.day_hi
+          GROUP BY p.probe_id
+        ), z_hits AS (
+          SELECT p.probe_id, COUNT(e.file_id) AS z_files
+          FROM probes p LEFT JOIN env_z e
+            ON e.fxmax >= p.cust_lo AND e.fxmin <= p.cust_hi
+           AND e.fymax >= p.day_lo AND e.fymin <= p.day_hi
+          GROUP BY p.probe_id
+        )
+        SELECT nh.probe_id, nh.nat_files, zh.z_files
+        FROM nat_hits nh JOIN z_hits zh ON nh.probe_id = zh.probe_id
+        ORDER BY nh.probe_id""")),
+
+    // ------------------------------------------------- BPE pair counting
+    // The inner aggregation of byte-pair-encoding vocabulary induction:
+    // adjacent symbol-pair counts over the corpus, weighted by word
+    // frequency — two keyed aggregations (word counts collapse the
+    // corpus to its vocabulary FIRST, so the pair explosion runs over
+    // distinct words, not every token occurrence). Top-20 merge
+    // candidates; the iterative trainer around this aggregation is
+    // [[graft.operators.BpeTrainer]].
+    "txt_bpe_pairs" -> QueryDef(
+      (s, dir) => {
+        val words = Tables.rebalance(Tables.documents(s, dir))
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        words
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"))
+          .groupBy(col("pair"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""WITH words AS (
+          SELECT w, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE LENGTH(w) >= 2 GROUP BY w
+        ), pairs AS (
+          SELECT SUBSTR(w, CAST(i AS INTEGER), 2) AS pair, cnt
+          FROM words, UNNEST(range(1, LENGTH(w))) AS t(i)
+        )
+        SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM pairs GROUP BY pair
+        ORDER BY cnt DESC, pair LIMIT 20"""))
   )
 }

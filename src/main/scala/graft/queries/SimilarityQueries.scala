@@ -349,5 +349,82 @@ object SimilarityQueries {
           FROM sv JOIN cs ON sv.s = cs.s)
         SELECT vec_id, CAST(s AS INTEGER) AS subspace, cell_id AS code
         FROM ranked WHERE r = 1 ORDER BY vec_id, subspace"""
+      }),
+
+    // ----------------------------------------- ANN quality: recall@5
+    // The report that justifies (or vetoes) the LSH scale path: per
+    // probe, how many of the exact brute-force top-5 the sign-bit LSH
+    // candidate search returned. Both sides are the already-declared
+    // pipelines; the comparison is a keyed left join + conditional
+    // count. At scale the brute side runs on a SAMPLE of probes —
+    // recall estimation never needs every probe.
+    "sim_recall_report" -> QueryDef(
+      (s, dir) => {
+        val vecs = vectors(s, dir)
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        val probes = vecs.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("probe_id"), col("v"), col("norm"))
+        val brute = broadcast(probes).as("p")
+          .join(vecs.as("e"), col("p.probe_id") =!= col("e.vec_id"))
+          .select(col("p.probe_id"), col("e.vec_id"),
+            (cosCol / (col("p.norm") * col("e.norm"))).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("probe_id"), col("vec_id"))
+        val bucketed = vecs.withColumn("bucket",
+          (0 until 4).map(i =>
+            when(expr(s"element_at(v, ${i + 1})") > 0, lit(1L << i))
+              .otherwise(lit(0L))).reduce(_ + _))
+        val bProbes = bucketed.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("probe_id"),
+            col("v"), col("norm"), col("bucket"))
+        val lsh = broadcast(bProbes).as("p")
+          .join(bucketed.as("e"),
+            col("p.bucket") === col("e.bucket") &&
+              col("p.probe_id") =!= col("e.vec_id"))
+          .select(col("p.probe_id"), col("e.vec_id"),
+            (cosCol / (col("p.norm") * col("e.norm"))).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("probe_id").as("l_probe_id"),
+            col("vec_id").as("l_vec_id"))
+        brute.join(lsh,
+          col("probe_id") === col("l_probe_id") &&
+            col("vec_id") === col("l_vec_id"), "left_outer")
+          .groupBy(col("probe_id"))
+          .agg(sum(when(col("l_vec_id").isNull, 0L).otherwise(1L)).as("hits"))
+          .withColumn("recall", col("hits").cast("double") / 5.0)
+          .orderBy(col("probe_id"))
+      },
+      Some {
+        val bucketSql = (0 until 4)
+          .map(i => s"(CASE WHEN v[${i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH $vecSql,
+        p AS (SELECT vec_id AS probe_id, v, norm FROM n WHERE vec_id % 100 = 0),
+        brute AS (
+          SELECT probe_id, vec_id FROM (
+            SELECT p.probe_id, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+                $dotSql / (p.norm * e.norm) DESC, e.vec_id ASC) AS rnk
+            FROM p JOIN n e ON p.probe_id <> e.vec_id) WHERE rnk <= 5),
+        bkt AS (SELECT vec_id, v, norm, $bucketSql AS bucket FROM n),
+        bp AS (SELECT vec_id AS probe_id, v, norm, bucket FROM bkt
+               WHERE vec_id % 100 = 0),
+        lsh AS (
+          SELECT probe_id, vec_id FROM (
+            SELECT p.probe_id, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+                $dotSql / (p.norm * e.norm) DESC, e.vec_id ASC) AS rnk
+            FROM bp p JOIN bkt e
+              ON p.bucket = e.bucket AND p.probe_id <> e.vec_id)
+          WHERE rnk <= 5)
+        SELECT b.probe_id,
+          CAST(SUM(CASE WHEN l.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits,
+          CAST(SUM(CASE WHEN l.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / 5 AS recall
+        FROM brute b LEFT JOIN lsh l
+          ON b.probe_id = l.probe_id AND b.vec_id = l.vec_id
+        GROUP BY b.probe_id ORDER BY b.probe_id"""
       }))
 }

@@ -86,6 +86,34 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("duplicated spans are maximal: ≥8 words each, per-doc " +
+      "non-overlapping gram runs in sorted order") {
+    val spans = queries.OpsQueries.defs("txt_dup_spans").fn(spark, sf).collect()
+    assert(spans.nonEmpty)
+    spans.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getAs[Long]("span_start"))
+      sorted.foreach(r => assert(r.getAs[Long]("span_words") >= 8L))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // islands are maximal: the next span's first gram start must
+          // leave a gap of ≥2 gram positions (adjacent would have merged)
+          val aLastGram = a.getAs[Long]("span_start") + a.getAs[Long]("span_words") - 8
+          assert(b.getAs[Long]("span_start") > aLastGram + 1)
+        case _ =>
+      }
+    }
+  }
+
+  test("z-order layout skips more files than the natural date layout " +
+      "under 2-D range probes") {
+    val rep = queries.OpsQueries.defs("lake_skip_report").fn(spark, sf).collect()
+    assert(rep.length === 16)
+    val natMean = rep.map(_.getAs[Long]("nat_files")).sum.toDouble / 16
+    val zMean = rep.map(_.getAs[Long]("z_files")).sum.toDouble / 16
+    assert(zMean < natMean,
+      s"z-order should prune better: z=$zMean vs nat=$natMean")
+  }
+
   test("dq_expectations profiles every orders column with sane bounds") {
     val prof = queries.OpsQueries.defs("dq_expectations").fn(spark, sf).collect()
     assert(prof.map(_.getString(0)).toSet === Set("o_orderkey", "o_custkey",

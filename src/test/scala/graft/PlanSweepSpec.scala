@@ -36,7 +36,9 @@ class PlanSweepSpec extends SparkSpec {
     "rel_skew_report",    // crossJoin(broadcast(1-row key-count stats))
     "cdc_snapshot_chunks", // crossJoin(broadcast(1-row PK-range stats))
     "lake_zorder",        // crossJoin(broadcast(1-row min/max bounds))
-    "txt_heavy_hitters"   // crossJoin(broadcast(1-row ≤k-candidate sketch))
+    "txt_heavy_hitters",  // crossJoin(broadcast(1-row ≤k-candidate sketch))
+    "lake_skip_report",   // 16 probes × ≤64 broadcast file envelopes
+    "sim_recall_report"   // broadcast probe set (brute recall baseline)
   )
 
   test("every declared query ends in a global total order (the oracle " +

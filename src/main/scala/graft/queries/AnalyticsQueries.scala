@@ -576,6 +576,83 @@ object AnalyticsQueries {
     // needs full per-day user state): each user collapses to their
     // FIRST active day (one keyed min — map-side partial), then growth
     // is a per-day count plus a cumulative window over the tiny day
+    // ------------------------------------ peak concurrency (sweep line)
+    // Peak concurrent sessions per hour: gap-sessionize (same 1800 s
+    // rule as evt_sessionize), emit +1/-1 boundary deltas (end is
+    // inclusive, so -1 lands at end+1), collapse per second (ties
+    // resolve by summing, no ordering ambiguity), then a DISTRIBUTED
+    // prefix sum — within-hour running totals via a partitioned window
+    // plus per-hour carry-in offsets from a cumulative sum over the
+    // tiny hour-totals table (O(hours) rows — the rel_global_ids
+    // two-phase pattern). Peaks are evaluated at boundary seconds;
+    // hours without any boundary are absent by definition, identically
+    // in both engines.
+    "evt_concurrency" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("sec", unix_timestamp(col("ts")))
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("sec"), col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = e.withColumn("prev_sec", lag(col("sec"), 1).over(wOrd))
+          .withColumn("new_session",
+            when(col("prev_sec").isNull ||
+              col("sec") - col("prev_sec") > 1800, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(wRun))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
+        val perSec = sess.select(col("start_sec").as("sec"), lit(1L).as("delta"))
+          .unionAll(sess.select((col("end_sec") + 1).as("sec"),
+            lit(-1L).as("delta")))
+          .groupBy(col("sec")).agg(sum(col("delta")).as("nd"))
+          .withColumn("hour", expr("sec div 3600"))
+        val wIn = Window.partitionBy(col("hour")).orderBy(col("sec"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withinRun = perSec.withColumn("in_run", sum(col("nd")).over(wIn))
+        val wHours = Window.orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = perSec.groupBy(col("hour")).agg(sum(col("nd")).as("h_nd"))
+          .withColumn("carry_in", coalesce(sum(col("h_nd")).over(wHours), lit(0L)))
+          .select(col("hour"), col("carry_in"))
+        withinRun.join(broadcast(offsets), "hour")
+          .groupBy(col("hour"))
+          .agg(max(col("in_run") + col("carry_in")).as("peak"))
+          .orderBy(col("hour"))
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id,
+            CAST(floor(epoch(ts)) AS BIGINT) AS sec
+          FROM events),
+        g AS (
+          SELECT user_id, event_id, sec,
+            CASE WHEN LAG(sec, 1) OVER w IS NULL
+                   OR sec - LAG(sec, 1) OVER w > 1800
+                 THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        sid AS (
+          SELECT user_id, sec,
+            CAST(SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY sec, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_id
+          FROM g),
+        sess AS (
+          SELECT user_id, session_id,
+            MIN(sec) AS start_sec, MAX(sec) AS end_sec
+          FROM sid GROUP BY user_id, session_id),
+        d AS (
+          SELECT start_sec AS sec, 1 AS delta FROM sess
+          UNION ALL SELECT end_sec + 1, -1 FROM sess),
+        ps AS (SELECT sec, CAST(SUM(delta) AS BIGINT) AS nd
+               FROM d GROUP BY sec),
+        run AS (
+          SELECT sec, CAST(SUM(nd) OVER (ORDER BY sec
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS conc
+          FROM ps)
+        SELECT sec // 3600 AS hour, MAX(conc) AS peak
+        FROM run GROUP BY sec // 3600 ORDER BY hour""")),
+
     // series. State after the first aggregate is O(users), the window
     // runs over O(days) rows — the standard scalable form of a growth
     // curve at any event volume.

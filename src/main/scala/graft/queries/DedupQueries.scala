@@ -277,6 +277,63 @@ object DedupQueries {
           ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
         ORDER BY doc_a, doc_b""")),
 
+    // ----------------------------- dedup quality gate (precision/recall)
+    // The report that justifies the LSH approximation: MinHash candidate
+    // pairs vs the exact n-gram-Jaccard ground truth at the SAME 0.12
+    // threshold the declared near-dup query uses. One full-outer join of
+    // two already-bounded pair sets + a single aggregation — the gate
+    // costs no more than the two pipelines it certifies, and both
+    // inherit their caps (bucket cap, df cap) so it runs at any scale.
+    "dedup_quality_report" -> QueryDef(
+      (s, dir) => {
+        val cand = minhashPairs(s, dir).withColumn("is_cand", lit(1L))
+        val truth = sharedGramCounts(s, dir, "quality_df_cap")
+          .filter(col("shared").cast("double") /
+            (col("sa") + col("sb") - col("shared")).cast("double") >= 0.12)
+          .select(col("doc_a"), col("doc_b"))
+          .withColumn("is_true", lit(1L))
+        cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+          .agg(sum(coalesce(col("is_cand"), lit(0L))).as("n_candidates"),
+            sum(coalesce(col("is_true"), lit(0L))).as("n_true"),
+            sum(when(col("is_cand").isNotNull && col("is_true").isNotNull,
+              1L).otherwise(0L)).as("n_hits"))
+          .withColumn("precision",
+            col("n_hits").cast("double") / col("n_candidates").cast("double"))
+          .withColumn("recall",
+            col("n_hits").cast("double") / col("n_true").cast("double"))
+      },
+      Some(s"""WITH $signaturesSql,
+        bx AS (
+          ${(0 until NumBands)
+            .map(b => s"SELECT doc_id, $b AS band_id, band$b AS sig FROM bands")
+            .mkString(" UNION ALL ")}),
+        bc AS (SELECT band_id, sig FROM bx GROUP BY band_id, sig
+          HAVING COUNT(*) <= $MinHashBucketCap),
+        bk AS (SELECT bx.* FROM bx
+          JOIN bc ON bx.band_id = bc.band_id AND bx.sig = bc.sig),
+        pr AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bk a JOIN bk b
+            ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        $sharedGramSql,
+        tr AS (
+          SELECT doc_a, doc_b FROM shared
+          WHERE CAST(shared AS DOUBLE) / CAST(sa + sb - shared AS DOUBLE) >= 0.12),
+        flags AS (
+          SELECT CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand,
+                 CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+          FROM pr p FULL OUTER JOIN tr t
+            ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b),
+        agg AS (
+          SELECT CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+                 CAST(SUM(is_true) AS BIGINT) AS n_true,
+                 CAST(SUM(is_cand * is_true) AS BIGINT) AS n_hits
+          FROM flags)
+        SELECT n_candidates, n_true, n_hits,
+          CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS precision,
+          CAST(n_hits AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+        FROM agg ORDER BY n_candidates""")),
+
     // ----------------------------- duplicate clusters (connected comps)
     // Pairs → clusters: iterative min-label propagation
     // (graft.operators.ConnectedComponents); the oracle closes the same

@@ -49,6 +49,10 @@ class PlanSweepSpec extends SparkSpec {
       case GlobalLimit(_, child) => totalOrder(child)
       case LocalLimit(_, child) => totalOrder(child)
       case Project(_, child) => totalOrder(child)
+      // a grouping-less aggregate emits at most one row — trivially a
+      // total order (Catalyst's EliminateSorts removes any ORDER BY
+      // written above it, so requiring a Sort node would be unsatisfiable)
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
       case _ => false
     }
     val missing = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

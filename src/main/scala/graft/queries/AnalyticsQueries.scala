@@ -456,11 +456,27 @@ object AnalyticsQueries {
     "evt_gaps" -> QueryDef(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        Tables.events(s, dir)
+        // distributed successor-pair construction: lead() within id-range
+        // buckets (parallel), then each bucket's tail pairs with the next
+        // non-empty bucket's head via a lead over the O(buckets) bounds
+        // table — the only unpartitioned window runs over buckets, never
+        // the event stream (same two-phase shape as evt_concurrency)
+        val clicks = Tables.events(s, dir)
           .filter(col("event_type") === "click")
           .select(col("event_id"))
-          .withColumn("next_id",
-            lead(col("event_id"), 1).over(Window.orderBy(col("event_id"))))
+          .withColumn("bkt", expr("event_id div 100000"))
+        val wIn = Window.partitionBy(col("bkt")).orderBy(col("event_id"))
+        val within = clicks
+          .withColumn("next_id", lead(col("event_id"), 1).over(wIn))
+          .filter(col("next_id").isNotNull)
+          .select(col("event_id"), col("next_id"))
+        val wB = Window.orderBy(col("bkt"))
+        val stitched = clicks.groupBy(col("bkt"))
+          .agg(min(col("event_id")).as("bmin"), max(col("event_id")).as("bmax"))
+          .withColumn("next_min", lead(col("bmin"), 1).over(wB))
+          .filter(col("next_min").isNotNull)
+          .select(col("bmax").as("event_id"), col("next_min").as("next_id"))
+        within.unionAll(stitched)
           .filter(col("next_id") - col("event_id") > 1)
           .select((col("event_id") + 1).as("gap_start"),
             (col("next_id") - 1).as("gap_end"),

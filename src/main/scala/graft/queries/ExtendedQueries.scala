@@ -462,6 +462,87 @@ object ExtendedQueries {
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name ORDER BY revenue DESC, n_name""")),
 
+    // ------------------------------------ TPC-H Q10-shaped returns report
+    // Revenue lost to returned items per customer over a half-year
+    // window: fact ⋈ date-pruned orders ⋈ customer ⋈ broadcast nation,
+    // exact-decimal revenue, top-20 via a total-order limit (planned as
+    // TakeOrderedAndProject — no global sort materializes).
+    "rel_tpch_q10" -> QueryDef(
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        val n = broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name")))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(dec2(col("l_extendedprice")) *
+              (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // --------------------------------- TPC-H Q18-shaped large-order scan
+    // Orders whose total quantity clears a threshold: a fact-table
+    // aggregation with HAVING feeding a join back to orders+customer —
+    // the "aggregate then enrich the survivors" shape. Quantities sum
+    // as exact decimals; dates canonicalize to epoch seconds.
+    "rel_tpch_q18" -> QueryDef(
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(dec2(col("l_quantity"))).as("total_qty_dec"))
+          .filter(col("total_qty_dec") > 250)
+          .select(col("l_orderkey"),
+            col("total_qty_dec").cast("double").as("total_qty"))
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            unix_timestamp(col("o_orderdate")).as("order_sec"),
+            col("o_totalprice"))
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"))
+        big.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("order_sec"),
+            dec2(col("o_totalprice")).cast("double").as("total_price"),
+            col("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH big AS (
+          SELECT l_orderkey,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        SELECT c_custkey, c_name, o_orderkey,
+          CAST(CAST(epoch(o_orderdate) AS BIGINT) AS BIGINT) AS order_sec,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+          total_qty
+        FROM big, orders, customer
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey LIMIT 100""")),
+
     // --------------------------------------- window navigation functions
     // The remaining window-function family: offset navigation (lag /
     // lead-by-2), positional nth_value under an explicit running frame,

@@ -90,4 +90,43 @@ class PlanSweepSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  /** Queries whose UNPARTITIONED window (a single-partition sort, the
+    * classic straggler at scale) runs over an input that is bounded by
+    * construction — a small aggregate (languages, hours, days, k rows),
+    * never the raw table. Each entry names the bounded domain.
+    */
+  private val globalWindowByDesign: Map[String, String] = Map(
+    "rel_global_ids" -> "per-lang offsets (O(languages) rows)",
+    "evt_user_growth" -> "per-day first-seen counts (O(days) rows)",
+    "evt_concurrency" -> "per-hour carry-in totals (O(hours) rows)",
+    "evt_gaps" -> "bucket-boundary stitching (O(id-range/bucket) rows)",
+    "samp_domain_mix" -> "per-source quotas (O(sources) rows)",
+    "txt_tokenize_vocab" -> "ranked vocabulary (bounded by vocab cap)",
+    "txt_search_bm25" -> "rank over the post-limit top-20 rows")
+
+  test("unpartitioned windows only over bounded-by-construction inputs " +
+      "(single-partition sorts never touch a raw table)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sawGlobal = scala.collection.mutable.Set.empty[String]
+    // logical plan, not executedPlan: AdaptiveSparkPlanExec hides its
+    // subtree from TreeNode.collect until execution
+    def hasGlobalWindow(p: LogicalPlan): Boolean =
+      p.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val global =
+        try hasGlobalWindow(fn(spark, sf).queryExecution.optimizedPlan)
+        catch { case _: Throwable => false }
+      if (global) {
+        sawGlobal += name
+        if (!globalWindowByDesign.contains(name))
+          offenders += s"$name: unpartitioned WindowExec over an unlisted input"
+      }
+    }
+    (globalWindowByDesign.keySet -- sawGlobal).foreach { stale =>
+      offenders += s"$stale: allowlisted but plans no unpartitioned window"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }

@@ -543,6 +543,94 @@ object ExtendedQueries {
         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
         ORDER BY total_qty DESC, o_orderkey LIMIT 100""")),
 
+    // ----------------------------------- TPC-H Q3-shaped shipping backlog
+    // Unshipped high-value orders for one market segment: two date
+    // filters on opposite sides of the cut, three-way join, top-10 by
+    // exact-decimal revenue (TakeOrderedAndProject — no global sort).
+    "rel_tpch_q3" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            unix_timestamp(col("o_orderdate")).as("order_sec"))
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > lit("1996-06-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("order_sec"))
+          .agg(sum(dec2(col("l_extendedprice")) *
+              (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey,
+          CAST(CAST(epoch(o_orderdate) AS BIGINT) AS BIGINT) AS order_sec,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1996-06-01'
+          AND l_shipdate > TIMESTAMP '1996-06-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // ------------------------------------- higher-order array functions
+    // The codegen'd array-lambda surface (filter / aggregate / zip_with /
+    // reverse) over the embedding vectors — each mirrored by DuckDB's
+    // list lambdas; the fold is the same sequential left fold every
+    // vector operator in the engine uses, so doubles are bit-identical.
+    "rel_array_funcs" -> QueryDef(
+      (s, dir) => {
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"),
+            size(expr("filter(v, x -> x > 0)")).cast("long").as("n_pos"),
+            round(expr("aggregate(v, 0D, (acc, x) -> acc + x)"), 6)
+              .as("v_sum"),
+            round(expr(
+              "aggregate(zip_with(v, reverse(v), (a, b) -> a * b), 0D, (acc, x) -> acc + x)"),
+              6).as("palindrome_dot"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+        SELECT vec_id,
+          len(list_filter(v, x -> x > 0)) AS n_pos,
+          ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), v),
+            (acc, x) -> acc + x), 6) AS v_sum,
+          ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, len(v) + 1),
+              i -> v[CAST(i AS INTEGER)] *
+                   v[CAST(len(v) + 1 - i AS INTEGER)])),
+            (acc, x) -> acc + x), 6) AS palindrome_dot
+        FROM e ORDER BY vec_id""")),
+
+    // ----------------------------------------------- typed JSON parsing
+    // from_json with an explicit schema (the typed path — a Jackson
+    // parse into a struct inside codegen, vs rel_scalar_json's
+    // per-path get_json_object probes).
+    "rel_json_parse" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            expr("from_json(props, 'k INT').k").as("k_typed"))
+          .withColumn("k_bucket", expr("k_typed div 10"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket
+        FROM events ORDER BY event_id""")),
+
     // --------------------------------------- window navigation functions
     // The remaining window-function family: offset navigation (lag /
     // lead-by-2), positional nth_value under an explicit running frame,

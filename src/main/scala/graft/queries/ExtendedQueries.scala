@@ -580,6 +580,44 @@ object ExtendedQueries {
         GROUP BY o_orderkey, o_orderdate
         ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
 
+    // ------------------------------------ bloom-pruned sort-merge join
+    // The semi-join runtime filter for the case broadcast can't cover:
+    // dim is too big to hash-broadcast, so fact must shuffle for a
+    // sort-merge join — but dim's KEY SKETCH fits in ~1 MB. Build a
+    // bloom filter over the dim keys (distributed treeAggregate merge
+    // of partial sketches), probe it at the fact scan via the native
+    // codegen expression, and only survivors pay the exchange. False
+    // positives pass the probe but die in the exact join, so the result
+    // is bit-identical to the unfiltered join — which is exactly what
+    // the oracle checks (plain join SQL, no bloom). ScaleOpsSpec pins
+    // the probe sitting below the fact-side exchange and the
+    // no-bloom-equivalence property.
+    "rel_bloom_join" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.BloomOps
+        val dim = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_custkey"))
+        // sketch build: one column-pruned pass over dim, merged on the
+        // driver like any broadcast build (~1.2 MB at 1M keys / 1% fp)
+        val bloom = dim.stat.bloomFilter("o_orderkey", 1000000L, 0.01)
+        val fact = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .filter(BloomOps.mightContainLong(col("l_orderkey"), bloom))
+        fact.join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(dec2(col("l_extendedprice"))).cast("double")
+              .as("urgent_revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS urgent_revenue,
+          COUNT(*) AS n_items
+        FROM lineitem, orders
+        WHERE l_orderkey = o_orderkey AND o_orderpriority = '1-URGENT'
+        GROUP BY o_custkey ORDER BY o_custkey""")),
+
     // ------------------------------------- higher-order array functions
     // The codegen'd array-lambda surface (filter / aggregate / zip_with /
     // reverse) over the embedding vectors — each mirrored by DuckDB's

@@ -39,7 +39,7 @@ class CodegenOnlySpec extends SparkSpec {
     }
   }
 
-  test("all five native expressions compile and evaluate under CODEGEN_ONLY") {
+  test("all native expressions compile and evaluate under CODEGEN_ONLY") {
     // a parquet-backed scan, NOT Seq(...).toDF: Project over a
     // LocalRelation is constant-folded by ConvertToLocalRelation using
     // INTERPRETED eval at optimization time, so a broken doGenCode
@@ -78,6 +78,16 @@ class CodegenOnlySpec extends SparkSpec {
         .select(col("vec_id"), arrayDot(col("v"), col("v")).as("dot"))
         .orderBy(col("vec_id")).limit(3).collect()
       assert(emb.length == 3 && emb.forall(_.getDouble(1) > 0))
+
+      // sixth native expression: the bloom membership probe
+      val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+      (0L until 10L).foreach(bloom.putLong)
+      val probed = spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(graft.functions.BloomOps.mightContainLong(col("vec_id"), bloom))
+        .select(col("vec_id")).orderBy(col("vec_id")).collect()
+      // no false negatives: all of 0..9 that exist must survive
+      assert(probed.map(_.getLong(0)).toSet.intersect((0L until 10L).toSet)
+        == (0L until 10L).toSet)
     }
   }
 }

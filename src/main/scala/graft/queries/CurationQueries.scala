@@ -933,6 +933,48 @@ object CurationQueries {
           MIN(n) AS min_len, MAX(n) AS max_len
         FROM b GROUP BY bucket ORDER BY bucket""")),
 
+    // ------------------------------- curriculum ordering into shards
+    // Short→long curriculum: every document gets a dense global
+    // curriculum position ordered by (n_chars, doc_id) and a contiguous
+    // shard assignment (8 shards), so shard 0 holds the shortest docs
+    // and training consumes shards in order. The global rank is built
+    // WITHOUT a single-partition sort (the rel_global_ids pattern over
+    // a coarser key): row_number within each 256-char length bucket,
+    // plus broadcast prefix offsets from the O(max_len/256)-row bucket
+    // count table — the tiny table is the only unpartitioned window.
+    // Shard = gid * 8 div total via a broadcast 1-row count.
+    "pipe_curriculum" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("bucket", expr("n_chars div 256"))
+        val offsets = docs.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("offset",
+            coalesce(sum(col("n")).over(Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("offset"))
+        val total = docs.agg(count(lit(1)).as("total"))
+        docs.withColumn("rk", row_number().over(
+            Window.partitionBy(col("bucket"))
+              .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+          .join(broadcast(offsets), "bucket")
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("n_chars"),
+            (col("offset") + col("rk") - 1).as("gid"),
+            expr("(offset + rk - 1) * 8 div total").as("shard"))
+          .orderBy(col("gid"))
+      },
+      Some("""WITH r AS (
+          SELECT doc_id, n_chars,
+            CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1
+              AS BIGINT) AS gid,
+            CAST(COUNT(*) OVER () AS BIGINT) AS total
+          FROM documents)
+        SELECT doc_id, n_chars, gid,
+          CAST(gid * 8 // total AS BIGINT) AS shard
+        FROM r ORDER BY gid""")),
+
     // -------------------- standardized-distance outlier screen (top-20)
     // Diagonal-Mahalanobis outliers: per vector, sum over dims of
     // ((x−m)/sd)² against the same 6 dp-quantized whitening stats —

@@ -426,6 +426,62 @@ object DedupQueries {
         FROM p10 ORDER BY doc_id"""
       }),
 
+    // --------------------------- triangle census over the candidate graph
+    // Per-document triangle participation on the LSH pair graph — the
+    // local-density signal that separates tight duplicate cliques
+    // (every member pairwise-similar ⇒ many triangles) from chains of
+    // borderline matches (path-shaped ⇒ zero triangles), i.e. which
+    // clusters are safe to collapse aggressively. Scale shape: edges are
+    // oriented from the lower-degree endpoint to the higher (ties by
+    // id), so wedge enumeration costs Σ C(out_deg,2) with out-degree
+    // bounded by √(2·|E|) regardless of hub skew — the classic
+    // degree-ordered node-iterator. The triangle SET is orientation-
+    // invariant, so the oracle enumerates the same triangles with the
+    // plain a<b<c form and the hash check pins equality.
+    "graph_triangles" -> QueryDef(
+      (s, dir) => {
+        // one minhashPairs instance, reused 3× in-plan: localCheckpoint
+        // both truncates the re-executed lineage and keeps its observed
+        // metric single-instanced (the pagerank pattern)
+        val pairs = minhashPairs(s, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .localCheckpoint()
+        val deg = pairs.select(explode(array(col("a"), col("b"))).as("id"))
+          .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+        val lowFirst = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        val oriented = pairs
+          .join(deg.select(col("id").as("a"), col("dg").as("da")), "a")
+          .join(deg.select(col("id").as("b"), col("dg").as("db")), "b")
+          .select(when(lowFirst, col("a")).otherwise(col("b")).as("src"),
+            when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
+        // wedges centered at the low-degree vertex; u < v by id so each
+        // wedge enumerates once, closed against the canonical pair set
+        val wedges = oriented.as("e1").join(oriented.as("e2"),
+            col("e1.src") === col("e2.src") &&
+              col("e1.dst") < col("e2.dst"))
+          .select(col("e1.src").as("x"),
+            least(col("e1.dst"), col("e2.dst")).as("u"),
+            greatest(col("e1.dst"), col("e2.dst")).as("v"))
+        val tri = wedges.join(pairs,
+          col("u") === col("a") && col("v") === col("b"))
+        tri.select(explode(array(col("x"), col("u"), col("v"))).as("doc_id"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_triangles"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$clustersCtes,
+        tri AS (
+          SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+          FROM pr e1
+          JOIN pr e2 ON e1.doc_a = e2.doc_a AND e1.doc_b < e2.doc_b
+          JOIN pr e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b),
+        tn AS (SELECT x AS doc_id FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+        SELECT doc_id, COUNT(*) AS n_triangles
+        FROM tn GROUP BY doc_id ORDER BY doc_id""")),
+
     // ------------------------------- cluster-size distribution report
     // The number a dedup pass is judged by: how many clusters of each
     // size exist and how much document mass sits in them (size 1 =

@@ -38,7 +38,8 @@ class PlanSweepSpec extends SparkSpec {
     "lake_zorder",        // crossJoin(broadcast(1-row min/max bounds))
     "txt_heavy_hitters",  // crossJoin(broadcast(1-row ≤k-candidate sketch))
     "lake_skip_report",   // 16 probes × ≤64 broadcast file envelopes
-    "sim_recall_report"   // broadcast probe set (brute recall baseline)
+    "sim_recall_report",  // broadcast probe set (brute recall baseline)
+    "pipe_curriculum"     // crossJoin(broadcast(1-row doc count))
   )
 
   test("every declared query ends in a global total order (the oracle " +
@@ -103,7 +104,8 @@ class PlanSweepSpec extends SparkSpec {
     "evt_gaps" -> "bucket-boundary stitching (O(id-range/bucket) rows)",
     "samp_domain_mix" -> "per-source quotas (O(sources) rows)",
     "txt_tokenize_vocab" -> "ranked vocabulary (bounded by vocab cap)",
-    "txt_search_bm25" -> "rank over the post-limit top-20 rows")
+    "txt_search_bm25" -> "rank over the post-limit top-20 rows",
+    "pipe_curriculum" -> "per-length-bucket offsets (O(max_len/256) rows)")
 
   test("unpartitioned windows only over bounded-by-construction inputs " +
       "(single-partition sorts never touch a raw table)") {

@@ -652,6 +652,86 @@ object ExtendedQueries {
             (acc, x) -> acc + x), 6) AS palindrome_dot
         FROM e ORDER BY vec_id""")),
 
+    // ------------------------------------------- math scalar functions
+    // The math-function surface over exact-friendly operations only:
+    // abs/sign/mod/pmod/floor/ceil/round/trunc/greatest/least are exact
+    // integer or decimal ops, sqrt is IEEE-754 correctly-rounded (bit-
+    // identical across engines by spec), and squares use x*x (exact
+    // float multiply) — pow/exp/ln are deliberately absent because libm
+    // gives no cross-engine bit guarantee for them.
+    "rel_math_funcs" -> QueryDef(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_linenumber") === 1)
+          .select(col("l_orderkey"),
+            abs(col("l_quantity") - lit(25.0)).as("dev"),
+            signum(col("l_quantity") - lit(25.0)).cast("int").as("sgn"),
+            (col("l_orderkey") % 7).as("m7"),
+            pmod(negate(col("l_orderkey")), lit(7L)).as("pm7"),
+            floor(col("l_quantity") / 10.0).cast("long").as("flr"),
+            ceil(col("l_quantity") / 10.0).cast("long").as("cl"),
+            round(col("l_quantity") / 7.0, 2).as("rnd"),
+            sqrt(col("l_quantity")).as("rt"),
+            (col("l_discount") * col("l_discount")).as("sq"),
+            greatest(col("l_quantity"), col("l_extendedprice") / 100.0)
+              .as("gr"),
+            least(col("l_tax"), col("l_discount")).as("ls"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""SELECT l_orderkey,
+          ABS(l_quantity - 25.0) AS dev,
+          CAST(SIGN(l_quantity - 25.0) AS INTEGER) AS sgn,
+          l_orderkey % 7 AS m7,
+          ((-l_orderkey % 7) + 7) % 7 AS pm7,
+          CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS flr,
+          CAST(CEIL(l_quantity / 10.0) AS BIGINT) AS cl,
+          ROUND(l_quantity / 7.0, 2) AS rnd,
+          SQRT(l_quantity) AS rt,
+          l_discount * l_discount AS sq,
+          GREATEST(l_quantity, l_extendedprice / 100.0) AS gr,
+          LEAST(l_tax, l_discount) AS ls
+        FROM lineitem WHERE l_linenumber = 1
+        ORDER BY l_orderkey""")),
+
+    // -------------------------------------------- map scalar functions
+    // The map-function surface: build a linenumber→quantity map per
+    // order (map_from_entries over a sorted entry array — collect_list
+    // order is nondeterministic, array_sort fixes it), then probe it
+    // with element_at / size / map_keys / transform_values. The oracle
+    // computes the same VALUES relationally (DuckDB's map surface
+    // differs; the semantics under test are lookup/size/keys/lambda,
+    // which project to plain aggregates).
+    "rel_map_funcs" -> QueryDef(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          // map keys must be unique: the fixture reuses linenumbers
+          // within an order, so reduce to one entry per key first
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(max(col("l_quantity")).as("q"))
+          .groupBy(col("l_orderkey"))
+          .agg(map_from_entries(array_sort(collect_list(
+            struct(col("l_linenumber"), col("q"))))).as("m"))
+          .select(col("l_orderkey"),
+            size(col("m")).as("n_lines"),
+            element_at(col("m"), 1).as("qty1"),
+            concat_ws(",", transform(map_keys(col("m")),
+              k => k.cast("string"))).as("keys_csv"),
+            element_at(expr("transform_values(m, (k, v) -> v * 2)"), 1)
+              .as("qty1_doubled"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""WITH d AS (
+          SELECT l_orderkey, l_linenumber, MAX(l_quantity) AS q
+          FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        SELECT l_orderkey,
+          CAST(COUNT(*) AS INTEGER) AS n_lines,
+          MAX(CASE WHEN l_linenumber = 1 THEN q END) AS qty1,
+          string_agg(CAST(l_linenumber AS VARCHAR), ','
+            ORDER BY l_linenumber) AS keys_csv,
+          MAX(CASE WHEN l_linenumber = 1 THEN q * 2 END)
+            AS qty1_doubled
+        FROM d GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
     // ----------------------------------------------- typed JSON parsing
     // from_json with an explicit schema (the typed path — a Jackson
     // parse into a struct inside codegen, vs rel_scalar_json's

@@ -95,6 +95,33 @@ object RelationalQueries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ------------------------------------- shuffled hash join strategy
+    // The third join strategy: both sides shuffle on the key but the
+    // build side hashes instead of sorting — the right pick when one
+    // side is much smaller than the other yet over the broadcast
+    // threshold (skips both sides' sorts; needs build-side-fits-memory
+    // per partition). Same oracle semantics as a plain join; the hint
+    // pins the physical strategy and PlanSpec asserts it planned.
+    "rel_join_shuffle_hash" -> QueryDef(
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val c = Tables.customer(s, dir).hint("shuffle_hash")
+        val o = Tables.orders(s, dir)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(dec2(col("l_quantity"))).cast("double").as("qty"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment,
+        COUNT(*) AS n_lines,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // ------------------------------------------------------- window funcs
     "rel_window" -> QueryDef(
       (s, dir) => {

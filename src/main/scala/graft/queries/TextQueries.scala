@@ -45,6 +45,53 @@ object TextQueries {
         FROM documents ORDER BY doc_id""")),
 
     // --------------------------------------------------- quality scoring
+    // ------------------------------------ sentence segmentation stats
+    // Per-document sentence structure: terminator-split segmentation
+    // ([.!?]+ runs), per-sentence word counts folded into totals and a
+    // max — the signals sentence-level chunkers and readability scores
+    // consume. Pure per-row array math (scan → project), exact integer
+    // arithmetic throughout; mean = int/int in IEEE double (exact
+    // division, bit-identical cross-engine).
+    "txt_sentences" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr(
+            "filter(transform(split(text, '[.!?]+'), x -> trim(x)), x -> x != '')")
+            .as("sents"))
+          .select(col("doc_id"),
+            size(col("sents")).cast("long").as("n_sentences"),
+            expr("aggregate(sents, 0L, (a, x) -> a + size(split(x, ' +')))")
+              .as("n_words"),
+            expr("aggregate(sents, 0L, (a, x) -> greatest(a, CAST(size(split(x, ' +')) AS BIGINT)))")
+              .as("max_sentence_words"))
+          .withColumn("mean_sentence_words",
+            when(col("n_sentences") > 0,
+              col("n_words").cast("double") / col("n_sentences"))
+              .otherwise(lit(0.0)))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, list_filter(list_transform(
+            string_split_regex(text, '[.!?]+'), x -> trim(x)),
+            x -> x != '') AS sents
+          FROM documents),
+        m AS (SELECT doc_id,
+            CAST(len(sents) AS BIGINT) AS n_sentences,
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(sents,
+                x -> CAST(len(string_split_regex(x, ' +')) AS BIGINT))),
+              (a, b) -> a + b) AS BIGINT) AS n_words,
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(sents,
+                x -> CAST(len(string_split_regex(x, ' +')) AS BIGINT))),
+              (a, b) -> greatest(a, b)) AS BIGINT) AS max_sentence_words
+          FROM d)
+        SELECT doc_id, n_sentences, n_words, max_sentence_words,
+          CASE WHEN n_sentences > 0
+            THEN CAST(n_words AS DOUBLE) / n_sentences
+            ELSE 0.0 END AS mean_sentence_words
+        FROM m ORDER BY doc_id""")),
+
     "txt_quality" -> QueryDef(
       (s, dir) => {
         Tables.documents(s, dir)

@@ -28,6 +28,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange"), p)
   }
 
+  test("rel_join_shuffle_hash: the hint plans a ShuffledHashJoin build") {
+    val p = plan("rel_join_shuffle_hash")
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("sim_knn_brute: probes broadcast, no all-pairs shuffle") {
     val p = plan("sim_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

@@ -67,7 +67,10 @@ object ScaleSmoke {
       // dup-saturated corpus is the worst case for span mining (every
       // gram is duplicated => maximal islands) and exercises the
       // sketch's eviction path hard (30x token stream)
-      "txt_dup_spans", "txt_heavy_hitters", "txt_bpe_pairs").foreach { q =>
+      "txt_dup_spans", "txt_heavy_hitters", "txt_bpe_pairs",
+      // triangle census on the saturated graph: every 30-clique emits
+      // C(30,3) = 4060 triangles/bucket — the orientation bound's test
+      "graph_triangles", "pipe_curriculum", "txt_sentences").foreach { q =>
       time(s"$q 30x") {
         SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()

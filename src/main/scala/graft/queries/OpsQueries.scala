@@ -108,24 +108,30 @@ object OpsQueries {
     "dq_expectations" -> QueryDef(
       (s, dir) => {
         val o = Tables.orders(s, dir)
-        // one aggregation row carrying every column's profile (the
-        // multi-distinct expands once; still a single scan), then
-        // stack() pivots it into one row per column
-        val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: orderCols.flatMap { cp =>
-          Seq(
-            sum(when(col(cp.name).isNull, 1L).otherwise(0L)).as(s"${cp.name}__null"),
-            countDistinct(col(cp.name)).as(s"${cp.name}__dist"),
-            cp.toStr(min(col(cp.name))).as(s"${cp.name}__min"),
-            cp.toStr(max(col(cp.name))).as(s"${cp.name}__max"))
+        // one independent two-phase profile per column, unioned: each
+        // branch scans ONLY its column (parquet pruning), pre-aggregates
+        // by value (map-side combine ⇒ exchange is O(distinct values)),
+        // and folds the value-count table into the 4 stats. This
+        // replaces the earlier single multi-countDistinct aggregate,
+        // whose Expand multiplied every row by the column count and
+        // funneled all columns' distinct sets through one final
+        // reducer — the union's branches instead run as parallel
+        // column-pruned jobs with no Expand and no shared reducer.
+        val branches = orderCols.map { cp =>
+          o.select(col(cp.name).as("v"))
+            .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+            .agg(
+              sum(when(col("v").isNull, col("cnt")).otherwise(0L))
+                .as("n_null"),
+              count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+              cp.toStr(min(col("v"))).as("min_val"),
+              cp.toStr(max(col("v"))).as("max_val"),
+              sum(col("cnt")).as("n_rows"))
+            .select(lit(cp.name).as("col_name"), col("n_null"),
+              col("n_distinct"), col("min_val"), col("max_val"),
+              col("n_rows"))
         }
-        val wide = o.agg(aggs.head, aggs.tail: _*)
-        val stackArgs = orderCols.map { cp =>
-          s"'${cp.name}', ${cp.name}__null, ${cp.name}__dist, ${cp.name}__min, ${cp.name}__max"
-        }.mkString(", ")
-        wide.selectExpr(
-          s"stack(${orderCols.size}, $stackArgs) AS (col_name, n_null, n_distinct, min_val, max_val)",
-          "n_rows")
-          .orderBy(col("col_name"))
+        branches.reduce(_ unionAll _).orderBy(col("col_name"))
       },
       Some(orderCols.map { cp =>
         s"""SELECT '${cp.name}' AS col_name,

@@ -7,9 +7,26 @@ import org.apache.spark.sql.SparkSession
   * surface) on SPARK_GRAFT_SF_DIR and prints ONE JSON line with
   * per-query seconds.
   *
-  * A warm-up pass (table counts + one tiny query) runs before timing so
-  * the first measured query doesn't absorb JVM/codegen/classloading
-  * startup; queries run in name order for stable attribution.
+  * Methodology (contention-resistant):
+  *   - A warm-up pass (table counts + one untimed execution per query)
+  *     runs before timing so no measured run absorbs JVM/codegen/
+  *     classloading startup.
+  *   - The headline set then runs REPS (default 3) timed repetitions,
+  *     INTERLEAVED round-robin (rep 1 of every query, then rep 2 of
+  *     every query, ...) so a transient host-load spike degrades one
+  *     rep of many queries instead of every rep of one query.
+  *   - The artifact reports the per-query MIN across reps (the best
+  *     observation is the least-contended one; steady-state plans are
+  *     deterministic so min is an unbiased throughput estimate) plus
+  *     the per-query spread ((max-min)/min) as a contention indicator.
+  *   - If a committed full-sweep artifact is readable (default: the
+  *     newest BENCH_SWEEP_r*.json in cwd, override with
+  *     SPARK_GRAFT_SWEEP_REF), the per-query min is diffed against it;
+  *     median |deviation| > 20 % across shared queries triggers up to
+  *     two extra rescue reps, and the final JSON carries
+  *     "sweep_deviation_pct" + "contended" so a hot capture window is
+  *     self-describing rather than silently poisoning the round
+  *     artifact (round-3 verdict item 1).
   */
 object Bench {
 
@@ -22,9 +39,43 @@ object Bench {
     "cdc_enrich_mysql", "cdc_route_topic_partition",
     "dedup_minhash_pairs", "dedup_ngram_jaccard",
     "sim_knn_brute", "txt_tokens")
+
+  /** Newest committed sweep artifact, if any, as name -> seconds. */
+  private def sweepRef(): Option[(String, Map[String, Double])] = {
+    val explicit = sys.env.get("SPARK_GRAFT_SWEEP_REF")
+    val path = explicit.orElse {
+      val cwd = new java.io.File(".")
+      Option(cwd.listFiles()).toSeq.flatten
+        .filter(f => f.getName.matches("BENCH_SWEEP_r\\d+\\.json"))
+        .sortBy(_.getName).lastOption.map(_.getPath)
+    }
+    path.flatMap { p =>
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // minimal extraction of the flat "queries":{"name":sec,...} object
+        // (no JSON dependency in the unmanaged-classpath build)
+        val qre = """"queries"\s*:\s*\{([^}]*)\}""".r
+        val kv = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
+        val sfre = """"sf"\s*:\s*"([^"]*)"""".r
+        val refSf = sfre.findFirstMatchIn(txt).map(_.group(1))
+        // a sweep at a different scale factor is not a comparable
+        // reference — deviations against it would be pure sf ratio
+        if (!refSf.contains(sys.env.getOrElse(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))) None
+        else qre.findFirstMatchIn(txt).map { m =>
+          p -> kv.findAllMatchIn(m.group(1))
+            .map(x => x.group(1) -> x.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => None }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchAll = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,15 +87,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: touch every table and run one query end-to-end untimed
+    // warm-up: touch every table
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
       "region", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }
     try graft.queries.Tables.events(spark, sfDir).count()
-    catch { case _: Throwable => }
-    try SparkEntry.queries("rel_q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => }
 
     // per-query shuffle-byte accounting: stage-completion metrics
@@ -64,49 +113,122 @@ object Bench {
       })
 
     val timedSet =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
-        SparkEntry.queries.toSeq
-      else SparkEntry.queries.toSeq.filter(q => headline.contains(q._1))
+      (if (benchAll) SparkEntry.queries.toSeq
+       else SparkEntry.queries.toSeq.filter(q => headline.contains(q._1)))
+        .sortBy(_._1)
+    // full sweep stays single-rep (145 queries × reps would dwarf the
+    // round budget); the headline artifact is the one that must be
+    // contention-proof, so it gets the interleaved repetitions.
+    val reps = if (benchAll) 1
+               else sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
+    // materialize through the noop sink: unlike count(), Catalyst cannot
+    // eliminate the final ORDER BY under an aggregate, so the bench pays
+    // the same sort stages the Verify parquet dump does.
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // One untimed pass per query first: the first execution of a plan is
+    // dominated by codegen + JIT of its generated classes (~5 s vs ~1 s
+    // steady-state for the CDC queries on this box) — a local single-JVM
+    // artifact that amortizes to zero on a real cluster run. The timed
+    // reps measure steady-state throughput. Failures record sentinel -1.
+    val failedSet = scala.collection.mutable.Set.empty[String]
     val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = timedSet.sortBy(_._1).map { case (name, fn) =>
-      // full materialization through the noop sink: unlike count(),
-      // Catalyst cannot eliminate the final ORDER BY under an aggregate,
-      // so the bench pays the same sort stages the Verify parquet dump
-      // does. A failed query records the sentinel -1, not its
-      // time-to-failure (the error goes to stderr).
+    timedSet.foreach { case (name, fn) =>
       try {
-        // One untimed pass first: the first execution of a plan is
-        // dominated by codegen + JIT of its generated classes (~5 s vs
-        // ~1 s steady-state for the CDC queries on this box) — a local
-        // single-JVM artifact that amortizes to zero on a real cluster
-        // run, where the same stage executes thousands of tasks. The
-        // timed pass measures steady-state throughput.
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        // drain warm-up garbage outside the timed window, so the
-        // allocation burst doesn't bill a GC pause to the timed pass
-        System.gc()
-        Thread.sleep(200) // settle async listener events from the warm pass
+        runOnce(fn)
+        // account shuffle bytes once, from this warm pass (plan-
+        // deterministic, so identical across reps)
+        Thread.sleep(200) // settle async listener events
         val sb0 = shuffleBytes.get()
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
+        runOnce(fn)
         Thread.sleep(200)
         shuffleMb(name) =
           math.round((shuffleBytes.get() - sb0) / 1048576.0 * 100) / 100.0
-        name -> dt
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> -1.0
+          failedSet += name
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val sm = shuffleMb.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.count(_._2 < 0)
-    val total = results.filter(_._2 >= 0).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sm,"sf":"$sfDir","failed":$failed,"materialization":"noop-sink","methodology":"per-query warm run, then timed steady-state run"}""")
+    // that second accounting run already IS a valid steady-state timing —
+    // but to keep the artifact's semantics simple every reported number
+    // comes from the interleaved timed reps below.
+    System.gc()
+    Thread.sleep(200)
+
+    val live = timedSet.filterNot(q => failedSet.contains(q._1))
+    val samples =
+      scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    live.foreach { case (name, _) => samples(name) = Nil }
+    def timedPass(): Unit = live.foreach { case (name, fn) =>
+      if (!failedSet.contains(name)) {
+        try samples(name) ::= runOnce(fn)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failedSet += name
+        }
+      }
+    }
+    (1 to reps).foreach(_ => timedPass())
+
+    def mins: Map[String, Double] =
+      samples.collect { case (n, ss) if ss.nonEmpty && !failedSet.contains(n) =>
+        n -> ss.min }.toMap
+
+    // deviation guard vs the committed quiet-machine sweep: if the
+    // capture window was hot (median deviation > 20 % on shared
+    // queries), take up to two rescue reps — per-query min only
+    // improves — then report the residual deviation honestly.
+    val ref = if (benchAll) None else sweepRef()
+    def medianDeviationPct: Option[Double] = ref.flatMap { case (_, refQ) =>
+      val devs = mins.toSeq.collect {
+        case (n, v) if refQ.get(n).exists(_ > 0) =>
+          math.abs(v - refQ(n)) / refQ(n) * 100.0
+      }.sorted
+      if (devs.isEmpty) None else Some(devs(devs.size / 2))
+    }
+    var rescues = 0
+    while (medianDeviationPct.exists(_ > 20.0) && rescues < 2) {
+      System.err.println(
+        f"[bench] median deviation vs sweep ${medianDeviationPct.get}%.1f%% " +
+          "> 20% — contended capture window, taking a rescue rep")
+      System.gc(); Thread.sleep(500)
+      timedPass()
+      rescues += 1
+    }
+
+    val finalMins = mins
+    val spreadPct = samples.collect {
+      case (n, ss) if ss.size > 1 && !failedSet.contains(n) =>
+        n -> math.round((ss.max - ss.min) / ss.min * 1000) / 10.0
+    }
+    val deviation = medianDeviationPct
+    val contended = deviation.exists(_ > 20.0)
+
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ordered = timedSet.map(_._1).collect {
+      case n if finalMins.contains(n) => n -> finalMins(n)
+      case n if failedSet.contains(n) => n -> -1.0
+    }
+    val total = ordered.filter(_._2 >= 0).map(_._2).sum
+    val extras = new StringBuilder
+    extras ++= s""","reps":${reps + rescues},"spread_pct":${jmap(spreadPct)}"""
+    ref.foreach { case (p, _) =>
+      extras ++= s""","sweep_ref":"${p}""""
+      deviation.foreach(d =>
+        extras ++= s""","sweep_deviation_pct":${math.round(d * 10) / 10.0}""")
+      extras ++= s""","contended":$contended"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(
+        ordered)},"shuffle_mb":${jmap(shuffleMb)},"sf":"$sfDir","failed":${failedSet.size},"materialization":"noop-sink","methodology":"per-query warm run, then $reps interleaved timed reps, per-query min"$extras}""")
     spark.stop()
   }
 }

@@ -3,45 +3,69 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Manual 10-30x scale smoke (not part of the driver contract): clones
-  * the sf0.1 events table with shifted ids to ~3M rows and runs the
-  * heavy operators, checking wall-time scales roughly linearly — no
-  * cliffs (skew, memory, quadratic blowup).
+/** 30x scale smoke, bench-grade (round-3 verdict item 2): clones the
+  * sf0.1 tables with shifted ids — ~3M events, 150k docs with EVERY
+  * text present 30 times (a near-dup-saturated corpus, the worst case
+  * for the LSH/dedup family: every band bucket holds 30 identical
+  * signatures), 60k vectors — then:
+  *
+  *   - times the heavy operator family through the same noop-sink
+  *     methodology as Bench (full materialization incl. the total-order
+  *     sort; count() would let Catalyst drop the sort),
+  *   - records output row counts per op (a cheap second pass — counts
+  *     may elide the sort, which is fine for cardinality),
+  *   - runs the two quality gates AT SCALE: `sim_recall_report` (mean
+  *     ANN recall@5 of the sign-bit LSH vs exact brute force; gate
+  *     >= 0.30, the IvfSpec ANN floor) and `dedup_quality_report`
+  *     (MinHash-LSH candidate precision/recall vs exact n-gram Jaccard
+  *     ground truth; gate: recall >= 0.95 — on a dup-saturated corpus
+  *     identical texts MUST collide in every band),
+  *   - writes ONE JSON artifact (default `SCALE_r04.json`, override via
+  *     args(0)) with per-op seconds + rows + gate values + pass flags.
+  *
+  * Not part of the driver contract; run manually per round:
+  *   sbt "runMain graft.ScaleSmoke SCALE_r04.json"
   */
 object ScaleSmoke {
+
+  /** The heavy family: dedup, graph, curation, sampling, embedding,
+    * text-sketch ops — the ones whose 100 TB story needs executable
+    * evidence that 30x input does not produce a cliff.
+    */
+  val ops: Seq[String] = Seq(
+    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
+    "dedup_clusters_star", "dedup_canonical", "graph_pagerank",
+    "txt_decontaminate", "txt_boilerplate", "samp_domain_mix",
+    "samp_stratified", "samp_weighted", "pack_sequences",
+    "pipe_curate_e2e", "emb_quantize_int8", "emb_pq_codes",
+    "sim_knn_lsh", "sim_kmeans", "dedup_semantic", "emb_whiten",
+    "txt_tokenize_vocab", "docs_chunk_overlap", "rel_global_ids",
+    "rel_band_join_bucketed", "dedup_incremental", "emb_outlier",
+    "samp_epoch_mix", "mm_shard_manifest", "evt_ab_lift",
+    // dup-saturated corpus is the worst case for span mining (every
+    // gram is duplicated => maximal islands) and exercises the
+    // sketch's eviction path hard (30x token stream)
+    "txt_dup_spans", "txt_heavy_hitters", "txt_bpe_pairs",
+    // triangle census on the saturated graph: every 30-clique emits
+    // C(30,3) = 4060 triangles/bucket — the orientation bound's test
+    "graph_triangles", "pipe_curriculum", "txt_sentences")
+
   def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("SCALE_r04.json")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(l: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"[scale] $l: ${(System.nanoTime()-t0)/1e9}%.1f s ($n rows)")
-    }
+    val dir = "/tmp/graft_scale"
+
+    // ---- build the 30x tables (shifted ids keep keys unique) ----
     val base = queries.Tables.events(spark, "/root/testdata/sf0.1")
-    val big = (0 until 30).map(i =>
+    (0 until 30).map(i =>
       base.withColumn("event_id", col("event_id") + lit(i.toLong * 100000)))
       .reduce(_ unionAll _)
-    val dir = "/tmp/graft_scale"
-    big.repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
-    println(s"[scale] built ${spark.read.parquet(s"$dir/events.parquet").count()} events")
-
-    time("cdc enrichment pipeline (3M envelopes)") {
-      queries.CdcQueries.flagship(spark, dir).count()
-    }
-    time("sessionize 3M") {
-      SparkEntry.queries("evt_sessionize")(spark, dir).count()
-    }
-    time("scd2 3M") {
-      SparkEntry.queries("cdc_scd2_history")(spark, dir).count()
-    }
-
-    // 30x documents (150k docs, every text present 30 times — a
-    // near-dup-saturated corpus, the WORST case for the dedup family:
-    // every LSH bucket holds 30 identical signatures) and embeddings
-    // (60k vectors). Checks the curation/dedup surface for cliffs.
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
     val docs = queries.Tables.documents(spark, "/root/testdata/sf0.1")
     (0 until 30).map(i =>
       docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000)))
@@ -52,31 +76,111 @@ object ScaleSmoke {
       embs.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000)))
       .reduce(_ unionAll _)
       .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    println(s"[scale] built ${spark.read.parquet(s"$dir/documents.parquet").count()} docs, " +
-      s"${spark.read.parquet(s"$dir/embeddings.parquet").count()} vectors")
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    println(s"[scale] built $nEvents events, $nDocs docs, $nVecs vectors")
 
-    Seq("dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
-      "dedup_clusters_star", "dedup_canonical", "graph_pagerank",
-      "txt_decontaminate", "txt_boilerplate", "samp_domain_mix",
-      "samp_stratified", "samp_weighted", "pack_sequences",
-      "pipe_curate_e2e", "emb_quantize_int8", "emb_pq_codes",
-      "sim_knn_lsh", "sim_kmeans", "dedup_semantic", "emb_whiten",
-      "txt_tokenize_vocab", "docs_chunk_overlap", "rel_global_ids",
-      "rel_band_join_bucketed", "dedup_incremental", "emb_outlier",
-      "samp_epoch_mix", "mm_shard_manifest", "evt_ab_lift",
-      // dup-saturated corpus is the worst case for span mining (every
-      // gram is duplicated => maximal islands) and exercises the
-      // sketch's eviction path hard (30x token stream)
-      "txt_dup_spans", "txt_heavy_hitters", "txt_bpe_pairs",
-      // triangle census on the saturated graph: every 30-clique emits
-      // C(30,3) = 4060 triangles/bucket — the orientation bound's test
-      "graph_triangles", "pipe_curriculum", "txt_sentences").foreach { q =>
-      time(s"$q 30x") {
-        SparkEntry.queries(q)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        0L
+    // ---- CDC / event family first (events-table consumers) ----
+    val opSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val opRows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    def timeOp(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      try {
+        val t0 = System.nanoTime()
+        val d = df
+        d.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rows = d.count() // untimed cardinality pass
+        opSecs(label) = math.round(sec * 1000) / 1000.0
+        opRows(label) = rows
+        println(f"[scale] $label: $sec%.1f s ($rows rows)")
+      } catch {
+        case e: Throwable =>
+          failed += label
+          System.err.println(s"[scale] $label FAILED: ${e.getMessage}")
       }
     }
+    timeOp("cdc_flagship")(queries.CdcQueries.flagship(spark, dir))
+    timeOp("evt_sessionize")(SparkEntry.queries("evt_sessionize")(spark, dir))
+    timeOp("cdc_scd2_history")(
+      SparkEntry.queries("cdc_scd2_history")(spark, dir))
+    ops.foreach(q => timeOp(q)(SparkEntry.queries(q)(spark, dir)))
+
+    // ---- quality gates at 30x ----
+    // ANN: mean recall@5 of sign-bit LSH vs exact brute force, over the
+    // 1-in-100 probe sample the declared query uses. Gate at the ANN
+    // floor IvfSpec enforces at sf0.001 (0.30) — scale must not erode it.
+    val annT0 = System.nanoTime()
+    val annRow = SparkEntry.queries("sim_recall_report")(spark, dir)
+      .agg(avg(col("recall")).as("r"), count(lit(1)).as("n")).head()
+    val annSec = (System.nanoTime() - annT0) / 1e9
+    val annRecall = annRow.getDouble(0)
+    val annProbes = annRow.getLong(1)
+    opSecs("sim_recall_report") = math.round(annSec * 1000) / 1000.0
+    opRows("sim_recall_report") = annProbes
+    val annPass = annRecall >= 0.30
+    println(f"[scale] ANN recall@5 = $annRecall%.4f over $annProbes probes " +
+      f"($annSec%.1f s) pass=$annPass")
+
+    // Dedup: the cloned corpus gives EXACT ground truth — every pair of
+    // docs with identical text is a true duplicate, and there are
+    // sum(C(s,2)) of them over text-cluster sizes s. Gate: the MinHash
+    // LSH candidate set must recover >= 0.95 of those clone pairs
+    // (identical text => identical signature => same bucket in every
+    // band; the only legitimate misses are clusters the bucket cap
+    // collapses — over-cap buckets are exact-dedup's job by design).
+    // The declared dedup_quality_report (Jaccard-truth instrument) is
+    // recorded alongside but NOT gated here: at 30x every gram goes
+    // df-cap-hot, so its truth set is empty by construction — the smoke
+    // that discovered exactly that also proved the report needs its
+    // null-safe ratios.
+    val dqT0 = System.nanoTime()
+    val docs30 = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), xxhash64(col("lang"), col("text")).as("th"))
+    val clusters = docs30.groupBy(col("th")).agg(count(lit(1)).as("s"))
+    val nClonePairs = clusters
+      .agg(sum(col("s") * (col("s") - 1) / 2).cast("long")).head().getLong(0)
+    val cand = graft.queries.DedupQueries.minhashPairs(spark, dir)
+    val hits = cand
+      .join(docs30.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("th", "ha"), Seq("doc_a"))
+      .join(docs30.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("th", "hb"), Seq("doc_b"))
+      .filter(col("ha") === col("hb")).count()
+    val dqSec = (System.nanoTime() - dqT0) / 1e9
+    val cloneRecall = hits.toDouble / nClonePairs
+    val dqPass = cloneRecall >= 0.95
+    opSecs("dedup_clone_recall") = math.round(dqSec * 1000) / 1000.0
+    opRows("dedup_clone_recall") = nClonePairs
+    println(f"[scale] dedup clone-pair recall=$cloneRecall%.4f " +
+      f"($hits of $nClonePairs pairs, $dqSec%.1f s) pass=$dqPass")
+    // informational: the Jaccard-truth report at saturation (nulls OK)
+    val dqRow = SparkEntry.queries("dedup_quality_report")(spark, dir).head()
+    val dqInfo = (Option(dqRow.getAs[java.lang.Double]("precision")),
+      Option(dqRow.getAs[java.lang.Double]("recall")))
+    println(s"[scale] jaccard-truth report at 30x: precision=${dqInfo._1} " +
+      s"recall=${dqInfo._2} (df-cap saturation expected)")
+
+    // ---- artifact ----
+    def jnum(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val rowsJson = opRows.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = opSecs.values.sum
+    val json =
+      s"""{"metric":"scale_smoke_30x","value":${math.round(total * 100) / 100.0},"unit":"sec","scale":"30x-sf0.1","built":{"events":$nEvents,"documents":$nDocs,"embeddings":$nVecs},"op_sec":${jnum(
+          opSecs)},"op_rows":$rowsJson,"gates":{"ann_recall_at5":${math.round(
+          annRecall * 10000) / 10000.0},"ann_threshold":0.30,"ann_pass":$annPass,"dedup_clone_recall":${math.round(
+          cloneRecall * 10000) / 10000.0},"dedup_clone_pairs":$nClonePairs,"dedup_recall_threshold":0.95,"dedup_pass":$dqPass,"jaccard_truth_precision":${dqInfo._1.map(_.toString)
+          .getOrElse("null")},"jaccard_truth_recall":${dqInfo._2.map(_.toString)
+          .getOrElse("null")}},"failed":${failed
+          .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"single timed noop-sink pass per op (cold plans; 30x scale), untimed count for cardinality"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[scale] wrote $outPath")
+    println(json)
     spark.stop()
+    if (failed.nonEmpty || !annPass || !dqPass) sys.exit(1)
   }
 }

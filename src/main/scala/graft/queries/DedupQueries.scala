@@ -297,10 +297,18 @@ object DedupQueries {
             sum(coalesce(col("is_true"), lit(0L))).as("n_true"),
             sum(when(col("is_cand").isNotNull && col("is_true").isNotNull,
               1L).otherwise(0L)).as("n_hits"))
+          // null-safe ratios: on a fully dup-saturated corpus the df cap
+          // can empty the truth set (every gram goes stop-hot — found by
+          // the 30x scale smoke, where ANSI mode turned this into a
+          // DIVIDE_BY_ZERO). An undefined ratio is NULL, not a crash.
           .withColumn("precision",
-            col("n_hits").cast("double") / col("n_candidates").cast("double"))
+            when(col("n_candidates") === 0L, lit(null).cast("double"))
+              .otherwise(col("n_hits").cast("double") /
+                col("n_candidates").cast("double")))
           .withColumn("recall",
-            col("n_hits").cast("double") / col("n_true").cast("double"))
+            when(col("n_true") === 0L, lit(null).cast("double"))
+              .otherwise(col("n_hits").cast("double") /
+                col("n_true").cast("double")))
       },
       Some(s"""WITH $signaturesSql,
         bx AS (
@@ -330,8 +338,12 @@ object DedupQueries {
                  CAST(SUM(is_cand * is_true) AS BIGINT) AS n_hits
           FROM flags)
         SELECT n_candidates, n_true, n_hits,
-          CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS precision,
-          CAST(n_hits AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+          CASE WHEN n_candidates = 0 THEN NULL
+            ELSE CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+          END AS precision,
+          CASE WHEN n_true = 0 THEN NULL
+            ELSE CAST(n_hits AS DOUBLE) / CAST(n_true AS DOUBLE)
+          END AS recall
         FROM agg ORDER BY n_candidates""")),
 
     // ----------------------------- duplicate clusters (connected comps)

@@ -202,6 +202,61 @@ object ExtendedQueries {
       },
       None),
 
+    // --------------------- approximate distinct (KMV sketch, oracled)
+    // The deterministic companion to the HLL query above: a
+    // k-minimum-values sketch whose math is plain ANSI arithmetic, so
+    // the SAME estimate is computable in DuckDB and the driver's hash
+    // gate covers it (round-3 verdict item 4 — HLL registers are
+    // engine-specific, KMV is not). Hash = universal family
+    // (a*x + b) mod p with p = 2^61-1, evaluated in decimal(38,0) /
+    // HUGEINT so both engines do exact integer math (Spark Long
+    // multiplication wraps, DuckDB BIGINT multiplication raises —
+    // neither is portable; 128-bit intermediates are). Estimator:
+    // D-hat = (k-1) * p / h_(k) — the classic KMV unbiased form, with
+    // the final division done in DOUBLE by both engines in the same
+    // operation order. At 100 TB the sketch is one distinct-shuffle of
+    // 8-byte hashes + a k-row TakeOrdered — no register merge needed,
+    // and k=256 keeps the standard error ~1/sqrt(k-1) ≈ 6%.
+    "rel_kmv_distinct" -> QueryDef(
+      (s, dir) => {
+        val P = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+        val A = 999999999999999989L // random odd multiplier < p
+        val B = 123456789L
+        val K = 256
+        val l = Tables.lineitem(s, dir)
+        val h = pmod(
+          col("l_orderkey").cast("decimal(38,0)") * lit(A) + lit(B),
+          lit(P).cast("decimal(38,0)")).cast("long")
+        val kmv = l.select(h.as("h")).distinct()
+          .orderBy(col("h")).limit(K)
+          .agg(count(lit(1)).as("k"), max(col("h")).as("kth_hash"))
+          .withColumn("est_distinct",
+            (col("k") - 1).cast("double") * lit(P.toDouble) /
+              col("kth_hash").cast("double"))
+        val exact = l.agg(
+          countDistinct(col("l_orderkey")).as("exact_distinct"))
+        kmv.crossJoin(broadcast(exact))
+          .select(col("k"), col("kth_hash"), col("est_distinct"),
+            col("exact_distinct"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH h AS (
+          SELECT DISTINCT CAST(
+            (CAST(l_orderkey AS HUGEINT) * 999999999999999989 + 123456789)
+              % 2305843009213693951 AS BIGINT) AS h
+          FROM lineitem),
+        kmin AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        kv AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                      CAST(MAX(h) AS BIGINT) AS kth_hash
+               FROM kmin),
+        ex AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                 AS exact_distinct FROM lineitem)
+        SELECT kv.k, kv.kth_hash,
+          CAST(kv.k - 1 AS DOUBLE) * CAST(2305843009213693951 AS DOUBLE)
+            / CAST(kv.kth_hash AS DOUBLE) AS est_distinct,
+          ex.exact_distinct
+        FROM kv CROSS JOIN ex ORDER BY kv.k""")),
+
     // ---------------------- bounded top-k via the custom Aggregator
     // Oracle: the aggregator's (score desc, id asc) ordering IS the
     // ROW_NUMBER window formulation — declaring it as the DuckDB oracle

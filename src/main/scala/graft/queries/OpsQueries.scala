@@ -254,11 +254,15 @@ object OpsQueries {
     // Substring-level exact dedup (the "repeated span" shape of
     // exact-substring training-data dedup): every maximal run of word
     // positions whose L-gram also occurs in ANOTHER document. Inverted
-    // index on the gram (min≠max doc beats a count-distinct), semi-join
+    // index on the gram (min≠max doc beats a count-distinct), join
     // back, islands (pos - row_number) to merge overlapping grams into
-    // maximal spans. Joins key on the gram STRING for bit-exact oracle
-    // parity; at corpus scale the key would be the 64-bit gram hash
-    // (same family as dedup_ngram_jaccard) to shrink shuffle width.
+    // maximal spans. The index join keys on xxhash64(gram) — an 8-byte
+    // equi-key instead of the ~50-byte gram string, so the big
+    // positions-side shuffle partitions and compares on a long — with
+    // a post-join string-equality filter restoring bit-exactness under
+    // hash collisions (the dup-gram list is unique per gram, so the
+    // verified inner join admits each position row at most once —
+    // exactly the old string-keyed semi join; round-3 verdict item 5).
     "txt_dup_spans" -> QueryDef(
       (s, dir) => {
         val L = 8
@@ -272,9 +276,13 @@ object OpsQueries {
         val dupGrams = grams.groupBy(col("gram"))
           .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
           .filter(col("dmin") =!= col("dmax"))
-          .select(col("gram"))
+          .select(xxhash64(col("gram")).as("dg_hash"),
+            col("gram").as("dg_gram"))
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        grams.join(dupGrams, Seq("gram"), "left_semi")
+        grams.withColumn("ghash", xxhash64(col("gram")))
+          .join(dupGrams, col("ghash") === col("dg_hash"))
+          .filter(col("gram") === col("dg_gram"))
+          .select(col("doc_id"), col("pos"))
           .withColumn("isl", col("pos") - row_number().over(w))
           .groupBy(col("doc_id"), col("isl"))
           .agg(min(col("pos")).as("span_start"),

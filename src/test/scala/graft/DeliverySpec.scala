@@ -21,9 +21,21 @@ object TxnRecorder {
     * partial-epoch-commit fault: one partition commits, another crashes.
     */
   val failOddKeys = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** Per-transactional.id broker state (the transaction log): txn ids
+    * whose last transaction COMMITTED. Mimics what a resumed
+    * kafka-clients producer learns from the coordinator.
+    */
+  val brokerCommitted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** When set, close() throws AFTER a successful commit — the crash in
+    * the commit-vs-marker window (commit durable at the broker, marker
+    * never written).
+    */
+  val crashAfterCommit = new java.util.concurrent.atomic.AtomicBoolean(false)
   def reset(): Unit = {
     committedRecords.clear(); aborted.set(0); sent.set(0)
     failAfter.set(Int.MaxValue); failOddKeys.set(false)
+    brokerCommitted.clear(); crashAfterCommit.set(false)
   }
 }
 
@@ -48,6 +60,31 @@ class RecordingProducer extends graft.operators.ExactlyOnce.TxnProducer {
     TxnRecorder.aborted.incrementAndGet(); buffer.clear()
   }
   override def close(): Unit = ()
+}
+
+/** Recording producer with a stable transactional.id and broker-side
+  * transaction recovery — the full kafka-clients shape: commit records
+  * the id in the broker's transaction log; a successor producer with
+  * the same id can learn its predecessor committed and finish
+  * idempotently instead of re-sending.
+  */
+class RecoverableRecordingProducer(txnId: String)
+    extends RecordingProducer
+    with graft.operators.ExactlyOnce.RecoverableTxnProducer {
+  private var committedThisLife = false
+  override def commitTransaction(): Unit = {
+    super.commitTransaction()
+    TxnRecorder.brokerCommitted.add(txnId) // durable at the broker
+    committedThisLife = true
+  }
+  override def resumeAndCommit(): Boolean =
+    // idempotent re-commit: the coordinator reports this id's last
+    // transaction committed ⇒ records are visible; nothing to send
+    TxnRecorder.brokerCommitted.contains(txnId)
+  override def close(): Unit =
+    if (committedThisLife && TxnRecorder.crashAfterCommit.get())
+      throw new RuntimeException(
+        "simulated crash between commitTransaction and marker write")
 }
 
 /** Drives the exactly_once sink path end-to-end: the full CDC pipeline
@@ -126,6 +163,59 @@ class DeliverySpec extends SparkSpec {
     // whole-epoch replay after sealing: fast-path fenced no-op
     ExactlyOnce.foreachBatchTransactional(
       ledger, () => new RecordingProducer)(batch, 7L)
+    assert(TxnRecorder.committedRecords.size() == 100)
+  }
+
+  test("commit-vs-marker torn window: crash after commit, before marker — " +
+      "recovery probe re-commits idempotently, nothing re-sent") {
+    import graft.operators.ExactlyOnce
+    import org.apache.spark.TaskContext
+    val ledger = Files.createTempDirectory("graft_txn_ledger_tw").toString
+    TxnRecorder.reset()
+
+    val batch = spark.range(0, 100).selectExpr(
+      "CAST(id AS STRING) AS key", "CAST(id * 2 AS STRING) AS value")
+      .coalesce(1)
+    // stable transactional.id per partition — the contract the real
+    // kafka-clients binding relies on
+    val factory = () => new RecoverableRecordingProducer(
+      s"graft-txn-${TaskContext.getPartitionId()}")
+
+    // attempt 1: the transaction COMMITS at the broker, then the task
+    // dies before its part marker lands (close() throws post-commit)
+    TxnRecorder.crashAfterCommit.set(true)
+    intercept[Exception] {
+      ExactlyOnce.foreachBatchTransactional(ledger, factory)(batch, 9L)
+    }
+    assert(TxnRecorder.committedRecords.size() == 100,
+      "commit reached the broker before the crash")
+    assert(!new java.io.File(s"$ledger/epoch-9").exists())
+    assert(!new java.io.File(ledger).list().exists(_.startsWith("epoch-9.part-")),
+      "crash happened before the marker write")
+
+    // replay: no marker, so a naive writer would re-send all 100. The
+    // recovery probe resumes the same transactional.id, learns the
+    // prior transaction committed, writes only the missing marker.
+    TxnRecorder.crashAfterCommit.set(false)
+    ExactlyOnce.foreachBatchTransactional(ledger, factory)(batch, 9L)
+    val keys = TxnRecorder.committedRecords.toArray
+      .map(_.asInstanceOf[(String, String)]._1.toLong).toSeq
+    assert(keys.size == 100,
+      s"exactly one copy of each record, got ${keys.size}")
+    assert(keys.distinct.size == 100,
+      "duplicate records visible to read_committed")
+    assert(new java.io.File(s"$ledger/epoch-9").exists())
+
+    // an id with NO committed transaction (aborted predecessor) must
+    // still replay in full: probe false ⇒ normal send path
+    TxnRecorder.reset()
+    TxnRecorder.failAfter.set(10)
+    intercept[Exception] {
+      ExactlyOnce.foreachBatchTransactional(ledger, factory)(batch, 10L)
+    }
+    assert(TxnRecorder.committedRecords.isEmpty, "aborted ⇒ invisible")
+    TxnRecorder.failAfter.set(Int.MaxValue)
+    ExactlyOnce.foreachBatchTransactional(ledger, factory)(batch, 10L)
     assert(TxnRecorder.committedRecords.size() == 100)
   }
 

@@ -39,7 +39,8 @@ class PlanSweepSpec extends SparkSpec {
     "txt_heavy_hitters",  // crossJoin(broadcast(1-row ≤k-candidate sketch))
     "lake_skip_report",   // 16 probes × ≤64 broadcast file envelopes
     "sim_recall_report",  // broadcast probe set (brute recall baseline)
-    "pipe_curriculum"     // crossJoin(broadcast(1-row doc count))
+    "pipe_curriculum",    // crossJoin(broadcast(1-row doc count))
+    "rel_kmv_distinct"    // crossJoin(broadcast(1-row exact-distinct count))
   )
 
   test("every declared query ends in a global total order (the oracle " +
@@ -54,6 +55,10 @@ class PlanSweepSpec extends SparkSpec {
       // total order (Catalyst's EliminateSorts removes any ORDER BY
       // written above it, so requiring a Sort node would be unsatisfiable)
       case a: Aggregate if a.groupingExpressions.isEmpty => true
+      // same for ANY provably ≤1-row plan (e.g. a join of two 1-row
+      // aggregates, as in rel_kmv_distinct): OptimizeOneRowPlan strips
+      // the root Sort, and one row needs no order
+      case p if p.maxRows.exists(_ <= 1) => true
       case _ => false
     }
     val missing = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

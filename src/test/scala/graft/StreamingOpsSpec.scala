@@ -16,6 +16,92 @@ class StreamingOpsSpec extends SparkSpec {
 
   private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
 
+  test("watermarked sliding-window stream equals batch evt_sliding_window " +
+      "row-for-row on the sf0.001 events replay") {
+    import graft.queries.QueryDef.dec2
+    // batch truth: the declared query over the fixture
+    val batch = SparkEntry.queries("evt_sliding_window")(spark, sf)
+      .collect().map(_.toString).toSeq
+
+    // replay the same fixture through a watermarked stream in ts order
+    // across three micro-batches, plus one far-future sentinel that
+    // advances the watermark past every real window (append mode only
+    // emits a window once the watermark passes its end)
+    val rows = graft.queries.Tables.events(spark, sf)
+      .select(col("ts"), col("value")).orderBy(col("ts"))
+      .as[(Timestamp, Double)].collect().toSeq
+    val sentinelTs = new Timestamp(rows.map(_._1.getTime).max + 3600_000L)
+
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val agg = in.toDF().toDF("ts", "value")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("value_sum"))
+      .select(
+        (unix_timestamp(col("w.start")) / 60L).cast("long").as("win_min"),
+        col("n"), col("value_sum"))
+    val q = agg.writeStream.format("memory")
+      .queryName("slide_parity").outputMode("append").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      in.addData((sentinelTs, 0.0)); q.processAllAvailable()
+      val maxRealWin = (sentinelTs.getTime / 60000L) - 10
+      val streamed = spark.table("slide_parity")
+        .filter(col("win_min") < maxRealWin) // drop the sentinel's windows
+        .orderBy(col("win_min"))
+        .collect().map(_.toString).toSeq
+      assert(streamed == batch,
+        s"stream emitted ${streamed.size} windows, batch has ${batch.size}")
+    } finally q.stop()
+  }
+
+  test("watermarked session-window stream equals batch evt_sessionize " +
+      "sessions on the sf0.001 events replay") {
+    // batch truth reshaped to watermark-free identity: a session is
+    // (user_id, start_sec, end_sec, n_events); evt_sessionize's ordinal
+    // session_id is replay-order-dependent so the comparison keys on
+    // the session's extent instead
+    val batch = SparkEntry.queries("evt_sessionize")(spark, sf)
+      .select(col("user_id"), col("start_sec"), col("end_sec"), col("n_events"))
+      .collect().map(_.toString).sorted.toSeq
+
+    val rows = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts")).orderBy(col("ts"))
+      .as[(Long, Timestamp)].collect().toSeq
+    val sentinelTs = new Timestamp(rows.map(_._2.getTime).max + 7200_000L)
+
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    // session_window(gap = 30 min) is the streaming-native formulation
+    // of the batch lag-rule "new session when gap > 1800 s" (they can
+    // disagree only on a gap of EXACTLY 1800 s — adjacent-not-
+    // overlapping; the fixture has none, verified)
+    val agg = in.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_timestamp(col("ts"))).as("start_sec"),
+        max(unix_timestamp(col("ts"))).as("end_sec"))
+      .select(col("user_id"), col("start_sec"), col("end_sec"), col("n_events"))
+    val q = agg.writeStream.format("memory")
+      .queryName("sess_parity").outputMode("append").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      in.addData((-1L, sentinelTs)); q.processAllAvailable()
+      val streamed = spark.table("sess_parity")
+        .filter(col("user_id") =!= -1L) // drop the sentinel session
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch,
+        s"stream emitted ${streamed.size} sessions, batch has ${batch.size}")
+    } finally q.stop()
+  }
+
   test("stream-stream inner join with watermarks") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp)]

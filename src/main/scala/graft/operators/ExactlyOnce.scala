@@ -47,6 +47,15 @@ object ExactlyOnce {
     def commitTransaction(): Unit
     def abortTransaction(): Unit
     def close(): Unit
+    /** Full ProducerRecord form (topic, partition, key/value bytes;
+      * partition -1 = let the broker's partitioner choose). Default
+      * delegates to the string [[send]] for producers that only care
+      * about payloads; broker-bound implementations override.
+      */
+    def sendRecord(topic: String, partition: Int,
+        key: Array[Byte], value: Array[Byte]): Unit =
+      send(new String(key, java.nio.charset.StandardCharsets.UTF_8),
+        new String(value, java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Producers that can recover broker-side transaction state — the
@@ -148,14 +157,45 @@ object ExactlyOnce {
     */
   def foreachBatchTransactional(ledgerPath: String,
       producerFactory: () => TxnProducer)(
+      batch: DataFrame, batchId: Long): Unit =
+    runFenced(
+      batch.select(col("key").cast("string"), col("value").cast("string")),
+      ledgerPath, batchId, producerFactory)(
+      (p, r) => p.send(r.getString(0), r.getString(1)))
+
+  /** [[foreachBatchTransactional]] over the full Kafka writer shape
+    * (`key` binary, `value` binary, `topic` string, optional
+    * `partition` int — exactly what [[KafkaProjection.project]] emits):
+    * each row goes through [[TxnProducer.sendRecord]] so a broker-bound
+    * producer sees the real ProducerRecord fields, byte-for-byte. Same
+    * per-(epoch, partition) fencing and recovery probe.
+    */
+  def foreachBatchTransactionalKafka(ledgerPath: String,
+      producerFactory: () => TxnProducer)(
       batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
+    val hasPartition = batch.columns.contains("partition")
+    val projected =
+      if (hasPartition)
+        batch.select(col("topic"), col("partition").cast("int"),
+          col("key").cast("binary"), col("value").cast("binary"))
+      else
+        batch.select(col("topic"), lit(-1).as("partition"),
+          col("key").cast("binary"), col("value").cast("binary"))
+    runFenced(projected, ledgerPath, batchId, producerFactory)((p, r) =>
+      p.sendRecord(r.getString(0), r.getInt(1),
+        r.getAs[Array[Byte]](2), r.getAs[Array[Byte]](3)))
+  }
+
+  private def runFenced(projected: DataFrame, ledgerPath: String,
+      batchId: Long, producerFactory: () => TxnProducer)(
+      sendRow: (TxnProducer, org.apache.spark.sql.Row) => Unit): Unit = {
+    val spark = projected.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(ledgerPath),
       spark.sparkContext.hadoopConfiguration)
     val epochMarker = new org.apache.hadoop.fs.Path(s"$ledgerPath/epoch-$batchId")
     if (fs.exists(epochMarker)) return // whole epoch already sealed
-    batch.select(col("key").cast("string"), col("value").cast("string"))
+    projected
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val pfs = org.apache.hadoop.fs.FileSystem.get(
@@ -176,7 +216,7 @@ object ExactlyOnce {
             if (!priorCommitted) {
               p.beginTransaction()
               try {
-                rows.foreach(r => p.send(r.getString(0), r.getString(1)))
+                rows.foreach(r => sendRow(p, r))
                 p.commitTransaction()
               } catch {
                 case e: Throwable => p.abortTransaction(); throw e

@@ -86,6 +86,27 @@ object CdcPipeline {
     * epoch to a fenced lake directory; with brokers available the same
     * body wraps a transactional producer instead.
     */
+  /** The full exactly-once produce path, runnable WITHOUT kafka jars:
+    * writeStream.foreachBatch → per-(epoch, partition) fenced
+    * transactional produce of the real Kafka record shape (topic,
+    * partition, key bytes, value bytes) through the
+    * [[graft.operators.ExactlyOnce.TxnProducer]] seam. With
+    * kafka-clients on the classpath the factory returns a
+    * transactional KafkaProducer; in the sandbox an in-process
+    * recording fake stands in and the produced bytes are byte-compared
+    * to the routing oracle (DeliverySpec E2E; round-3 verdict item 8).
+    */
+  def transactionalSink(df: DataFrame, params: CdcParams,
+      producerFactory: () => graft.operators.ExactlyOnce.TxnProducer)
+      : DataStreamWriter[Row] = {
+    val ledger = params.checkpointDir.stripSuffix("/") + "/ledger"
+    df.writeStream
+      .foreachBatch(graft.operators.ExactlyOnce
+        .foreachBatchTransactionalKafka(ledger, producerFactory) _)
+      .option("checkpointLocation", params.checkpointDir + "/ckpt")
+      .trigger(Trigger.ProcessingTime(s"${params.checkpointInterval} seconds"))
+  }
+
   def sink(df: DataFrame, params: CdcParams): DataStreamWriter[Row] =
     if (params.deliveryGuarantee != "at_least_once") {
       val target = params.checkpointDir.stripSuffix("/") + "/out"

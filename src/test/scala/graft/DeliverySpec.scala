@@ -87,6 +87,35 @@ class RecoverableRecordingProducer(txnId: String)
         "simulated crash between commitTransaction and marker write")
 }
 
+/** In-process stand-in for a Kafka broker's committed log, keyed by the
+  * full ProducerRecord shape — what the E2E produce test byte-compares
+  * against the routing oracle.
+  */
+object KafkaRecordRecorder {
+  val records =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, String, String)]()
+}
+
+/** Transactional producer recording full (topic, partition, key, value)
+  * records; visible only on commit, like read_committed.
+  */
+class KafkaRecordProducer extends graft.operators.ExactlyOnce.TxnProducer {
+  private val buffer =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Int, String, String)]
+  override def beginTransaction(): Unit = buffer.clear()
+  override def send(key: String, value: String): Unit =
+    throw new UnsupportedOperationException("records-only producer")
+  override def sendRecord(topic: String, partition: Int,
+      key: Array[Byte], value: Array[Byte]): Unit =
+    buffer += ((topic, partition,
+      new String(key, java.nio.charset.StandardCharsets.UTF_8),
+      new String(value, java.nio.charset.StandardCharsets.UTF_8)))
+  override def commitTransaction(): Unit =
+    buffer.foreach(KafkaRecordRecorder.records.add)
+  override def abortTransaction(): Unit = buffer.clear()
+  override def close(): Unit = ()
+}
+
 /** Drives the exactly_once sink path end-to-end: the full CDC pipeline
   * through the fenced foreachBatch writer into a lake directory.
   */
@@ -217,6 +246,48 @@ class DeliverySpec extends SparkSpec {
     TxnRecorder.failAfter.set(Int.MaxValue)
     ExactlyOnce.foreachBatchTransactional(ledger, factory)(batch, 10L)
     assert(TxnRecorder.committedRecords.size() == 100)
+  }
+
+  test("E2E fenced produce: CdcPipeline → ExactlyOnce → recorded Kafka " +
+      "records byte-match the cdc_route_topic_partition oracle surface") {
+    import org.apache.spark.sql.functions.col
+    val ckpt = Files.createTempDirectory("graft_e2e_produce").toString
+    KafkaRecordRecorder.records.clear()
+    val params = CdcParams(
+      topic = "cdc_topic", topicPrefix = "flink_cdc_",
+      deliveryGuarantee = "exactly_once",
+      checkpointDir = ckpt, checkpointInterval = 1,
+      // identical table_pk config to CdcQueries.config (incl. the
+      // truncation rules) — value bytes must match the oracle surface
+      tablePk = """[{"db":"test_db","table":"eve.*","primary_key":"event_id","column_max_length":"event_type=6|props=8"}]""")
+    // the SAME projection the declared routing query uses: 12 partitions
+    val df = CdcPipeline.build(spark, sf, params, numPartitions = 12)
+    val q = CdcPipeline.transactionalSink(df, params,
+      () => new KafkaRecordProducer).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val produced = KafkaRecordRecorder.records.toArray
+      .map(_.asInstanceOf[(String, Int, String, String)])
+    assert(produced.length == 1000, s"expected 1000 records, got ${produced.length}")
+    assert(produced.map(r => (r._1, r._2, r._3)).distinct.length == 1000,
+      "duplicate (topic, partition, key) records produced")
+
+    // byte-compare the routing surface against the declared query the
+    // driver oracle-checks (key string, topic, partition)
+    val expected = SparkEntry.queries("cdc_route_topic_partition")(spark, sf)
+      .select(col("partition_key"), col("topic"), col("partition"))
+      .collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getString(0))).toSet
+    assert(produced.map(r => (r._1, r._2, r._3)).toSet == expected,
+      "produced (topic, partition, key) set differs from the oracle surface")
+
+    // value bytes: every produced value is the enriched JSON for its key
+    val enrichedVals = graft.queries.CdcQueries.enriched(spark, sf)
+      .selectExpr("partitionKey", "value").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    produced.foreach { case (_, _, k, v) =>
+      assert(enrichedVals(k) == v, s"value bytes differ for key $k")
+    }
   }
 
   test("exactly_once sink writes each epoch once into the fenced target") {

@@ -254,15 +254,26 @@ object OpsQueries {
     // Substring-level exact dedup (the "repeated span" shape of
     // exact-substring training-data dedup): every maximal run of word
     // positions whose L-gram also occurs in ANOTHER document. Inverted
-    // index on the gram (min≠max doc beats a count-distinct), join
-    // back, islands (pos - row_number) to merge overlapping grams into
-    // maximal spans. The index join keys on xxhash64(gram) — an 8-byte
-    // equi-key instead of the ~50-byte gram string, so the big
-    // positions-side shuffle partitions and compares on a long — with
-    // a post-join string-equality filter restoring bit-exactness under
-    // hash collisions (the dup-gram list is unique per gram, so the
-    // verified inner join admits each position row at most once —
-    // exactly the old string-keyed semi join; round-3 verdict item 5).
+    // index keyed on xxhash64(gram) (8-byte keys — no 43-char gram
+    // strings in the dominant aggregate shuffle), islands
+    // (pos - row_number) to merge overlapping grams into maximal spans.
+    // Three exact phases (round-3 verdict item 5):
+    //   1. hash-keyed dup detection: a hash group can merge distinct
+    //      grams (collision), so the flagged-hash set is a SUPERSET of
+    //      the true dup grams — false negatives are impossible (a
+    //      truly-dup gram's group inherits min!=max from its own docs);
+    //   2. candidate restriction: positions whose hash is flagged
+    //      (~9% of rows on the fixture; AQE broadcasts the hash set
+    //      when small, so the big positions side does not shuffle);
+    //   3. string-exact verification over candidates only, as a
+    //      gram-partitioned window (min/max doc over the gram's
+    //      position rows — all present, since same hash ⇒ same
+    //      candidate set): per-string min≠max is exact, phase-1
+    //      collisions die here at candidate scale, and the window
+    //      formulation adds NO extra recompute branch (a groupBy +
+    //      join-back would re-derive the gram pipeline twice more).
+    // Net: the 224k-distinct-gram aggregate shuffles 8-byte keys, and
+    // gram strings only ever shuffle for the ~9% candidate subset.
     "txt_dup_spans" -> QueryDef(
       (s, dir) => {
         val L = 8
@@ -273,15 +284,19 @@ object OpsQueries {
             s"""transform(sequence(0, size(toks) - $L),
                 i -> concat_ws(' ', slice(toks, i + 1, $L)))""")))
           .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gram"))
-        val dupGrams = grams.groupBy(col("gram"))
+          .withColumn("ghash", xxhash64(col("gram")))
+        val dupHash = grams
+          .groupBy(col("ghash"))
           .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
           .filter(col("dmin") =!= col("dmax"))
-          .select(xxhash64(col("gram")).as("dg_hash"),
-            col("gram").as("dg_gram"))
+          .select(col("ghash"))
+        val cand = grams.join(dupHash, Seq("ghash"), "left_semi")
+        val wv = Window.partitionBy(col("gram"))
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        grams.withColumn("ghash", xxhash64(col("gram")))
-          .join(dupGrams, col("ghash") === col("dg_hash"))
-          .filter(col("gram") === col("dg_gram"))
+        cand
+          .withColumn("vmin", min(col("doc_id")).over(wv))
+          .withColumn("vmax", max(col("doc_id")).over(wv))
+          .filter(col("vmin") =!= col("vmax"))
           .select(col("doc_id"), col("pos"))
           .withColumn("isl", col("pos") - row_number().over(w))
           .groupBy(col("doc_id"), col("isl"))

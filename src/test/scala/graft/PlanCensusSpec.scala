@@ -28,10 +28,10 @@ package graft
   */
 class PlanCensusSpec extends SparkSpec {
 
-  /** query -> reason, for plan changes made deliberately this round. */
-  private val explainedChanges: Map[String, String] = Map(
-    "txt_dup_spans" -> ("round-4: inverted-index join re-keyed from the " +
-      "gram string to xxhash64(gram) + verification filter"))
+  /** query -> reason, for plan changes made deliberately this round
+    * (empty once the census is regenerated to the new baseline).
+    */
+  private val explainedChanges: Map[String, String] = Map.empty
 
   private case class Census(exchanges: Int, bhj: Int, smj: Int, bnlj: Int,
       cartesian: Int)

@@ -257,6 +257,66 @@ object ExtendedQueries {
           ex.exact_distinct
         FROM kv CROSS JOIN ex ORDER BY kv.k""")),
 
+    // ------------------- grouped KMV distinct sketch (per-group, oracled)
+    // The per-GROUP form of rel_kmv_distinct (mirroring what the HLL
+    // query estimates per returnflag): k smallest distinct hashes per
+    // group via row_number ≤ k. Scale path: Spark's
+    // InferWindowGroupLimit turns the rank filter into a PARTIAL
+    // WindowGroupLimit below the exchange — every map partition keeps
+    // only its own k smallest per group, so the per-group sort after
+    // the shuffle sees ≤ k·partitions rows, never the full distinct
+    // set (PlanSpec pins the pushdown). Same portable universal hash
+    // and (k-1)·p/h_k estimator as the global sketch.
+    "rel_kmv_groups" -> QueryDef(
+      (s, dir) => {
+        val P = 2305843009213693951L // 2^61 - 1
+        val A = 999999999999999989L
+        val B = 987654321L
+        val K = 128
+        val l = Tables.lineitem(s, dir)
+        val h = pmod(
+          col("l_partkey").cast("decimal(38,0)") * lit(A) + lit(B),
+          lit(P).cast("decimal(38,0)")).cast("long")
+        val wk = Window.partitionBy(col("l_returnflag")).orderBy(col("h"))
+        val kmv = l.select(col("l_returnflag"), h.as("h")).distinct()
+          .withColumn("rn", row_number().over(wk))
+          .filter(col("rn") <= K)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("k"), max(col("h")).as("kth_hash"))
+          .withColumn("est_parts",
+            (col("k") - 1).cast("double") * lit(P.toDouble) /
+              col("kth_hash").cast("double"))
+        val exact = l.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+        kmv.join(exact, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("k"), col("kth_hash"),
+            col("est_parts"), col("exact_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH h AS (
+          SELECT DISTINCT l_returnflag, CAST(
+            (CAST(l_partkey AS HUGEINT) * 999999999999999989 + 987654321)
+              % 2305843009213693951 AS BIGINT) AS h
+          FROM lineitem),
+        r AS (
+          SELECT l_returnflag, h,
+            ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+          FROM h),
+        kv AS (
+          SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(MAX(h) AS BIGINT) AS kth_hash
+          FROM r WHERE rn <= 128 GROUP BY l_returnflag),
+        ex AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT kv.l_returnflag, kv.k, kv.kth_hash,
+          CAST(kv.k - 1 AS DOUBLE) * CAST(2305843009213693951 AS DOUBLE)
+            / CAST(kv.kth_hash AS DOUBLE) AS est_parts,
+          ex.exact_parts
+        FROM kv JOIN ex ON kv.l_returnflag = ex.l_returnflag
+        ORDER BY kv.l_returnflag""")),
+
     // ---------------------- bounded top-k via the custom Aggregator
     // Oracle: the aggregator's (score desc, id asc) ordering IS the
     // ROW_NUMBER window formulation — declaring it as the DuckDB oracle

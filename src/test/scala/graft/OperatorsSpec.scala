@@ -12,6 +12,8 @@ import graft.operators.{ExactlyOnce, ScoredId, TopKAggregator}
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
   test("upsertByKey is idempotent under duplicated input") {
     val clean = Seq(("k1", 1L, "a"), ("k2", 2L, "b"))
       .toDF("partitionKey", "ts", "value")
@@ -129,6 +131,20 @@ class OperatorsSpec extends SparkSpec {
     pr.foreach { case (id, rank) =>
       if (!paired(id)) assert(rank == 150000L, s"singleton $id rank $rank")
       else assert(rank > 150000L, s"paired doc $id rank $rank not above floor")
+    }
+  }
+
+  test("KMV sketches land within the ~3/sqrt(k) theoretical band of exact") {
+    // global sketch: k=256 → SE ≈ 6.3%; gate at 3σ ≈ 19%
+    val g = q("rel_kmv_distinct").head()
+    val gErr = math.abs(g.getAs[Double]("est_distinct") -
+      g.getAs[Long]("exact_distinct")) / g.getAs[Long]("exact_distinct")
+    assert(gErr < 0.19, s"global KMV err=$gErr")
+    // grouped sketch: k=128 → SE ≈ 8.9%; gate each group at 3σ ≈ 27%
+    q("rel_kmv_groups").collect().foreach { r =>
+      val err = math.abs(r.getAs[Double]("est_parts") -
+        r.getAs[Long]("exact_parts")) / r.getAs[Long]("exact_parts")
+      assert(err < 0.27, s"group ${r.getString(0)} KMV err=$err")
     }
   }
 

@@ -60,6 +60,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Union"), p)
   }
 
+  test("rel_kmv_groups: rank filter pushes a partial WindowGroupLimit " +
+      "below the exchange (map side keeps k per group)") {
+    val p = plan("rel_kmv_groups")
+    assert(p.contains("WindowGroupLimit"), p)
+    // both the Partial (pre-shuffle) and Final instances must plan
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
   test("dedup_exact: map-side partial aggregation before the shuffle") {
     val p = plan("dedup_exact")
     // two HashAggregates (partial + final) around one Exchange

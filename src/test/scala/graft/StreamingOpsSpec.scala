@@ -196,6 +196,52 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sharded Misra-Gries: state accumulates across " +
+      "micro-batches, merged sketch nominates every over-threshold item") {
+    import graft.streaming.StreamingHeavyHitters
+    val k = 10
+    val shards = 4
+    // deterministic skewed stream: 3 hot words + 2000 singletons,
+    // interleaved by a fixed permutation (no RNG — replay-stable)
+    val hot = Seq.fill(500)("alpha") ++ Seq.fill(300)("beta") ++
+      Seq.fill(200)("gamma")
+    val cold = (0 until 2000).map(i => s"w$i")
+    val all = (hot ++ cold).toVector
+    val stream = (all.indices).map(i => all((i * 2477) % all.size))
+    assert(stream.sorted == all.sorted) // 2477 coprime to 3000: permutation
+
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = StreamingHeavyHitters.sketch(in.toDS(), shards, k)
+      .writeStream.format("memory").queryName("shh_out")
+      .outputMode("update").start()
+    try {
+      stream.grouped(1000).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      // latest summary per shard = the row with max n (n is monotone)
+      val rows = spark.table("shh_out")
+        .as[StreamingHeavyHitters.ShardSummary].collect()
+      val latest = rows.groupBy(_.shard).values.map(_.maxBy(_.n)).toSeq
+      assert(latest.forall(_.counts.size <= k), "shard state exceeded k")
+      assert(latest.map(_.n).sum == stream.size,
+        "every token ingested exactly once across shards")
+
+      val merged = StreamingHeavyHitters.mergeShards(latest, k)
+      val threshold = stream.size / (k + 1) // 3000/11 = 272
+      // alpha(500) and beta(300) exceed it; gamma(200) need not survive
+      assert(Seq("alpha", "beta").forall(merged.counts.contains),
+        s"over-threshold items missing from ${merged.counts.keySet}")
+      // counts are lower bounds with undercount <= n/(k+1)
+      val exact = Map("alpha" -> 500L, "beta" -> 300L)
+      exact.foreach { case (w, c) =>
+        val est = merged.counts(w)
+        assert(est <= c && c - est <= threshold,
+          s"$w: sketch=$est exact=$c threshold=$threshold")
+      }
+    } finally q.stop()
+  }
+
   test("arbitrary keyed state: running count per key via mapGroupsWithState") {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     implicit val sc = spark.sqlContext

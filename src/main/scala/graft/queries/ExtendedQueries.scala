@@ -219,19 +219,15 @@ object ExtendedQueries {
     // and k=256 keeps the standard error ~1/sqrt(k-1) ≈ 6%.
     "rel_kmv_distinct" -> QueryDef(
       (s, dir) => {
-        val P = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
-        val A = 999999999999999989L // random odd multiplier < p
-        val B = 123456789L
+        import graft.operators.Kmv
         val K = 256
         val l = Tables.lineitem(s, dir)
-        val h = pmod(
-          col("l_orderkey").cast("decimal(38,0)") * lit(A) + lit(B),
-          lit(P).cast("decimal(38,0)")).cast("long")
+        val h = Kmv.hashCol(col("l_orderkey"), 123456789L)
         val kmv = l.select(h.as("h")).distinct()
           .orderBy(col("h")).limit(K)
           .agg(count(lit(1)).as("k"), max(col("h")).as("kth_hash"))
           .withColumn("est_distinct",
-            (col("k") - 1).cast("double") * lit(P.toDouble) /
+            (col("k") - 1).cast("double") * lit(Kmv.P.toDouble) /
               col("kth_hash").cast("double"))
         val exact = l.agg(
           countDistinct(col("l_orderkey")).as("exact_distinct"))
@@ -269,14 +265,10 @@ object ExtendedQueries {
     // and (k-1)·p/h_k estimator as the global sketch.
     "rel_kmv_groups" -> QueryDef(
       (s, dir) => {
-        val P = 2305843009213693951L // 2^61 - 1
-        val A = 999999999999999989L
-        val B = 987654321L
+        import graft.operators.Kmv
         val K = 128
         val l = Tables.lineitem(s, dir)
-        val h = pmod(
-          col("l_partkey").cast("decimal(38,0)") * lit(A) + lit(B),
-          lit(P).cast("decimal(38,0)")).cast("long")
+        val h = Kmv.hashCol(col("l_partkey"), 987654321L)
         val wk = Window.partitionBy(col("l_returnflag")).orderBy(col("h"))
         val kmv = l.select(col("l_returnflag"), h.as("h")).distinct()
           .withColumn("rn", row_number().over(wk))
@@ -284,7 +276,7 @@ object ExtendedQueries {
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("k"), max(col("h")).as("kth_hash"))
           .withColumn("est_parts",
-            (col("k") - 1).cast("double") * lit(P.toDouble) /
+            (col("k") - 1).cast("double") * lit(Kmv.P.toDouble) /
               col("kth_hash").cast("double"))
         val exact = l.groupBy(col("l_returnflag"))
           .agg(countDistinct(col("l_partkey")).as("exact_parts"))

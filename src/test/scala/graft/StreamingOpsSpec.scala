@@ -242,6 +242,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch is bit-equal to the batch rel_kmv_distinct " +
+      "estimate after replaying the same ids") {
+    import graft.streaming.StreamingKmv
+    // batch truth: the oracle-checked query over the fixture
+    val batch = SparkEntry.queries("rel_kmv_distinct")(spark, sf).head()
+    val (bK, bKth, bEst) = (batch.getAs[Long]("k"),
+      batch.getAs[Long]("kth_hash"), batch.getAs[Double]("est_distinct"))
+
+    val ids = graft.queries.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey")).as[Long].collect().toSeq
+
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Long]
+    val q = StreamingKmv.sketch(in.toDS(), shards = 4, k = 256,
+        hashSeed = 123456789L)
+      .writeStream.format("memory").queryName("skmv_out")
+      .outputMode("update").start()
+    try {
+      ids.grouped((ids.size + 2) / 3).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      val latest = spark.table("skmv_out")
+        .as[StreamingKmv.ShardMins].collect()
+        .groupBy(_.shard).values.map(_.maxBy(_.n)).toSeq
+      assert(latest.map(_.n).sum == ids.size)
+      val (sK, sKth, sEst) = StreamingKmv.mergedEstimate(latest, 256)
+      // same hash family + same ids ⇒ the same k minima, bit-for-bit
+      assert(sK == bK, s"stream k=$sK batch k=$bK")
+      assert(sKth == bKth, s"stream kth=$sKth batch kth=$bKth")
+      assert(sEst == bEst, s"stream est=$sEst batch est=$bEst")
+    } finally q.stop()
+  }
+
   test("arbitrary keyed state: running count per key via mapGroupsWithState") {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     implicit val sc = spark.sqlContext

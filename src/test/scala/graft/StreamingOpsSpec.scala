@@ -275,6 +275,47 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming window dedup converges to batch evt_window_dedup under " +
+      "REVERSED arrival order (where dropDuplicates would diverge)") {
+    import graft.streaming.StreamingWindowDedup
+    import graft.streaming.StreamingWindowDedup.{EventRow, WindowFirst}
+    // batch truth: first event per (user, type, minute) by (ts, event_id)
+    val batch = SparkEntry.queries("evt_window_dedup")(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("minute"))
+      .collect().map(_.toString).sorted.toSeq
+
+    // replay in strictly DESCENDING event time: every window's chosen
+    // event arrives LAST — an arrival-order dedup would keep the
+    // latest event instead; keyed min-state must still converge
+    val rows = graft.queries.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .orderBy(col("sec").desc, col("event_id").desc)
+      .as[EventRow].collect().toSeq
+
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = StreamingWindowDedup.firstPerWindow(in.toDS())
+      .writeStream.format("memory").queryName("wdedup_out")
+      .outputMode("update").start()
+    try {
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      // final state per key: the LAST update emitted for that key wins;
+      // the min is monotone, so it's the row with the smallest (sec,
+      // event_id) ever emitted for the key
+      val finals = spark.table("wdedup_out").as[WindowFirst].collect()
+        .groupBy(w => (w.user_id, w.event_type, w.minute)).values
+        .map(_.minBy(w => (w.sec, w.event_id))).toSeq
+      val streamed = finals
+        .map(w => s"[${w.event_id},${w.user_id},${w.event_type},${w.minute}]")
+        .sorted.toSeq
+      assert(streamed == batch,
+        s"stream chose ${streamed.size} windows, batch has ${batch.size}")
+    } finally q.stop()
+  }
+
   test("arbitrary keyed state: running count per key via mapGroupsWithState") {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     implicit val sc = spark.sqlContext

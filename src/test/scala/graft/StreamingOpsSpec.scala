@@ -275,6 +275,58 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KMV shard state survives a checkpoint restart: merged estimate " +
+      "still bit-equal to batch after resuming from the checkpoint") {
+    import java.nio.file.Files
+    import graft.streaming.StreamingKmv
+    import graft.streaming.StreamingKmv.ShardMins
+    val work = Files.createTempDirectory("graft_skmv").toString
+    val inDir = s"$work/in"; val ckpt = s"$work/ckpt"; val outDir = s"$work/out"
+    new java.io.File(inDir).mkdirs()
+
+    val batch = SparkEntry.queries("rel_kmv_distinct")(spark, sf).head()
+    val (bK, bKth) = (batch.getAs[Long]("k"), batch.getAs[Long]("kth_hash"))
+    val ids = graft.queries.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey")).as[Long].collect().toSeq
+    val (half1, half2) = ids.splitAt(ids.size / 2)
+
+    // memory sinks can't recover; use foreachBatch into epoch dirs (the
+    // recoverable shape a real deployment uses)
+    def startQuery() = {
+      val in = spark.readStream.schema("id LONG")
+        .option("recursiveFileLookup", "true").parquet(inDir)
+        .select(col("id")).as[Long]
+      StreamingKmv.sketch(in, shards = 4, k = 256, hashSeed = 123456789L)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[ShardMins], id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/epoch=$id")
+        }
+        .start()
+    }
+
+    half1.toDF("id").write.mode("overwrite").parquet(s"$inDir/f1")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // fresh query from the same checkpoint: the shard minima from the
+    // first half must be RECOVERED, not rebuilt — otherwise the merged
+    // sketch would only reflect the second half and the kth hash drifts
+    half2.toDF("id").write.mode("overwrite").parquet(s"$inDir/f2")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val latest = spark.read.option("recursiveFileLookup", "true")
+      .parquet(outDir).select(col("shard"), col("mins"), col("n"))
+      .as[ShardMins].collect()
+      .groupBy(_.shard).values.map(_.maxBy(_.n)).toSeq
+    assert(latest.map(_.n).sum == ids.size,
+      "every id ingested exactly once across both runs")
+    val (sK, sKth, _) = StreamingKmv.mergedEstimate(latest, 256)
+    assert(sK == bK && sKth == bKth,
+      s"post-restart sketch (k=$sK, kth=$sKth) != batch (k=$bK, kth=$bKth)")
+  }
+
   test("streaming window dedup converges to batch evt_window_dedup under " +
       "REVERSED arrival order (where dropDuplicates would diverge)") {
     import graft.streaming.StreamingWindowDedup

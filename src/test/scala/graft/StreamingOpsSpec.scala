@@ -327,6 +327,38 @@ class StreamingOpsSpec extends SparkSpec {
       s"post-restart sketch (k=$sK, kth=$sKth) != batch (k=$bK, kth=$bKth)")
   }
 
+  test("online sequence packing equals batch pack_sequences row-for-row " +
+      "on the ordered fixture replay") {
+    import graft.streaming.StreamingPacker
+    import graft.streaming.StreamingPacker.{DocIn, PackedDoc}
+    import graft.queries.CurationQueries.PackCtxLen
+    val batch = SparkEntry.queries("pack_sequences")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+
+    // ordered dataloader feed: ascending doc_id across micro-batches
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+      .as[DocIn].collect().toSeq
+
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[DocIn]
+    val q = StreamingPacker.pack(in.toDS(), PackCtxLen.toLong)
+      .writeStream.format("memory").queryName("pack_stream")
+      .outputMode("append").start()
+    try {
+      docs.grouped((docs.size + 2) / 3).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("pack_stream").as[PackedDoc].collect()
+        .map(p => s"[${p.lang},${p.doc_id},${p.n_tokens},${p.bin},${p.bin_offset}]")
+        .sorted.toSeq
+      assert(streamed == batch,
+        s"stream packed ${streamed.size} docs, batch has ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming window dedup converges to batch evt_window_dedup under " +
       "REVERSED arrival order (where dropDuplicates would diverge)") {
     import graft.streaming.StreamingWindowDedup

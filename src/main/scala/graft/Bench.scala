@@ -116,11 +116,38 @@ object Bench {
       (if (benchAll) SparkEntry.queries.toSeq
        else SparkEntry.queries.toSeq.filter(q => headline.contains(q._1)))
         .sortBy(_._1)
-    // full sweep stays single-rep (145 queries × reps would dwarf the
-    // round budget); the headline artifact is the one that must be
-    // contention-proof, so it gets the interleaved repetitions.
-    val reps = if (benchAll) 1
-               else sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // BOTH the headline and the full sweep take >=3 interleaved reps
+    // with per-query min + spread (round-4 verdict item 2: a single-rep
+    // sweep makes round-over-round per-query deltas undecidable).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
+    /** Wait (bounded) for the host to go quiet before timing: the
+      * round driver runs this main right after its correctness sweep /
+      * scale smoke heat the box, which is exactly the capture-window
+      * problem round-4 verdict item 1 calls out. Polls /proc/loadavg
+      * until the 1-min load (which includes this idle JVM, ~0) drops
+      * under cpus/4, up to maxWaitSec.
+      */
+    def awaitQuietWindow(maxWaitSec: Int): Unit = {
+      val threshold = math.max(2.0, cpus.toDouble / 4.0)
+      val deadline = System.nanoTime() + maxWaitSec * 1e9.toLong
+      var load = Double.MaxValue
+      var waited = false
+      while (System.nanoTime() < deadline && {
+        load = try new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("/proc/loadavg")),
+            java.nio.charset.StandardCharsets.UTF_8)
+            .split("\\s+")(0).toDouble
+          catch { case _: Throwable => 0.0 }
+        load > threshold
+      }) {
+        if (!waited) System.err.println(
+          f"[bench] host load $load%.1f > $threshold%.1f — waiting for a quiet capture window")
+        waited = true
+        Thread.sleep(5000)
+      }
+      if (waited) System.err.println(f"[bench] proceeding at load $load%.1f")
+    }
 
     // materialize through the noop sink: unlike count(), Catalyst cannot
     // eliminate the final ORDER BY under an aggregate, so the bench pays
@@ -176,6 +203,7 @@ object Bench {
         }
       }
     }
+    awaitQuietWindow(maxWaitSec = 180)
     (1 to reps).foreach(_ => timedPass())
 
     def mins: Map[String, Double] =
@@ -195,11 +223,12 @@ object Bench {
       if (devs.isEmpty) None else Some(devs(devs.size / 2))
     }
     var rescues = 0
-    while (medianDeviationPct.exists(_ > 20.0) && rescues < 2) {
+    while (medianDeviationPct.exists(_ > 20.0) && rescues < 4) {
       System.err.println(
         f"[bench] median deviation vs sweep ${medianDeviationPct.get}%.1f%% " +
           "> 20% — contended capture window, taking a rescue rep")
       System.gc(); Thread.sleep(500)
+      awaitQuietWindow(maxWaitSec = 120)
       timedPass()
       rescues += 1
     }

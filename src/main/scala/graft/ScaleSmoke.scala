@@ -14,17 +14,18 @@ import org.apache.spark.sql.functions._
   *     sort; count() would let Catalyst drop the sort),
   *   - records output row counts per op (a cheap second pass — counts
   *     may elide the sort, which is fine for cardinality),
-  *   - runs the two quality gates AT SCALE: `sim_recall_report` (mean
+  *   - runs THREE quality gates AT SCALE: `sim_recall_report` (mean
   *     ANN recall@5 of the sign-bit LSH vs exact brute force; gate
-  *     >= 0.30, the IvfSpec ANN floor) and `dedup_quality_report`
-  *     (MinHash-LSH candidate precision/recall vs exact n-gram Jaccard
-  *     ground truth; gate: recall >= 0.95 — on a dup-saturated corpus
-  *     identical texts MUST collide in every band),
-  *   - writes ONE JSON artifact (default `SCALE_r04.json`, override via
+  *     >= 0.30, the IvfSpec ANN floor), exact-clone dedup recall
+  *     (LSH candidates must recover >= 0.95 of the clone pairs the
+  *     corpus construction makes true by definition), and the
+  *     `dedup_quality_report` Jaccard-truth instrument (non-empty
+  *     truth from the non-saturated stratum; LSH recall >= 0.80),
+  *   - writes ONE JSON artifact (default `SCALE_r05.json`, override via
   *     args(0)) with per-op seconds + rows + gate values + pass flags.
   *
   * Not part of the driver contract; run manually per round:
-  *   sbt "runMain graft.ScaleSmoke SCALE_r04.json"
+  *   sbt "runMain graft.ScaleSmoke SCALE_r05.json"
   */
 object ScaleSmoke {
 
@@ -51,7 +52,7 @@ object ScaleSmoke {
     "graph_triangles", "pipe_curriculum", "txt_sentences")
 
   def main(args: Array[String]): Unit = {
-    val outPath = args.headOption.getOrElse("SCALE_r04.json")
+    val outPath = args.headOption.getOrElse("SCALE_r05.json")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
@@ -66,10 +67,25 @@ object ScaleSmoke {
       base.withColumn("event_id", col("event_id") + lit(i.toLong * 100000)))
       .reduce(_ unionAll _)
       .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // Documents: 90% of texts cloned 30x (the dup-saturated LSH worst
+    // case), but docs with doc_id % 10 == 0 form a NON-saturated
+    // stratum (round-4 verdict item 5): each is kept as a singleton
+    // plus exactly one synthetic near-dup variant (one appended token
+    // ⇒ word-trigram Jaccard = (n-2)/(n-1), far above the 0.12 truth
+    // threshold and high enough that 4x4 LSH catches it w.h.p.). The
+    // stratum's grams stay below the df cap, so dedup_quality_report's
+    // Jaccard-truth set is non-empty at 30x and the instrument
+    // measures real precision/recall instead of 0/null.
     val docs = queries.Tables.documents(spark, "/root/testdata/sf0.1")
-    (0 until 30).map(i =>
-      docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000)))
+    val saturated = (0 until 30).map(i =>
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000)))
       .reduce(_ unionAll _)
+    val stratum = docs.filter(col("doc_id") % 10 === 0)
+    val stratumVariant = stratum
+      .withColumn("doc_id", col("doc_id") + lit(50000000L))
+      .withColumn("text", concat(col("text"), lit(" graftvariantmark")))
+    saturated.unionAll(stratum).unionAll(stratumVariant)
       .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val embs = queries.Tables.embeddings(spark, "/root/testdata/sf0.1")
     (0 until 30).map(i =>
@@ -131,10 +147,7 @@ object ScaleSmoke {
     // band; the only legitimate misses are clusters the bucket cap
     // collapses — over-cap buckets are exact-dedup's job by design).
     // The declared dedup_quality_report (Jaccard-truth instrument) is
-    // recorded alongside but NOT gated here: at 30x every gram goes
-    // df-cap-hot, so its truth set is empty by construction — the smoke
-    // that discovered exactly that also proved the report needs its
-    // null-safe ratios.
+    // gated separately below, over the non-saturated stratum.
     val dqT0 = System.nanoTime()
     val docs30 = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), xxhash64(col("lang"), col("text")).as("th"))
@@ -155,12 +168,24 @@ object ScaleSmoke {
     opRows("dedup_clone_recall") = nClonePairs
     println(f"[scale] dedup clone-pair recall=$cloneRecall%.4f " +
       f"($hits of $nClonePairs pairs, $dqSec%.1f s) pass=$dqPass")
-    // informational: the Jaccard-truth report at saturation (nulls OK)
+    // Jaccard-truth instrument at 30x — GATED now that the corpus
+    // carries a non-saturated stratum (round-4 verdict item 5): truth
+    // must be non-empty, and LSH must recover >= 0.80 of it (the
+    // stratum's truth pairs are dominated by the one-token variants,
+    // whose Jaccard (n-2)/(n-1) gives 4x4-band candidate probability
+    // ≈ 1 - (1 - J^4)^4 > 0.95; natural medium-Jaccard pairs dilute
+    // that, hence 0.80 not 0.95).
+    val jqT0 = System.nanoTime()
     val dqRow = SparkEntry.queries("dedup_quality_report")(spark, dir).head()
+    val jqSec = (System.nanoTime() - jqT0) / 1e9
     val dqInfo = (Option(dqRow.getAs[java.lang.Double]("precision")),
       Option(dqRow.getAs[java.lang.Double]("recall")))
-    println(s"[scale] jaccard-truth report at 30x: precision=${dqInfo._1} " +
-      s"recall=${dqInfo._2} (df-cap saturation expected)")
+    val nTrue = dqRow.getAs[Long]("n_true")
+    opSecs("dedup_quality_report") = math.round(jqSec * 1000) / 1000.0
+    opRows("dedup_quality_report") = nTrue
+    val jqPass = nTrue > 0L && dqInfo._2.exists(_ >= 0.80)
+    println(s"[scale] jaccard-truth report at 30x: n_true=$nTrue " +
+      s"precision=${dqInfo._1} recall=${dqInfo._2} pass=$jqPass")
 
     // ---- artifact ----
     def jnum(m: Iterable[(String, Double)]): String =
@@ -172,15 +197,15 @@ object ScaleSmoke {
       s"""{"metric":"scale_smoke_30x","value":${math.round(total * 100) / 100.0},"unit":"sec","scale":"30x-sf0.1","built":{"events":$nEvents,"documents":$nDocs,"embeddings":$nVecs},"op_sec":${jnum(
           opSecs)},"op_rows":$rowsJson,"gates":{"ann_recall_at5":${math.round(
           annRecall * 10000) / 10000.0},"ann_threshold":0.30,"ann_pass":$annPass,"dedup_clone_recall":${math.round(
-          cloneRecall * 10000) / 10000.0},"dedup_clone_pairs":$nClonePairs,"dedup_recall_threshold":0.95,"dedup_pass":$dqPass,"jaccard_truth_precision":${dqInfo._1.map(_.toString)
+          cloneRecall * 10000) / 10000.0},"dedup_clone_pairs":$nClonePairs,"dedup_recall_threshold":0.95,"dedup_pass":$dqPass,"jaccard_truth_pairs":$nTrue,"jaccard_truth_precision":${dqInfo._1.map(_.toString)
           .getOrElse("null")},"jaccard_truth_recall":${dqInfo._2.map(_.toString)
-          .getOrElse("null")}},"failed":${failed
-          .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"single timed noop-sink pass per op (cold plans; 30x scale), untimed count for cardinality"}"""
+          .getOrElse("null")},"jaccard_recall_threshold":0.80,"jaccard_pass":$jqPass},"failed":${failed
+          .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"single timed noop-sink pass per op (cold plans; 30x scale: 90% of texts cloned 30x, 10% stratum singleton + one-token near-dup variant), untimed count for cardinality"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[scale] wrote $outPath")
     println(json)
     spark.stop()
-    if (failed.nonEmpty || !annPass || !dqPass) sys.exit(1)
+    if (failed.nonEmpty || !annPass || !dqPass || !jqPass) sys.exit(1)
   }
 }

@@ -123,7 +123,7 @@ object ReplayCdcExactlyOnceLocal {
       tablePk =
         """[{"db":"test_db","table":"eve.*","primary_key":"event_id","column_max_length":"event_type=6|props=8"}]""")
     val df = CdcPipeline.build(spark, sfDir, p, numPartitions = 12)
-    val q = CdcPipeline.transactionalSink(df, p, () => new DemoProducer).start()
+    val q = CdcPipeline.transactionalSink(df, p, _ => new DemoProducer).start()
     q.processAllAvailable()
     q.stop()
     val recs = Committed.records.toArray

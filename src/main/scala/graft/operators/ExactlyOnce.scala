@@ -50,23 +50,37 @@ object ExactlyOnce {
     /** Full ProducerRecord form (topic, partition, key/value bytes;
       * partition -1 = let the broker's partitioner choose). Default
       * delegates to the string [[send]] for producers that only care
-      * about payloads; broker-bound implementations override.
+      * about payloads; broker-bound implementations override. Null key
+      * or value are legal Kafka records (unkeyed produce, tombstones) —
+      * decoded as null, never dereferenced.
       */
     def sendRecord(topic: String, partition: Int,
         key: Array[Byte], value: Array[Byte]): Unit =
-      send(new String(key, java.nio.charset.StandardCharsets.UTF_8),
-        new String(value, java.nio.charset.StandardCharsets.UTF_8))
+      send(Option(key).map(new String(_, java.nio.charset.StandardCharsets.UTF_8)).orNull,
+        Option(value).map(new String(_, java.nio.charset.StandardCharsets.UTF_8)).orNull)
   }
 
   /** Producers that can recover broker-side transaction state — the
     * piece that closes the commit-vs-marker residual window (round-3
     * verdict item 6). The real binding: a producer re-created with the
-    * SAME stable `transactional.id` can finish its predecessor's
-    * transaction idempotently (Flink's KafkaCommitter recovery path —
-    * resume the checkpointed transaction, call commit, and treat
-    * "already committed" responses as success; kafka-clients exposes
-    * this through initTransactions + the idempotent commit of a resumed
+    * SAME `transactional.id` can finish its predecessor's transaction
+    * idempotently (Flink's KafkaCommitter recovery path — resume the
+    * checkpointed transaction, call commit, and treat "already
+    * committed" responses as success; kafka-clients exposes this
+    * through initTransactions + the idempotent commit of a resumed
     * transaction).
+    *
+    * The transactional identity MUST be scoped to the epoch, not just
+    * the partition: the factory receives `batchId` precisely so the id
+    * is `s"$group-txn-$batchId-$partitionId"`. With an id stable across
+    * epochs, the broker's "last transaction committed" state persists
+    * past the epoch that produced it, so after epoch N commits, epoch
+    * N+1's first (normal, non-crashed) task would probe true, skip all
+    * of its sends, and still write its marker — silent data loss for
+    * every epoch after the first. Epoch-scoped ids are exactly Flink's
+    * per-checkpoint transactional.id rotation; Kafka's zombie fencing
+    * still applies between attempts of the SAME epoch, which is the
+    * only place two live producers can share an id.
     */
   trait RecoverableTxnProducer extends TxnProducer {
     /** Resume this `transactional.id`'s previous transaction, if any,
@@ -75,7 +89,10 @@ object ExactlyOnce {
       * visible to `read_committed` consumers, so the replaying task
       * must NOT re-send — false when no prior transaction committed
       * (it aborted, or never began): the replay owns a clean slate and
-      * sends normally.
+      * sends normally. Because the id carries the epoch, "prior
+      * attempt" can only mean a prior attempt of THIS epoch — a
+      * previous epoch's committed transaction lives under a different
+      * id and can never fence this one.
       */
     def resumeAndCommit(): Boolean
   }
@@ -143,12 +160,14 @@ object ExactlyOnce {
     * The commit-vs-marker window: a crash BETWEEN a partition's
     * `commitTransaction()` and its marker write leaves committed
     * records with no marker. A naive replay would re-send them. When
-    * the factory supplies a [[RecoverableTxnProducer]] (stable
-    * `transactional.id` per partition — the real kafka-clients
-    * binding), the replaying task first probes the broker through
-    * `resumeAndCommit()`: a prior committed transaction means the
-    * records are already visible, so the task only writes its missing
-    * marker and skips the send — Flink's recover-and-re-commit shape.
+    * the factory supplies a [[RecoverableTxnProducer]] (epoch-scoped
+    * `transactional.id` per (batchId, partition) — the factory gets
+    * the batchId for exactly this reason; see the trait scaladoc), the
+    * replaying task first probes the broker through
+    * `resumeAndCommit()`: a prior committed transaction of THIS epoch
+    * means the records are already visible, so the task only writes
+    * its missing marker and skips the send — Flink's
+    * recover-and-re-commit shape with per-checkpoint id rotation.
     * Remaining broker-only residue, stated explicitly: Kafka forgets a
     * transactional.id's state after `transactional.id.expiration.ms`
     * (default 7 days); a replay arriving later than that cannot
@@ -156,7 +175,7 @@ object ExactlyOnce {
     * re-send. That bound is the broker's, not this operator's.
     */
   def foreachBatchTransactional(ledgerPath: String,
-      producerFactory: () => TxnProducer)(
+      producerFactory: Long => TxnProducer)(
       batch: DataFrame, batchId: Long): Unit =
     runFenced(
       batch.select(col("key").cast("string"), col("value").cast("string")),
@@ -171,7 +190,7 @@ object ExactlyOnce {
     * per-(epoch, partition) fencing and recovery probe.
     */
   def foreachBatchTransactionalKafka(ledgerPath: String,
-      producerFactory: () => TxnProducer)(
+      producerFactory: Long => TxnProducer)(
       batch: DataFrame, batchId: Long): Unit = {
     val hasPartition = batch.columns.contains("partition")
     val projected =
@@ -187,7 +206,7 @@ object ExactlyOnce {
   }
 
   private def runFenced(projected: DataFrame, ledgerPath: String,
-      batchId: Long, producerFactory: () => TxnProducer)(
+      batchId: Long, producerFactory: Long => TxnProducer)(
       sendRow: (TxnProducer, org.apache.spark.sql.Row) => Unit): Unit = {
     val spark = projected.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -204,7 +223,7 @@ object ExactlyOnce {
         val pMarker = new org.apache.hadoop.fs.Path(
           s"$ledgerPath/epoch-$batchId.part-$pid")
         if (!pfs.exists(pMarker)) {
-          val p = producerFactory()
+          val p = producerFactory(batchId)
           try {
             // recovery probe first: a missing marker does NOT mean the
             // records were not produced — the previous attempt may have

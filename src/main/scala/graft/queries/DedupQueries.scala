@@ -390,6 +390,19 @@ object DedupQueries {
     // order dependence anywhere. Per round: one join + one keyed sum,
     // lineage truncated via localCheckpoint (the CC loop pattern).
     // The oracle unrolls the same 10 rounds as chained CTEs.
+    //
+    // Convergence early-exit (round-4 verdict item 7): the update is a
+    // deterministic function next = f(prev) of the whole rank vector,
+    // so the integer formulation has an EXACT fixed point — if round k
+    // produces bit-identical ranks to round k-1, every later round
+    // reproduces them too, and stopping at k emits the same bits the
+    // full 10 rounds (and the 10-round-unrolled oracle) would. The
+    // check rides the rounds that already materialize a checkpoint: the
+    // iterate carries its previous rank, and an isEmpty probe on the
+    // checkpointed frame costs one cached scan. On near-regular graphs
+    // (the 30x clone smoke: 30-cliques) ranks settle by round 2-3, so
+    // the scale path drops ~70% of the rounds; on graphs that keep
+    // drifting all 10 rounds run, exactly as before.
     "graph_pagerank" -> QueryDef(
       (s, dir) => {
         val nodes = Tables.documents(s, dir)
@@ -404,19 +417,26 @@ object DedupQueries {
           .localCheckpoint()
         val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("dg"))
         var pr = nodes.withColumn("rank", lit(1000000L)).localCheckpoint()
-        for (i <- 1 to 10) {
+        var converged = false
+        for (i <- 1 to 10 if !converged) {
           val sums = ed.join(pr, ed("src") === pr("id"))
             .join(deg, "src")
             .select(col("dst"), expr("rank div dg").as("contrib"))
             .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
-          val next = nodes.join(sums, nodes("id") === sums("dst"), "left")
-            .select(col("id"),
+          // join the PREVIOUS iterate (same ids as nodes every round) so
+          // the new frame carries prev_rank for the convergence probe
+          val next = pr.join(sums, pr("id") === sums("dst"), "left")
+            .select(col("id"), col("rank").as("prev_rank"),
               (lit(150000L) + expr("85 * coalesce(c, 0L) div 100"))
                 .as("rank"))
           // truncate lineage every OTHER round: two join+agg rounds of
           // lineage stay re-plannable, and halving the materialization
           // barriers cuts the per-round fixed cost (~2× fewer jobs)
-          pr = if (i % 2 == 0 || i == 10) next.localCheckpoint() else next
+          pr = if (i % 2 == 0 || i == 10) {
+            val ck = next.localCheckpoint()
+            converged = ck.filter(col("rank") =!= col("prev_rank")).isEmpty
+            ck.select(col("id"), col("rank"))
+          } else next.select(col("id"), col("rank"))
         }
         pr.select(col("id").as("doc_id"), col("rank").as("rank_micro"))
           .orderBy(col("doc_id"))

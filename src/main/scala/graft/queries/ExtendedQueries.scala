@@ -188,19 +188,38 @@ object ExtendedQueries {
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // ------------------------------ approximate distinct (HLL sketch)
-    // No oracle: HLL estimates are engine-specific by construction —
-    // declared rows-only; OperatorsSpec asserts the estimate lands
-    // within 5% of exact.
+    // HLL register contents are engine-specific, so the raw estimate
+    // can never hash-match a DuckDB oracle — instead the query emits
+    // the VERDICT (round-4 verdict item 4): the exact distinct counts
+    // plus a boolean per column asserting the HLL estimate landed
+    // within 5% of exact. Both are deterministic on both sides — Spark's
+    // HLL++ is deterministic for a given input, and the oracle only
+    // needs the exact counts and TRUE literals — so the row is fully
+    // hash-gated. OperatorsSpec separately asserts the 5% band on the
+    // raw estimates.
     "rel_approx_distinct" -> QueryDef(
       (s, dir) => {
         val l = Tables.lineitem(s, dir)
         l.groupBy(col("l_returnflag"))
           .agg(
-            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+            approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_orderkey")).as("exact_orders"))
+          .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+            (abs(col("ap") - col("exact_parts")).cast("double") /
+              col("exact_parts").cast("double") <= 0.05)
+              .as("parts_within_bound"),
+            (abs(col("ao") - col("exact_orders")).cast("double") /
+              col("exact_orders").cast("double") <= 0.05)
+              .as("orders_within_bound"))
           .orderBy(col("l_returnflag"))
       },
-      None),
+      Some("""SELECT l_returnflag,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        TRUE AS parts_within_bound, TRUE AS orders_within_bound
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // --------------------- approximate distinct (KMV sketch, oracled)
     // The deterministic companion to the HLL query above: a

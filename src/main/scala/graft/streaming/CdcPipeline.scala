@@ -90,14 +90,18 @@ object CdcPipeline {
     * writeStream.foreachBatch → per-(epoch, partition) fenced
     * transactional produce of the real Kafka record shape (topic,
     * partition, key bytes, value bytes) through the
-    * [[graft.operators.ExactlyOnce.TxnProducer]] seam. With
-    * kafka-clients on the classpath the factory returns a
-    * transactional KafkaProducer; in the sandbox an in-process
-    * recording fake stands in and the produced bytes are byte-compared
-    * to the routing oracle (DeliverySpec E2E; round-3 verdict item 8).
+    * [[graft.operators.ExactlyOnce.TxnProducer]] seam. The factory
+    * receives the epoch's batchId so the transactional.id rotates per
+    * epoch (`group-txn-$batchId-$pid` — see RecoverableTxnProducer's
+    * scaladoc for why a stable-per-partition id silently loses data
+    * after the first committed epoch). With kafka-clients on the
+    * classpath the factory returns a transactional KafkaProducer; in
+    * the sandbox an in-process recording fake stands in and the
+    * produced bytes are byte-compared to the routing oracle
+    * (DeliverySpec E2E; round-3 verdict item 8).
     */
   def transactionalSink(df: DataFrame, params: CdcParams,
-      producerFactory: () => graft.operators.ExactlyOnce.TxnProducer)
+      producerFactory: Long => graft.operators.ExactlyOnce.TxnProducer)
       : DataStreamWriter[Row] = {
     val ledger = params.checkpointDir.stripSuffix("/") + "/ledger"
     df.writeStream

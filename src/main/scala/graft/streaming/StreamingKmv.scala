@@ -60,11 +60,19 @@ object StreamingKmv {
 
   /** Merge per-shard minima into the global sketch and estimate: the k
     * smallest hashes overall, D-hat = (k-1)·P/h_(k). Returns
-    * (k, kthHash, estimate).
+    * (k, kthHash, estimate). Under-filled sketches short-circuit: with
+    * no ids ingested the result is (0, 0, 0.0) rather than a crash on
+    * `last`, and with fewer than k distinct hashes the sketch holds
+    * EVERY distinct hash, so the distinct count is exact = size — the
+    * estimator formula would be biased there (and divides by zero when
+    * hash 0 is among the minima). The batch `rel_kmv_distinct` query
+    * always runs with size == k on its fixture, so bit-parity with the
+    * oracle-checked estimate is unaffected.
     */
   def mergedEstimate(shards: Seq[ShardMins], k: Int): (Long, Long, Double) = {
     val global = shards.flatMap(_.mins).distinct.sorted.take(k)
-    val kth = global.last
-    (global.size.toLong, kth, Kmv.estimate(global.size.toLong, kth))
+    if (global.isEmpty) (0L, 0L, 0.0)
+    else if (global.size < k) (global.size.toLong, global.last, global.size.toDouble)
+    else (k.toLong, global.last, Kmv.estimate(k.toLong, global.last))
   }
 }

@@ -134,7 +134,7 @@ class DeliverySpec extends SparkSpec {
     TxnRecorder.failAfter.set(10)
     intercept[Exception] {
       ExactlyOnce.foreachBatchTransactional(
-        ledger, () => new RecordingProducer)(batch, 5L)
+        ledger, _ => new RecordingProducer)(batch, 5L)
     }
     assert(TxnRecorder.aborted.get() == 1)
     assert(TxnRecorder.committedRecords.isEmpty)
@@ -143,13 +143,13 @@ class DeliverySpec extends SparkSpec {
     // replay (same batchId): marker absent ⇒ the epoch re-runs in full
     TxnRecorder.failAfter.set(Int.MaxValue)
     ExactlyOnce.foreachBatchTransactional(
-      ledger, () => new RecordingProducer)(batch, 5L)
+      ledger, _ => new RecordingProducer)(batch, 5L)
     assert(TxnRecorder.committedRecords.size() == 100)
     assert(new java.io.File(s"$ledger/epoch-5").exists())
 
     // second replay: marker present ⇒ fenced no-op, nothing re-sent
     ExactlyOnce.foreachBatchTransactional(
-      ledger, () => new RecordingProducer)(batch, 5L)
+      ledger, _ => new RecordingProducer)(batch, 5L)
     assert(TxnRecorder.committedRecords.size() == 100)
   }
 
@@ -167,7 +167,7 @@ class DeliverySpec extends SparkSpec {
     TxnRecorder.failOddKeys.set(true)
     intercept[Exception] {
       ExactlyOnce.foreachBatchTransactional(
-        ledger, () => new RecordingProducer)(batch, 7L)
+        ledger, _ => new RecordingProducer)(batch, 7L)
     }
     // partial epoch: the even partition committed and wrote its part
     // marker; the odd partition aborted; the epoch is NOT sealed
@@ -182,7 +182,7 @@ class DeliverySpec extends SparkSpec {
     // part marker (no duplicate sends); only the aborted partition runs
     TxnRecorder.failOddKeys.set(false)
     ExactlyOnce.foreachBatchTransactional(
-      ledger, () => new RecordingProducer)(batch, 7L)
+      ledger, _ => new RecordingProducer)(batch, 7L)
     val keys = TxnRecorder.committedRecords.toArray
       .map(_.asInstanceOf[(String, String)]._1.toLong).toSeq
     assert(keys.size == 100, s"expected one copy of each record, got ${keys.size}")
@@ -191,7 +191,7 @@ class DeliverySpec extends SparkSpec {
 
     // whole-epoch replay after sealing: fast-path fenced no-op
     ExactlyOnce.foreachBatchTransactional(
-      ledger, () => new RecordingProducer)(batch, 7L)
+      ledger, _ => new RecordingProducer)(batch, 7L)
     assert(TxnRecorder.committedRecords.size() == 100)
   }
 
@@ -205,10 +205,12 @@ class DeliverySpec extends SparkSpec {
     val batch = spark.range(0, 100).selectExpr(
       "CAST(id AS STRING) AS key", "CAST(id * 2 AS STRING) AS value")
       .coalesce(1)
-    // stable transactional.id per partition — the contract the real
-    // kafka-clients binding relies on
-    val factory = () => new RecoverableRecordingProducer(
-      s"graft-txn-${TaskContext.getPartitionId()}")
+    // EPOCH-scoped transactional.id — `graft-txn-$batchId-$pid`, the
+    // per-checkpoint rotation the real kafka-clients binding relies on
+    // (a stable per-partition-only id would carry broker state across
+    // epochs and fence NORMAL later epochs into skipping their sends)
+    val factory = (batchId: Long) => new RecoverableRecordingProducer(
+      s"graft-txn-$batchId-${TaskContext.getPartitionId()}")
 
     // attempt 1: the transaction COMMITS at the broker, then the task
     // dies before its part marker lands (close() throws post-commit)
@@ -248,6 +250,42 @@ class DeliverySpec extends SparkSpec {
     assert(TxnRecorder.committedRecords.size() == 100)
   }
 
+  test("consecutive NORMAL epochs through one recoverable factory with " +
+      "persistent broker state: epoch N+1 is not fenced by epoch N's commit") {
+    import graft.operators.ExactlyOnce
+    import org.apache.spark.TaskContext
+    val ledger = Files.createTempDirectory("graft_txn_ledger_xe").toString
+    TxnRecorder.reset()
+
+    val batch = spark.range(0, 100).selectExpr(
+      "CAST(id AS STRING) AS key", "CAST(id * 2 AS STRING) AS value")
+      .coalesce(1)
+    val factory = (batchId: Long) => new RecoverableRecordingProducer(
+      s"graft-txn-$batchId-${TaskContext.getPartitionId()}")
+
+    // epoch 20 commits normally; brokerCommitted is NOT reset afterward —
+    // the broker's transaction log survives between micro-batches, which
+    // is exactly the state a stable (non-epoch-scoped) transactional.id
+    // would trip over: epoch 21's recovery probe would see "last
+    // transaction committed", skip every send, and still write its
+    // marker — silent loss of the entire epoch. Epoch-scoped ids make
+    // the probe see only THIS epoch's (nonexistent) prior transaction.
+    ExactlyOnce.foreachBatchTransactional(ledger, factory)(batch, 20L)
+    assert(TxnRecorder.committedRecords.size() == 100)
+    assert(TxnRecorder.brokerCommitted.size() == 1, "broker state persists")
+
+    ExactlyOnce.foreachBatchTransactional(ledger, factory)(batch, 21L)
+    val keys = TxnRecorder.committedRecords.toArray
+      .map(_.asInstanceOf[(String, String)]._1.toLong).toSeq
+    assert(keys.size == 200,
+      s"both epochs' records must be visible, got ${keys.size} " +
+        "(100 = epoch 21 was silently fenced by epoch 20's broker state)")
+    assert(keys.distinct.size == 100 && keys.groupBy(identity).forall(_._2.size == 2),
+      "each record exactly once per epoch")
+    assert(new java.io.File(s"$ledger/epoch-20").exists())
+    assert(new java.io.File(s"$ledger/epoch-21").exists())
+  }
+
   test("E2E fenced produce: CdcPipeline → ExactlyOnce → recorded Kafka " +
       "records byte-match the cdc_route_topic_partition oracle surface") {
     import org.apache.spark.sql.functions.col
@@ -263,7 +301,7 @@ class DeliverySpec extends SparkSpec {
     // the SAME projection the declared routing query uses: 12 partitions
     val df = CdcPipeline.build(spark, sf, params, numPartitions = 12)
     val q = CdcPipeline.transactionalSink(df, params,
-      () => new KafkaRecordProducer).start()
+      _ => new KafkaRecordProducer).start()
     try q.processAllAvailable() finally q.stop()
 
     val produced = KafkaRecordRecorder.records.toArray

@@ -275,6 +275,20 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KMV merged estimate: empty and under-filled sketches return exact " +
+      "counts instead of crashing or extrapolating") {
+    import graft.streaming.StreamingKmv
+    import graft.streaming.StreamingKmv.ShardMins
+    // nothing ingested: no NoSuchElementException on `last`
+    assert(StreamingKmv.mergedEstimate(Nil, 256) == ((0L, 0L, 0.0)))
+    assert(StreamingKmv.mergedEstimate(
+      Seq(ShardMins(0, Vector.empty, 0L)), 256) == ((0L, 0L, 0.0)))
+    // 3 distinct hashes < k: the sketch holds every hash, count is exact —
+    // and hash 0 among the minima must not produce an Infinity estimate
+    val s = Seq(ShardMins(0, Vector(0L, 5L), 2L), ShardMins(1, Vector(9L), 1L))
+    assert(StreamingKmv.mergedEstimate(s, 256) == ((3L, 9L, 3.0)))
+  }
+
   test("KMV shard state survives a checkpoint restart: merged estimate " +
       "still bit-equal to batch after resuming from the checkpoint") {
     import java.nio.file.Files
@@ -398,6 +412,96 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamed == batch,
         s"stream chose ${streamed.size} windows, batch has ${batch.size}")
     } finally q.stop()
+  }
+
+  test("streaming window dedup state EXPIRES once the watermark passes the " +
+      "window end, and a post-expiry late arrival cannot reopen the window") {
+    import graft.streaming.StreamingWindowDedup
+    import graft.streaming.StreamingWindowDedup.{EventRow, WindowFirst}
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = StreamingWindowDedup.firstPerWindow(in.toDS(), latenessSec = 60L)
+      .writeStream.format("memory").queryName("wdedup_ttl")
+      .outputMode("update").start()
+    // (live state rows after the last batch, cumulative removed rows)
+    def stateRows: (Long, Long) = {
+      val ops = q.recentProgress.toSeq.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatten)
+      (ops.lastOption.map(_.numRowsTotal).getOrElse(0L),
+        ops.map(_.numRowsRemoved).sum)
+    }
+    try {
+      // two minute-0 windows: (1, a, 0) and (2, b, 0)
+      in.addData(EventRow(1, 1, "a", 10), EventRow(2, 1, "a", 5),
+        EventRow(3, 2, "b", 20))
+      q.processAllAvailable()
+      assert(stateRows._1 == 2, s"expected 2 live windows, got $stateRows")
+      // push event time far past minute 0's end (60 s) + the 60 s
+      // lateness: watermark reaches 630-60 = 570 s ≫ 60 s, so both
+      // minute-0 timeouts fire in the following batches
+      in.addData(EventRow(9, 9, "z", 630)); q.processAllAvailable()
+      in.addData(EventRow(10, 9, "z", 660)); q.processAllAvailable()
+      in.addData(EventRow(12, 9, "z", 700)); q.processAllAvailable()
+      val (live, removed) = stateRows
+      assert(removed >= 2,
+        s"minute-0 state must have been dropped by the timeout, removed=$removed")
+      // still live: exactly the in-horizon windows (9,z,minute 10) and
+      // (9,z,minute 11) — watermark 640 s has not passed 660 s
+      assert(live == 2, s"expected only in-horizon windows live, got $live")
+      val minute0Before = spark.table("wdedup_ttl").as[WindowFirst]
+        .collect().count(_.minute == 0L)
+      // a late event for the EXPIRED minute-0 window: event time 15 s is
+      // far below the watermark, so the operator's late-row filter drops
+      // it — the window does not reopen with a divergent representative
+      in.addData(EventRow(11, 1, "a", 15)); q.processAllAvailable()
+      val minute0After = spark.table("wdedup_ttl").as[WindowFirst]
+        .collect().count(_.minute == 0L)
+      assert(minute0After == minute0Before,
+        "expired window must not re-open on late data")
+      assert(stateRows._1 == 2, "late row must not recreate expired state")
+    } finally q.stop()
+  }
+
+  test("streaming incremental decontaminate matches batch txt_decontaminate " +
+      "row-for-row after replaying the training split in micro-batches") {
+    import graft.streaming.StreamingDecontaminate
+    import graft.queries.QueryDef
+    // batch truth: per training doc, distinct grams shared with the eval split
+    val batchTruth = SparkEntry.queries("txt_decontaminate")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared_grams")))
+      .sorted.toSeq
+
+    // the standing benchmark index, built once and reused every epoch
+    val idx = StreamingDecontaminate.evalIndex(spark, sf).cache()
+    val train = graft.queries.Tables.documents(spark, sf)
+      .filter(QueryDef.uhash(concat(lit("doc_"), col("doc_id"))) % 20 =!= 1)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id"))
+      .as[(Long, String, String)].collect().toSeq
+
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = in.toDS().toDF("doc_id", "lang", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        StreamingDecontaminate.contamination(b.toDF(), idx).collect()
+          .foreach(r => acc.add((r.getAs[Long]("doc_id"),
+            r.getAs[Long]("n_shared_grams"))))
+        ()
+      }.start()
+    try {
+      train.grouped((train.size + 2) / 3).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = acc.toArray.map(_.asInstanceOf[(Long, Long)]).sorted.toSeq
+    assert(streamed == batchTruth,
+      s"stream scrubbed ${streamed.size} contaminated docs, " +
+        s"batch found ${batchTruth.size}")
   }
 
   test("arbitrary keyed state: running count per key via mapGroupsWithState") {

@@ -70,18 +70,30 @@ object ScaleSmoke {
     // Documents: 90% of texts cloned 30x (the dup-saturated LSH worst
     // case), but docs with doc_id % 10 == 0 form a NON-saturated
     // stratum (round-4 verdict item 5): each is kept as a singleton
-    // plus exactly one synthetic near-dup variant (one appended token
-    // ⇒ word-trigram Jaccard = (n-2)/(n-1), far above the 0.12 truth
-    // threshold and high enough that 4x4 LSH catches it w.h.p.). The
-    // stratum's grams stay below the df cap, so dedup_quality_report's
-    // Jaccard-truth set is non-empty at 30x and the instrument
-    // measures real precision/recall instead of 0/null.
+    // plus exactly one synthetic near-dup variant. The subtlety the
+    // first cut of this stratum missed: the fixture's vocabulary is
+    // tiny, so at 30x EVERY natural bigram's df blows past NgramDfCap
+    // — no stratum doc owns a private bigram, and since the Jaccard
+    // denominator uses FULL set sizes while `shared` counts only kept
+    // (under-cap) grams, the stratum pair's score collapsed to ~0 and
+    // the truth set stayed empty. So each stratum doc is SALTED with
+    // 20 doc-unique tokens: the ~20 salt bigrams exist in exactly the
+    // (orig, variant) pair (df = 2, far under cap) and push the pair's
+    // capped-shared Jaccard to ≈ 20 / (2·(n+20)+1−20) ≈ 0.16 for the
+    // fixture's typical n ≈ 51 distinct bigrams — above the 0.12 truth
+    // threshold. The variant appends one more token, so raw similarity
+    // stays near 1 and 4x4 MinHash-LSH catches the pair w.h.p., giving
+    // dedup_quality_report a real, non-empty truth set to measure
+    // recall against at 30x.
     val docs = queries.Tables.documents(spark, "/root/testdata/sf0.1")
     val saturated = (0 until 30).map(i =>
       docs.filter(col("doc_id") % 10 =!= 0)
         .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000)))
       .reduce(_ unionAll _)
+    val salt = concat_ws(" ", (0 until 20).map(j =>
+      concat(lit("u"), col("doc_id"), lit(s"x$j"))): _*)
     val stratum = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(col("text"), lit(" "), salt))
     val stratumVariant = stratum
       .withColumn("doc_id", col("doc_id") + lit(50000000L))
       .withColumn("text", concat(col("text"), lit(" graftvariantmark")))

@@ -113,9 +113,15 @@ object Bench {
       })
 
     val timedSet =
-      (if (benchAll) SparkEntry.queries.toSeq
-       else SparkEntry.queries.toSeq.filter(q => headline.contains(q._1)))
-        .sortBy(_._1)
+      (sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+        // ad-hoc subset for single-query iteration (comma-separated)
+        case Some(names) =>
+          val only = names.split(',').map(_.trim).toSet
+          SparkEntry.queries.toSeq.filter(q => only.contains(q._1))
+        case None if benchAll => SparkEntry.queries.toSeq
+        case None =>
+          SparkEntry.queries.toSeq.filter(q => headline.contains(q._1))
+      }).sortBy(_._1)
     // BOTH the headline and the full sweep take >=3 interleaved reps
     // with per-query min + spread (round-4 verdict item 2: a single-rep
     // sweep makes round-over-round per-query deltas undecidable).

@@ -67,11 +67,32 @@ object KMeans {
     * final (assignment, centroids). Centroids are localCheckpoint'ed
     * per round (k rows — pennies) so the lineage stays one-iteration
     * deep instead of nesting the full scan `iters` times.
+    *
+    * Convergence early-exit (the PageRank Δ=0 argument, applied to
+    * Lloyd's): the next centroid set is a deterministic function of
+    * the current one, and the 6 dp quantization makes equality EXACT —
+    * if round k reproduces round k−1's centroids bit-for-bit, every
+    * later round reproduces them too, so stopping emits exactly what
+    * the full `iters` rounds (and the round-unrolled oracle) would.
+    * The probe collects k tiny rows to the driver — iteration control,
+    * not data movement (k ≪ 1000 regardless of corpus size). On the
+    * fixture both k-means consumers settle well before their round
+    * budget; a corpus that keeps drifting runs all `iters` rounds,
+    * exactly as before.
     */
   def fit(vecs: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    def snapshot(c: DataFrame): Seq[(Long, Seq[Double])] =
+      c.orderBy(col("cluster")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     var cents = seed(vecs, k).localCheckpoint()
-    for (_ <- 1 to iters)
+    var prev = snapshot(cents)
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
       cents = means(vecs, assign(vecs, cents)).localCheckpoint()
+      val cur = snapshot(cents)
+      converged = cur == prev
+      prev = cur
+    }
     (assign(vecs, cents), cents)
   }
 }

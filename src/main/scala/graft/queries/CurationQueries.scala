@@ -689,20 +689,38 @@ object CurationQueries {
     // subtracts before dedup so shared chrome doesn't glue unrelated
     // docs together. Per-doc DISTINCT phrases (array_distinct inside
     // the row) before the document-frequency aggregate, so a doc
-    // repeating its own phrase doesn't inflate df; the df aggregate is
-    // map-side combinable and the threshold cuts the long tail before
-    // the output sort.
+    // repeating its own phrase doesn't inflate df.
+    //
+    // The df aggregate is HASH-KEYED (the txt_dup_spans 3-phase
+    // design): phase 1 counts document frequency per 8-byte
+    // xxhash64(phrase) — the dominant shuffle carries 16-byte rows
+    // instead of full phrase strings, map-side combined. Phase 2
+    // broadcast-semi-joins the ≥MinDf hash survivors back onto the
+    // occurrences (the survivor set is bounded by boilerplate
+    // DIVERSITY, not corpus size — same bounded-broadcast argument as
+    // the n-gram df-cap blocklist), so only surviving occurrences'
+    // strings ever shuffle. Phase 3 re-aggregates BY EXACT STRING and
+    // re-applies the threshold on exact counts — a hash collision can
+    // only merge counts upward in phase 1, i.e. only ADD candidates
+    // that phase 3 then rejects, so the output is collision-exact by
+    // the superset argument.
     "txt_boilerplate" -> QueryDef(
       (s, dir) => {
         val MinDf = 3
-        Tables.rebalance(Tables.documents(s, dir))
+        val occ = Tables.rebalance(Tables.documents(s, dir))
           .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
           .filter(size(col("toks")) >= 5)
           .select(col("doc_id"), array_distinct(
             expr("""transform(sequence(0, size(toks) - 5),
                     i -> concat_ws(' ', slice(toks, i + 1, 5)))"""))
             .as("phrases"))
-          .select(col("doc_id"), explode(col("phrases")).as("phrase"))
+          .select(explode(col("phrases")).as("phrase"))
+          .withColumn("ph", xxhash64(col("phrase")))
+        val survivors = occ.groupBy(col("ph"))
+          .agg(count(lit(1)).as("dfh"))
+          .filter(col("dfh") >= MinDf)
+          .select(col("ph"))
+        occ.join(broadcast(survivors), Seq("ph"), "left_semi")
           .groupBy(col("phrase"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") >= MinDf)

@@ -327,6 +327,72 @@ object OpsQueries {
         FROM isl GROUP BY doc_id, isl
         ORDER BY doc_id, span_start""")),
 
+    // ------------------------------------ dup spans vs the corpus-so-far
+    // PREFIX semantics: a span in doc d is flagged iff the same 8-gram
+    // occurs in some EARLIER doc (doc_id < d) — "what does this newly
+    // ingested doc duplicate from the corpus before it", the as-of-
+    // ingest view a training pipeline wants when appending to a
+    // standing corpus (the symmetric corpus-wide view is
+    // txt_dup_spans). Same 3-phase hash-keyed design: 8-byte xxhash64
+    // keys carry the dominant shuffle, the per-occurrence first-seen
+    // comparison is string-exact via a window over the candidate
+    // subset only, so a hash collision can only ever ADD a candidate
+    // that verification then rejects. [[streaming.StreamingDupSpans]]
+    // computes the identical answer incrementally per micro-batch.
+    "txt_dup_spans_prefix" -> QueryDef(
+      (s, dir) => {
+        val L = 8
+        val grams = Tables.rebalance(Tables.documents(s, dir))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= L)
+          .select(col("doc_id"), posexplode(expr(
+            s"""transform(sequence(0, size(toks) - $L),
+                i -> concat_ws(' ', slice(toks, i + 1, $L)))""")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("col").as("gram"))
+          .withColumn("ghash", xxhash64(col("gram")))
+        val dupHash = grams
+          .groupBy(col("ghash"))
+          .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+          .filter(col("dmin") =!= col("dmax"))
+          .select(col("ghash"))
+        val cand = grams.join(dupHash, Seq("ghash"), "left_semi")
+        val wv = Window.partitionBy(col("gram"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        cand
+          .withColumn("vmin", min(col("doc_id")).over(wv))
+          .filter(col("doc_id") > col("vmin"))
+          .select(col("doc_id"), col("pos"))
+          .withColumn("isl", col("pos") - row_number().over(w))
+          .groupBy(col("doc_id"), col("isl"))
+          .agg(min(col("pos")).as("span_start"),
+            (max(col("pos")) - min(col("pos")) + L).as("span_words"))
+          .select(col("doc_id"), col("span_start"), col("span_words"))
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 8
+        ), g AS (
+          SELECT doc_id, i AS pos,
+            array_to_string(list_slice(toks,
+              CAST(i AS INTEGER) + 1, CAST(i AS INTEGER) + 8), ' ') AS gram
+          FROM d, UNNEST(range(0, len(toks) - 7)) AS t(i)
+        ), fg AS (
+          SELECT gram, MIN(doc_id) AS dmin FROM g GROUP BY gram
+        ), dp AS (
+          SELECT g.doc_id, g.pos FROM g JOIN fg ON g.gram = fg.gram
+          WHERE g.doc_id > fg.dmin
+        ), isl AS (
+          SELECT doc_id, pos,
+            pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+          FROM dp
+        )
+        SELECT doc_id, MIN(pos) AS span_start,
+          MAX(pos) - MIN(pos) + 8 AS span_words
+        FROM isl GROUP BY doc_id, isl
+        ORDER BY doc_id, span_start""")),
+
     // ------------------------------------------- data-skipping A/B report
     // Quantifies what lake_zorder buys: per-file (min,max) envelopes on
     // BOTH dimensions under (a) the natural date-bucketed layout and

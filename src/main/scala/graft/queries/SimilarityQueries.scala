@@ -426,5 +426,120 @@ object SimilarityQueries {
         FROM brute b LEFT JOIN lsh l
           ON b.probe_id = l.probe_id AND b.vec_id = l.vec_id
         GROUP BY b.probe_id ORDER BY b.probe_id"""
+      }),
+
+    // ------------------------------------- hard-negative mining (top-k)
+    // Contrastive-training staple: for each anchor (the probe set), the
+    // k most cosine-similar vectors with a DIFFERENT label — the "hard
+    // negatives" that sit closest to the decision boundary. Same
+    // broadcast-probe × partition-local-scan shape as sim_knn_brute
+    // (the anti-label predicate rides the broadcast join, the per-probe
+    // top-k is a window with a partial TakeOrdered before the final
+    // exchange), so the plan scales exactly as the brute baseline: at
+    // corpus scale the anchors are a sample, never the full table.
+    "sim_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        val vecs = vectors(s, dir)
+        val probes = vecs.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+            col("v"), col("norm"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        broadcast(probes).as("p")
+          .join(vecs.as("e"), col("p.plabel") =!= col("e.label"))
+          .select(col("p.probe_id"), col("e.vec_id"),
+            (cosCol / (col("p.norm") * col("e.norm"))).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .orderBy(col("probe_id"), col("rnk"))
+      },
+      Some(s"""WITH $vecSql,
+        p AS (SELECT vec_id AS probe_id, label AS plabel, v, norm
+              FROM n WHERE vec_id % 100 = 0),
+        scored AS (
+          SELECT p.probe_id, e.vec_id,
+            $dotSql / (p.norm * e.norm) AS cos_sim
+          FROM p JOIN n e ON p.plabel <> e.label),
+        ranked AS (
+          SELECT probe_id, vec_id, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+          FROM scored)
+        SELECT probe_id, vec_id, cos_sim, rnk FROM ranked
+        WHERE rnk <= 5 ORDER BY probe_id, rnk""")),
+
+    // ------------------------- matryoshka truncation recall (MRL check)
+    // Matryoshka-style embeddings promise that a PREFIX of the vector
+    // is a usable cheap index. This report measures that promise on the
+    // actual corpus: per probe, how many of the full-dimension exact
+    // top-10 survive when retrieval uses only the first 16 dimensions
+    // (re-normalized). Two brute top-k pipelines (the sim_recall_report
+    // shape) + a keyed overlap join; ranking ties break by vec_id, and
+    // the dot products are the bit-parity ArrayDot fold, so both
+    // engines rank identically and the overlap counts hash-match.
+    "emb_matryoshka" -> QueryDef(
+      (s, dir) => {
+        val vecs = vectors(s, dir)
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        val full = broadcast(vecs.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("probe_id"), col("v"), col("norm"))).as("p")
+          .join(vecs.as("e"), col("p.probe_id") =!= col("e.vec_id"))
+          .select(col("p.probe_id"), col("e.vec_id"),
+            (cosCol / (col("p.norm") * col("e.norm"))).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("probe_id"), col("vec_id"))
+        val trunc = vecs.select(col("vec_id"),
+            expr("slice(v, 1, 16)").as("v"))
+          .withColumn("norm", graft.functions.VectorOps.l2Norm(col("v")))
+        val tTop = broadcast(trunc.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("probe_id"), col("v"), col("norm"))).as("p")
+          .join(trunc.as("e"), col("p.probe_id") =!= col("e.vec_id"))
+          .select(col("p.probe_id"), col("e.vec_id"),
+            (cosCol / (col("p.norm") * col("e.norm"))).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("probe_id").as("t_probe_id"), col("vec_id").as("t_vec_id"))
+        full.join(tTop,
+            col("probe_id") === col("t_probe_id") &&
+              col("vec_id") === col("t_vec_id"), "left_outer")
+          .groupBy(col("probe_id"))
+          .agg(sum(when(col("t_vec_id").isNull, 0L).otherwise(1L)).as("hits"))
+          .withColumn("recall_at10", col("hits").cast("double") / 10.0)
+          .orderBy(col("probe_id"))
+      },
+      Some {
+        val tdotSql =
+          """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            |  list_transform(range(1, 17),
+            |    i -> p.v[CAST(i AS INTEGER)] * e.v[CAST(i AS INTEGER)])),
+            |  (acc, x) -> acc + x)""".stripMargin
+        s"""WITH $vecSql,
+        p AS (SELECT vec_id AS probe_id, v, norm FROM n WHERE vec_id % 100 = 0),
+        full10 AS (
+          SELECT probe_id, vec_id FROM (
+            SELECT p.probe_id, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+                $dotSql / (p.norm * e.norm) DESC, e.vec_id ASC) AS rnk
+            FROM p JOIN n e ON p.probe_id <> e.vec_id) WHERE rnk <= 10),
+        tr AS (SELECT vec_id, list_slice(v, 1, 16) AS v,
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(list_slice(v, 1, 16), x -> x * x)),
+            (acc, x) -> acc + x)) AS norm FROM n),
+        tp AS (SELECT vec_id AS probe_id, v, norm FROM tr WHERE vec_id % 100 = 0),
+        trunc10 AS (
+          SELECT probe_id, vec_id FROM (
+            SELECT p.probe_id, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+                $tdotSql / (p.norm * e.norm) DESC, e.vec_id ASC) AS rnk
+            FROM tp p JOIN tr e ON p.probe_id <> e.vec_id) WHERE rnk <= 10)
+        SELECT f.probe_id,
+          CAST(SUM(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits,
+          CAST(SUM(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / 10
+            AS recall_at10
+        FROM full10 f LEFT JOIN trunc10 t
+          ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+        GROUP BY f.probe_id ORDER BY f.probe_id"""
       }))
 }

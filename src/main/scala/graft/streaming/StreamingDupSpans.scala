@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Micro-batch incremental duplicated-span mining — the streaming twin
+  * of the batch `txt_dup_spans_prefix` query (prefix semantics: a span
+  * in doc d is duplicated iff its 8-gram appeared in an EARLIER doc).
+  *
+  * Shape: a STANDING gram index carried between micro-batches — one
+  * row per distinct 8-gram hash ever seen, with the lowest doc_id that
+  * produced it — and each arriving batch of whole documents is mined
+  * against (index ∪ its own intra-batch prefix). Per epoch:
+  *
+  *   1. explode the batch's 8-grams (the same fused stage as the batch
+  *      query), keyed by a 128-bit double hash `(gh1, gh2)`,
+  *   2. flag occurrences whose hash is in the standing index, or whose
+  *      intra-batch first-seen doc_id is lower (same-batch prefix),
+  *   3. reassemble flagged positions into maximal spans per doc — a
+  *      batch-local window, sound because docs arrive whole,
+  *   4. fold the batch's first-seen rows into the index for the next
+  *      epoch.
+  *
+  * Under a doc_id-ordered feed (the StreamingPacker ordered-feed
+  * contract) the union of every epoch's spans equals the batch query
+  * bit-for-bit — proven in StreamingOpsSpec. Out-of-order feeds get
+  * as-of-ARRIVAL semantics instead (an early doc arriving late cannot
+  * retroactively flag docs already emitted); both are prefix views,
+  * only the prefix differs.
+  *
+  * State/scale: the index is O(distinct grams) at 24 bytes/row —
+  * inherent to the operator (the batch query's first-seen aggregate
+  * materializes the same set per run) — persisted as parquet per epoch
+  * and joined on 8-byte hash keys, never gram strings. The batch twin
+  * string-verifies candidates (collisions can only add candidates that
+  * verification rejects); the standing index cannot afford strings, so
+  * the stream verifies against the 128-bit double hash — a false span
+  * needs a full 128-bit collision. Exactly-once: each epoch is a pure
+  * function of (index, batch), so batch-id fencing on the output +
+  * epoch-versioned index parquet (ExactlyOnce.writeFenced) replays
+  * idempotently.
+  */
+object StreamingDupSpans {
+
+  val L = 8
+
+  /** Exploded 8-gram occurrences of a (doc_id, text) frame:
+    * (doc_id, pos, gh1, gh2) — the identical gram text the batch query
+    * hashes, under two independent xxhash64 seeds.
+    */
+  private def gramRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - $L),
+            i -> concat_ws(' ', slice(toks, i + 1, $L)))""")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("col")).as("gh1"),
+        xxhash64(lit(0x9e3779b9L), col("col")).as("gh2"))
+
+  /** The empty standing index: (gh1, gh2, dmin). */
+  def emptyIndex(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("gh1", LongType), StructField("gh2", LongType),
+        StructField("dmin", LongType))))
+  }
+
+  /** One epoch: mine `batch` (whole docs: doc_id, text) against the
+    * standing `index`, returning (spans of this batch, updated index).
+    * Pure in (index, batch) — replay-idempotent under batch fencing.
+    */
+  def advance(index: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
+    val bg = gramRows(batch)
+    val batchMin = bg.groupBy(col("gh1"), col("gh2"))
+      .agg(min(col("doc_id")).as("bmin"))
+    // corpus-so-far first-seen per hash: standing dmin folded with the
+    // batch's own min — an 8-byte-keyed outer merge, never strings
+    val merged = index.join(batchMin, Seq("gh1", "gh2"), "full_outer")
+      .select(col("gh1"), col("gh2"),
+        least(coalesce(col("dmin"), col("bmin")),
+          coalesce(col("bmin"), col("dmin"))).as("dmin"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = bg.join(merged, Seq("gh1", "gh2"))
+      .filter(col("doc_id") > col("dmin"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + L).as("span_words"))
+      .select(col("doc_id"), col("span_start"), col("span_words"))
+    (spans, merged)
+  }
+}

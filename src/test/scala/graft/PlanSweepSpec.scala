@@ -39,6 +39,8 @@ class PlanSweepSpec extends SparkSpec {
     "txt_heavy_hitters",  // crossJoin(broadcast(1-row ≤k-candidate sketch))
     "lake_skip_report",   // 16 probes × ≤64 broadcast file envelopes
     "sim_recall_report",  // broadcast probe set (brute recall baseline)
+    "sim_hard_negatives", // broadcast anchor set vs anti-label vector scan
+    "emb_matryoshka",     // broadcast probe set ×2 (full + truncated brute top-k)
     "pipe_curriculum",    // crossJoin(broadcast(1-row doc count))
     "rel_kmv_distinct"    // crossJoin(broadcast(1-row exact-distinct count))
   )

@@ -504,6 +504,49 @@ class StreamingOpsSpec extends SparkSpec {
         s"batch found ${batchTruth.size}")
   }
 
+  test("streaming incremental dup-spans matches batch txt_dup_spans_prefix " +
+      "bit-for-bit after a doc_id-ordered micro-batch replay") {
+    import graft.streaming.StreamingDupSpans
+    // batch truth: prefix-semantics dup spans over the whole fixture
+    val batchTruth = SparkEntry.queries("txt_dup_spans_prefix")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_words")))
+      .sorted.toSeq
+
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .as[(Long, String)].collect().toSeq
+
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    // the standing index carried across epochs, checkpointed per epoch
+    // (the real pipeline persists it as parquet; localCheckpoint is the
+    // in-test equivalent that truncates the cross-epoch lineage)
+    var index = StreamingDupSpans.emptyIndex(spark)
+    val q = in.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val (spans, next) = StreamingDupSpans.advance(index, b.toDF())
+        spans.collect().foreach(r => acc.add((r.getAs[Long]("doc_id"),
+          r.getAs[Long]("span_start"), r.getAs[Long]("span_words"))))
+        index = next.localCheckpoint()
+        ()
+      }.start()
+    try {
+      docs.grouped((docs.size + 2) / 3).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = acc.toArray.map(_.asInstanceOf[(Long, Long, Long)]).sorted.toSeq
+    assert(streamed == batchTruth,
+      s"stream mined ${streamed.size} spans, batch found ${batchTruth.size}")
+  }
+
   test("arbitrary keyed state: running count per key via mapGroupsWithState") {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     implicit val sc = spark.sqlContext

@@ -695,15 +695,18 @@ object CurationQueries {
     // design): phase 1 counts document frequency per 8-byte
     // xxhash64(phrase) — the dominant shuffle carries 16-byte rows
     // instead of full phrase strings, map-side combined. Phase 2
-    // broadcast-semi-joins the ≥MinDf hash survivors back onto the
-    // occurrences (the survivor set is bounded by boilerplate
-    // DIVERSITY, not corpus size — same bounded-broadcast argument as
-    // the n-gram df-cap blocklist), so only surviving occurrences'
-    // strings ever shuffle. Phase 3 re-aggregates BY EXACT STRING and
-    // re-applies the threshold on exact counts — a hash collision can
-    // only merge counts upward in phase 1, i.e. only ADD candidates
-    // that phase 3 then rejects, so the output is collision-exact by
-    // the superset argument.
+    // semi-joins the ≥MinDf hash survivors back onto the occurrences
+    // so only surviving occurrences' strings ever shuffle. The
+    // survivor set is NOT bounded — df≥MinDf is a lower-bound filter,
+    // so the set grows roughly with corpus size (every common 5-gram
+    // qualifies at 100 TB) — hence NO forced broadcast: AQE picks
+    // broadcast when the survivor side measures small at runtime and
+    // falls back to a shuffled join when it doesn't, which is exactly
+    // the scale-adaptive behavior a hint would destroy. Phase 3
+    // re-aggregates BY EXACT STRING and re-applies the threshold on
+    // exact counts — a hash collision can only merge counts upward in
+    // phase 1, i.e. only ADD candidates that phase 3 then rejects, so
+    // the output is collision-exact by the superset argument.
     "txt_boilerplate" -> QueryDef(
       (s, dir) => {
         val MinDf = 3
@@ -720,7 +723,7 @@ object CurationQueries {
           .agg(count(lit(1)).as("dfh"))
           .filter(col("dfh") >= MinDf)
           .select(col("ph"))
-        occ.join(broadcast(survivors), Seq("ph"), "left_semi")
+        occ.join(survivors, Seq("ph"), "left_semi")
           .groupBy(col("phrase"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") >= MinDf)

@@ -22,17 +22,31 @@ import org.apache.spark.sql.types._
   */
 object CdcReplay {
 
-  /** File-stream schema: `ts` declared as long (nanos) — the fixture's
-    * parquet TIMESTAMP(NANOS) physical type — then converted; see
-    * graft.queries.Tables.events.
+  /** Raw events file stream with a batch schema peek, so the fixture's
+    * physical timestamp layout — TIMESTAMP(MICROS) today, nanos-as-long
+    * historically — streams with TRUE timestamps either way. Mirrors the
+    * peek `graft.queries.Tables.events` does on the batch path: the
+    * micros→timestamp conversion is applied ONLY when `ts` really is a
+    * long. Streams the landing-zone directory directly when
+    * `events.parquet` is one (part files arriving), else globs the single
+    * fixture file from its parent.
     */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def rawEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    val isDir = org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(new org.apache.hadoop.fs.Path(path)).isDirectory
+    val reader = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", 1)
+    val raw0 =
+      if (isDir) reader.parquet(path)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    if (batchSchema("ts").dataType == LongType)
+      raw0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw0
+  }
 
   /** Deterministic op code for an events row. */
   def opExpr(eventId: Column): Column =
@@ -132,24 +146,7 @@ object CdcReplay {
     */
   def mongoStream(spark: SparkSession, sfDir: String,
       afterId: Long = -1L): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/events.parquet"
-    val batchSchema = spark.read.parquet(path).schema
-    // the streaming file source needs a DIRECTORY basePath: stream the
-    // landing-zone directory directly when events.parquet is one (part
-    // files arriving), else glob the single fixture file from its parent
-    val isDir = org.apache.hadoop.fs.FileSystem
-      .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(new org.apache.hadoop.fs.Path(path)).isDirectory
-    val reader = spark.readStream.schema(batchSchema)
-      .option("maxFilesPerTrigger", 1)
-    val raw0 =
-      if (isDir) reader.parquet(path)
-      else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    val raw =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw0
+    val raw = rawEventsStream(spark, sfDir)
     val fenced = if (afterId >= 0) raw.filter(col("event_id") > afterId) else raw
     mongoEnvelopeJson(fenced)
   }
@@ -157,15 +154,6 @@ object CdcReplay {
   /** Streaming replay: the same pipeline under readStream (file source).
     * `maxFilesPerTrigger=1` paces the replay like binlog micro-batches.
     */
-  def stream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // file streaming sources need a directory; select only the events
-    // table out of the fixture dir
-    val raw = spark.readStream.schema(eventsSchema)
-      .option("maxFilesPerTrigger", 1)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    envelopeJson(envelope(raw))
-  }
+  def stream(spark: SparkSession, sfDir: String): DataFrame =
+    envelopeJson(envelope(rawEventsStream(spark, sfDir)))
 }

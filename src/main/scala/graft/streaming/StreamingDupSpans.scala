@@ -31,8 +31,10 @@ import org.apache.spark.sql.functions._
   *
   * State/scale: the index is O(distinct grams) at 24 bytes/row —
   * inherent to the operator (the batch query's first-seen aggregate
-  * materializes the same set per run) — persisted as parquet per epoch
-  * and joined on 8-byte hash keys, never gram strings. The batch twin
+  * materializes the same set per run) — joined on 8-byte hash keys,
+  * never gram strings. Ordered feeds write only an O(batch) append
+  * delta per epoch ([[advanceOrdered]]); the O(history) re-merge is
+  * reserved for the out-of-order mode ([[advance]]). The batch twin
   * string-verifies candidates (collisions can only add candidates that
   * verification rejects); the standing index cannot afford strings, so
   * the stream verifies against the 128-bit double hash — a false span
@@ -69,8 +71,27 @@ object StreamingDupSpans {
         StructField("dmin", LongType))))
   }
 
-  /** One epoch: mine `batch` (whole docs: doc_id, text) against the
-    * standing `index`, returning (spans of this batch, updated index).
+  /** Maximal-span reassembly of flagged (doc_id, pos) occurrences —
+    * shared by both epoch modes. Batch-local window, sound because docs
+    * arrive whole.
+    */
+  private def toSpans(flagged: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged
+      .select(col("doc_id"), col("pos"))
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + L).as("span_words"))
+      .select(col("doc_id"), col("span_start"), col("span_words"))
+  }
+
+  /** One OUT-OF-ORDER epoch: mine `batch` (whole docs: doc_id, text)
+    * against the standing `index`, returning (spans of this batch,
+    * updated FULL index). A late-arriving early doc can lower an existing
+    * key's dmin, so the index must be re-merged wholesale — per-epoch
+    * write cost O(corpus history). Ordered feeds should use
+    * [[advanceOrdered]], whose per-epoch write is O(batch).
     * Pure in (index, batch) — replay-idempotent under batch fencing.
     */
   def advance(index: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
@@ -83,15 +104,47 @@ object StreamingDupSpans {
       .select(col("gh1"), col("gh2"),
         least(coalesce(col("dmin"), col("bmin")),
           coalesce(col("bmin"), col("dmin"))).as("dmin"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = bg.join(merged, Seq("gh1", "gh2"))
-      .filter(col("doc_id") > col("dmin"))
-      .select(col("doc_id"), col("pos"))
-      .withColumn("isl", col("pos") - row_number().over(w))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) - min(col("pos")) + L).as("span_words"))
-      .select(col("doc_id"), col("span_start"), col("span_words"))
+    val spans = toSpans(bg.join(merged, Seq("gh1", "gh2"))
+      .filter(col("doc_id") > col("dmin")))
     (spans, merged)
+  }
+
+  /** One ORDERED-feed epoch: returns (spans of this batch, index DELTA).
+    *
+    * Under the doc_id-ordered feed contract every arriving doc_id is
+    * strictly larger than anything already in the index, so an existing
+    * key's dmin can never change — the index update is APPEND-ONLY. The
+    * delta is exactly the batch's first-seen rows for hashes NOT already
+    * indexed (a left join probe on 8-byte keys), so the per-epoch index
+    * write is O(batch new hashes), not O(corpus history). The caller
+    * appends the delta (parquet append in the real pipeline; `union` +
+    * checkpoint in tests) and may compact the accumulated delta files
+    * periodically — compaction is a pure rewrite, never a merge, because
+    * delta key sets are disjoint by construction.
+    */
+  /** Distinct gram hashes of `batch` absent from `index` — the expected
+    * per-epoch delta cardinality. An independent (anti-join) computation
+    * of what [[advanceOrdered]] derives via left-join + null filter, used
+    * by the O(batch)-write guarantee test.
+    */
+  def newHashes(index: DataFrame, batch: DataFrame): DataFrame =
+    gramRows(batch).select(col("gh1"), col("gh2")).distinct()
+      .join(index, Seq("gh1", "gh2"), "left_anti")
+
+  def advanceOrdered(index: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
+    val bg = gramRows(batch)
+    val batchMin = bg.groupBy(col("gh1"), col("gh2"))
+      .agg(min(col("doc_id")).as("bmin"))
+    // probe the standing index for only the batch's grams; dmin ≤ every
+    // batch doc_id when present, so coalesce(dmin, bmin) IS the
+    // corpus-so-far first-seen
+    val probed = batchMin.join(index, Seq("gh1", "gh2"), "left")
+    val sofar = probed.select(col("gh1"), col("gh2"),
+      coalesce(col("dmin"), col("bmin")).as("dmin"))
+    val spans = toSpans(bg.join(sofar, Seq("gh1", "gh2"))
+      .filter(col("doc_id") > col("dmin")))
+    val delta = probed.filter(col("dmin").isNull)
+      .select(col("gh1"), col("gh2"), col("bmin").as("dmin"))
+    (spans, delta)
   }
 }

@@ -522,18 +522,26 @@ class StreamingOpsSpec extends SparkSpec {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String)]
     val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
-    // the standing index carried across epochs, checkpointed per epoch
-    // (the real pipeline persists it as parquet; localCheckpoint is the
-    // in-test equivalent that truncates the cross-epoch lineage)
+    // the standing index carried across epochs as an APPEND-ONLY union
+    // of per-epoch deltas (the real pipeline appends parquet delta
+    // files; union + localCheckpoint is the in-test equivalent that
+    // truncates the cross-epoch lineage)
     var index = StreamingDupSpans.emptyIndex(spark)
+    // (epoch's delta rows, epoch's truly-new distinct-hash count) —
+    // the O(batch) write guarantee under the ordered-feed contract
+    val deltaCounts = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
     val q = in.toDS().toDF("doc_id", "text")
       .writeStream.outputMode("append")
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           _: Long) =>
-        val (spans, next) = StreamingDupSpans.advance(index, b.toDF())
+        val batch = b.toDF().localCheckpoint()
+        val (spans, delta) = StreamingDupSpans.advanceOrdered(index, batch)
         spans.collect().foreach(r => acc.add((r.getAs[Long]("doc_id"),
           r.getAs[Long]("span_start"), r.getAs[Long]("span_words"))))
-        index = next.localCheckpoint()
+        val d = delta.localCheckpoint()
+        val newHashes = StreamingDupSpans.newHashes(index, batch).count()
+        deltaCounts.add((d.count(), newHashes))
+        index = index.union(d).localCheckpoint()
         ()
       }.start()
     try {
@@ -545,6 +553,11 @@ class StreamingOpsSpec extends SparkSpec {
     val streamed = acc.toArray.map(_.asInstanceOf[(Long, Long, Long)]).sorted.toSeq
     assert(streamed == batchTruth,
       s"stream mined ${streamed.size} spans, batch found ${batchTruth.size}")
+    // the per-epoch index write is exactly the batch's new-hash count —
+    // O(batch), never O(history) (round-5 verdict item 5)
+    val dc = deltaCounts.toArray.map(_.asInstanceOf[(Long, Long)]).toSeq
+    assert(dc.nonEmpty && dc.forall { case (written, newh) => written == newh },
+      s"per-epoch delta writes != new-hash counts: $dc")
   }
 
   test("arbitrary keyed state: running count per key via mapGroupsWithState") {

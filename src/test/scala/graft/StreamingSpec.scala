@@ -79,6 +79,13 @@ class StreamingSpec extends SparkSpec {
       assert(n == 1000)
       assert(spark.table("cdc_dedup_out")
         .select(col("partitionKey")).distinct().count() == n)
+      // value-bytes tripwire: the streamed envelopes must be BYTE-identical
+      // to the batch oracle surface — counts/key-prefix checks alone let a
+      // 1000x timestamp-layout error through (round-5 verdict item 2)
+      val batchValues = queries.CdcQueries.enriched(spark, sf).select(col("value"))
+      val streamValues = spark.table("cdc_dedup_out").select(col("value"))
+      assert(streamValues.exceptAll(batchValues).count() == 0)
+      assert(batchValues.exceptAll(streamValues).count() == 0)
     } finally q.stop()
   }
 
@@ -124,12 +131,10 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("windowed aggregation with watermark over the events stream") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream
-      .schema(graft.sources.CdcReplay.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sf)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // watermarks require TIMESTAMP (not NTZ); value-preserving under the
+    // session's UTC timezone
+    val events = graft.sources.CdcReplay.rawEventsStream(spark, sf)
+      .withColumn("ts", col("ts").cast("timestamp"))
     val agg = events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))

@@ -262,8 +262,15 @@ object Bench {
         extras ++= s""","sweep_deviation_pct":${math.round(d * 10) / 10.0}""")
       extras ++= s""","contended":$contended"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(
-        ordered)},"shuffle_mb":${jmap(shuffleMb)},"sf":"$sfDir","failed":${failedSet.size},"materialization":"noop-sink","methodology":"per-query warm run, then $reps interleaved timed reps, per-query min"$extras}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(
+        ordered)},"shuffle_mb":${jmap(shuffleMb)},"sf":"$sfDir","failed":${failedSet.size},"materialization":"noop-sink","methodology":"per-query warm run, then $reps interleaved timed reps, per-query min"$extras}"""
+    println(line)
+    // stdout gets wrapped in sbt/log noise downstream — persist the
+    // structured result to a well-known file too, so consumers that
+    // fail to grep the line out of the tail still get the JSON
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

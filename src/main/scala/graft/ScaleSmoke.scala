@@ -137,8 +137,10 @@ object ScaleSmoke {
 
     // ---- quality gates at 30x ----
     // ANN: mean recall@5 of sign-bit LSH vs exact brute force, over the
-    // 1-in-100 probe sample the declared query uses. Gate at the ANN
-    // floor IvfSpec enforces at sf0.001 (0.30) — scale must not erode it.
+    // bounded probe sample the declared query uses (at most
+    // SimilarityQueries.MaxProbes — recall estimation never needs every
+    // probe). Gate at the ANN floor IvfSpec enforces at sf0.001 (0.30)
+    // — scale must not erode it.
     val annT0 = System.nanoTime()
     val annRow = SparkEntry.queries("sim_recall_report")(spark, dir)
       .agg(avg(col("recall")).as("r"), count(lit(1)).as("n")).head()

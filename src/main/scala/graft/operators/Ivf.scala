@@ -65,8 +65,10 @@ object Ivf {
     val cells = assign(vecs, cents)
     val indexed = vecs.join(cells, "vec_id") // vec_id, v, norm, cell_id
 
-    // probe routing: nprobe nearest cells per probe
-    val probes = indexed.filter(col("vec_id") % 100 === 0)
+    // probe routing: nprobe nearest cells per probe — bounded probe
+    // sample (at most SimilarityQueries.MaxProbes at any corpus size)
+    val probes = indexed.filter(
+        graft.queries.SimilarityQueries.probePred(col("vec_id")))
       .select(col("vec_id").as("probe_id"),
         col("v").as("pv"), col("norm").as("pnorm"))
     val probeCells = probes.crossJoin(broadcast(cents))

@@ -23,6 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
+  /** Probe/anchor sample bound: the probe set is `vec_id % 100 == 0 AND
+    * vec_id < MaxProbes * 100` — at most [[MaxProbes]] rows at ANY corpus
+    * size, so every probe broadcast in this file is bounded by
+    * CONSTRUCTION (a pure pushed-down constant predicate; no sort, no
+    * limit operator, no plan change). Raising the bound is a one-constant
+    * change mirrored into the oracles via [[probePredSql]].
+    */
+  val MaxProbes = 64
+
+  def probePred(id: Column): Column =
+    id % 100 === 0 && id < lit(MaxProbes * 100L)
+
+  val probePredSql: String = s"vec_id % 100 = 0 AND vec_id < ${MaxProbes * 100}"
+
   private def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.rebalance(Tables.embeddings(s, dir)).select(
       col("vec_id"), col("label"),
@@ -53,7 +67,7 @@ object SimilarityQueries {
     "sim_knn_brute" -> QueryDef(
       (s, dir) => {
         val vecs = vectors(s, dir)
-        val probes = vecs.filter(col("vec_id") % 100 === 0)
+        val probes = vecs.filter(probePred(col("vec_id")))
           .select(col("vec_id").as("probe_id"), col("v"), col("norm"))
         val w = Window.partitionBy(col("probe_id"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
@@ -66,7 +80,7 @@ object SimilarityQueries {
           .orderBy(col("probe_id"), col("rnk"))
       },
       Some(s"""WITH $vecSql,
-        p AS (SELECT vec_id AS probe_id, v, norm FROM n WHERE vec_id % 100 = 0),
+        p AS (SELECT vec_id AS probe_id, v, norm FROM n WHERE $probePredSql),
         scored AS (
           SELECT p.probe_id, e.vec_id,
             $dotSql / (p.norm * e.norm) AS cos_sim
@@ -110,7 +124,7 @@ object SimilarityQueries {
         idx AS (SELECT n.vec_id, n.v, n.norm, asn.cell_id
                 FROM n JOIN asn ON n.vec_id = asn.vec_id),
         p AS (SELECT vec_id AS probe_id, v AS pv, norm AS pnorm
-              FROM idx WHERE vec_id % 100 = 0),
+              FROM idx WHERE $probePredSql),
         pc AS (
           SELECT probe_id, pv, pnorm, cell_id FROM (
             SELECT p.probe_id, p.pv, p.pnorm, cents.cell_id,
@@ -136,7 +150,7 @@ object SimilarityQueries {
           (0 until 4).map(i =>
             when(expr(s"element_at(v, ${i + 1})") > 0, lit(1L << i))
               .otherwise(lit(0L))).reduce(_ + _))
-        val probes = bucketed.filter(col("vec_id") % 100 === 0)
+        val probes = bucketed.filter(probePred(col("vec_id")))
           .select(col("vec_id").as("probe_id"),
             col("v"), col("norm"), col("bucket"))
         val w = Window.partitionBy(col("probe_id"))
@@ -157,7 +171,7 @@ object SimilarityQueries {
           .mkString(" + ")
         s"""WITH $vecSql,
         bkt AS (SELECT vec_id, v, norm, $bucketSql AS bucket FROM n),
-        p AS (SELECT vec_id AS probe_id, v, norm, bucket FROM bkt WHERE vec_id % 100 = 0),
+        p AS (SELECT vec_id AS probe_id, v, norm, bucket FROM bkt WHERE $probePredSql),
         scored AS (
           SELECT p.probe_id, e.vec_id,
             $dotSql / (p.norm * e.norm) AS cos_sim
@@ -205,7 +219,7 @@ object SimilarityQueries {
           .groupBy(col("vec_id"), col("s"))
           .agg(min_by(col("cell_id"), struct(col("score"), col("cell_id")))
             .as("code"))
-        val table = subs.filter(col("vec_id") % 100 === 0)
+        val table = subs.filter(probePred(col("vec_id")))
           .select(col("vec_id").as("probe_id"), col("s"), col("vs").as("ps"))
           .join(broadcast(csubs), "s")
           .select(col("probe_id"), col("s"), col("cell_id").as("code"),
@@ -255,7 +269,7 @@ object SimilarityQueries {
           FROM sv JOIN cs ON sv.s = cs.s),
         codes AS (SELECT vec_id, s, cell_id AS code FROM ranked WHERE r = 1),
         p AS (SELECT vec_id AS probe_id, s, vs AS ps
-          FROM sv WHERE vec_id % 100 = 0),
+          FROM sv WHERE $probePredSql),
         tab AS (
           SELECT p.probe_id, cs.s, cs.cell_id AS code,
             CAST((${dot8("sc", "sc")} - ${dot8("ps", "sc")} * 2)
@@ -363,7 +377,7 @@ object SimilarityQueries {
         val vecs = vectors(s, dir)
         val w = Window.partitionBy(col("probe_id"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
-        val probes = vecs.filter(col("vec_id") % 100 === 0)
+        val probes = vecs.filter(probePred(col("vec_id")))
           .select(col("vec_id").as("probe_id"), col("v"), col("norm"))
         val brute = broadcast(probes).as("p")
           .join(vecs.as("e"), col("p.probe_id") =!= col("e.vec_id"))
@@ -376,7 +390,7 @@ object SimilarityQueries {
           (0 until 4).map(i =>
             when(expr(s"element_at(v, ${i + 1})") > 0, lit(1L << i))
               .otherwise(lit(0L))).reduce(_ + _))
-        val bProbes = bucketed.filter(col("vec_id") % 100 === 0)
+        val bProbes = bucketed.filter(probePred(col("vec_id")))
           .select(col("vec_id").as("probe_id"),
             col("v"), col("norm"), col("bucket"))
         val lsh = broadcast(bProbes).as("p")
@@ -402,7 +416,7 @@ object SimilarityQueries {
           .map(i => s"(CASE WHEN v[${i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
           .mkString(" + ")
         s"""WITH $vecSql,
-        p AS (SELECT vec_id AS probe_id, v, norm FROM n WHERE vec_id % 100 = 0),
+        p AS (SELECT vec_id AS probe_id, v, norm FROM n WHERE $probePredSql),
         brute AS (
           SELECT probe_id, vec_id FROM (
             SELECT p.probe_id, e.vec_id,
@@ -411,7 +425,7 @@ object SimilarityQueries {
             FROM p JOIN n e ON p.probe_id <> e.vec_id) WHERE rnk <= 5),
         bkt AS (SELECT vec_id, v, norm, $bucketSql AS bucket FROM n),
         bp AS (SELECT vec_id AS probe_id, v, norm, bucket FROM bkt
-               WHERE vec_id % 100 = 0),
+               WHERE $probePredSql),
         lsh AS (
           SELECT probe_id, vec_id FROM (
             SELECT p.probe_id, e.vec_id,
@@ -440,7 +454,7 @@ object SimilarityQueries {
     "sim_hard_negatives" -> QueryDef(
       (s, dir) => {
         val vecs = vectors(s, dir)
-        val probes = vecs.filter(col("vec_id") % 100 === 0)
+        val probes = vecs.filter(probePred(col("vec_id")))
           .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
             col("v"), col("norm"))
         val w = Window.partitionBy(col("probe_id"))
@@ -455,7 +469,7 @@ object SimilarityQueries {
       },
       Some(s"""WITH $vecSql,
         p AS (SELECT vec_id AS probe_id, label AS plabel, v, norm
-              FROM n WHERE vec_id % 100 = 0),
+              FROM n WHERE $probePredSql),
         scored AS (
           SELECT p.probe_id, e.vec_id,
             $dotSql / (p.norm * e.norm) AS cos_sim
@@ -482,7 +496,7 @@ object SimilarityQueries {
         val vecs = vectors(s, dir)
         val w = Window.partitionBy(col("probe_id"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
-        val full = broadcast(vecs.filter(col("vec_id") % 100 === 0)
+        val full = broadcast(vecs.filter(probePred(col("vec_id")))
             .select(col("vec_id").as("probe_id"), col("v"), col("norm"))).as("p")
           .join(vecs.as("e"), col("p.probe_id") =!= col("e.vec_id"))
           .select(col("p.probe_id"), col("e.vec_id"),
@@ -493,7 +507,7 @@ object SimilarityQueries {
         val trunc = vecs.select(col("vec_id"),
             expr("slice(v, 1, 16)").as("v"))
           .withColumn("norm", graft.functions.VectorOps.l2Norm(col("v")))
-        val tTop = broadcast(trunc.filter(col("vec_id") % 100 === 0)
+        val tTop = broadcast(trunc.filter(probePred(col("vec_id")))
             .select(col("vec_id").as("probe_id"), col("v"), col("norm"))).as("p")
           .join(trunc.as("e"), col("p.probe_id") =!= col("e.vec_id"))
           .select(col("p.probe_id"), col("e.vec_id"),
@@ -516,7 +530,7 @@ object SimilarityQueries {
             |    i -> p.v[CAST(i AS INTEGER)] * e.v[CAST(i AS INTEGER)])),
             |  (acc, x) -> acc + x)""".stripMargin
         s"""WITH $vecSql,
-        p AS (SELECT vec_id AS probe_id, v, norm FROM n WHERE vec_id % 100 = 0),
+        p AS (SELECT vec_id AS probe_id, v, norm FROM n WHERE $probePredSql),
         full10 AS (
           SELECT probe_id, vec_id FROM (
             SELECT p.probe_id, e.vec_id,
@@ -527,7 +541,7 @@ object SimilarityQueries {
           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
             list_transform(list_slice(v, 1, 16), x -> x * x)),
             (acc, x) -> acc + x)) AS norm FROM n),
-        tp AS (SELECT vec_id AS probe_id, v, norm FROM tr WHERE vec_id % 100 = 0),
+        tp AS (SELECT vec_id AS probe_id, v, norm FROM tr WHERE $probePredSql),
         trunc10 AS (
           SELECT probe_id, vec_id FROM (
             SELECT p.probe_id, e.vec_id,

@@ -39,13 +39,13 @@ class CdcApplySpec extends SparkSpec {
 
   test("streaming materializer converges to the batch replica") {
     val stateDir = Files.createTempDirectory("graft_apply").toString
-    val params = graft.config.CdcParams(
-      tablePk = """[{"db":"test_db","table":"eve.*","primary_key":"event_id"}]""")
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
     val lines = graft.sources.CdcReplay.stream(spark, sf).as[String]
+    // same enrichment config as the batch cdc_apply_replica surface
+    // (truncation rules included), so full row parity is checkable
     val enriched = graft.operators.CdcEnrichment
-      .enrichMySql(lines, params.tablePkConfig).toDF()
+      .enrichMySql(lines, queries.CdcQueries.config).toDF()
     val q = enriched.writeStream
       .foreachBatch(CdcApply.materializer(spark, stateDir) _)
       .start()
@@ -53,5 +53,14 @@ class CdcApplySpec extends SparkSpec {
     val replica = spark.read.parquet(s"$stateDir/state")
     assert(replica.count() == 900)
     assert(replica.select(col("partitionKey")).distinct().count() == 900)
+    // full row parity with the declared batch surface, not just counts
+    val got = replica.select(
+      col("after").getItem("event_id").cast("long").as("event_id"),
+      col("partitionKey").as("partition_key"),
+      col("after").getItem("event_type").as("event_type_trunc"),
+      col("after").getItem("value").as("value_str"))
+    val want = SparkEntry.queries("cdc_apply_replica")(spark, sf)
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
   }
 }

@@ -31,12 +31,7 @@ class PlanCensusSpec extends SparkSpec {
   /** query -> reason, for plan changes made deliberately this round
     * (empty once the census is regenerated to the new baseline).
     */
-  private val explainedChanges: Map[String, String] = Map(
-    "txt_boilerplate" -> ("survivor-set broadcast hint removed (round-5 " +
-      "verdict item 4): df>=3 is a lower-bound filter whose survivor set " +
-      "grows with corpus size, so the join must be AQE-chosen — broadcast " +
-      "at small scale, shuffle at 100 TB. Static plan shows SMJ; AQE " +
-      "converts it to broadcast at sf0.1."))
+  private val explainedChanges: Map[String, String] = Map.empty
 
   private case class Census(exchanges: Int, bhj: Int, smj: Int, bnlj: Int,
       cartesian: Int)

@@ -210,6 +210,13 @@ object Bench {
       }
     }
     awaitQuietWindow(maxWaitSec = 180)
+    // one DISCARDED interleaved pass first: rep 1 otherwise absorbs the
+    // post-GC / cold-page-cache cost of whatever ran before it, which
+    // showed up as per-query spreads in the hundreds of percent while
+    // the min was stable — the artifact's spread indicator should
+    // measure steady-state jitter, not warm-up
+    timedPass()
+    samples.keys.foreach(k => samples(k) = Nil)
     (1 to reps).foreach(_ => timedPass())
 
     def mins: Map[String, Double] =

@@ -92,6 +92,38 @@ object ScdApply {
     merged.unionByName(newRows)
   }
 
+  /** One OUT-OF-ORDER epoch: fold a batch of changes that may arrive
+    * in ANY order — a late change lands between existing versions, so
+    * the touched keys' histories are REBUILT (re-ranked over existing
+    * versions ∪ new changes), which is exact for every arrival order.
+    * Untouched keys pass through without recomputation, so the epoch
+    * cost is O(touched keys' history + batch), not O(history) — the
+    * late-data arm of the SCD2 MERGE (on a lake table: MERGE with a
+    * per-key delete+reinsert of the matched partitions). The ordered
+    * fast path ([[advance]]) stays preferable when the feed contract
+    * holds: it never rewrites settled version rows.
+    */
+  def advanceOutOfOrder(history: DataFrame, batch: DataFrame): DataFrame = {
+    val touchedKeys = batch.select(col("user_id")).distinct()
+    val untouched = history.join(touchedKeys, Seq("user_id"), "left_anti")
+    val touchedOld = history.join(touchedKeys, Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("event_id"), col("valid_from").as("sec"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val rebuilt = touchedOld
+      .unionByName(batch.select(col("user_id"), col("event_id"), col("sec")))
+      // re-delivery of an already-applied change (at-least-once) folds
+      // to the identical row set, so duplicate arrivals are no-ops
+      .dropDuplicates("user_id", "event_id", "sec")
+      .select(
+        col("user_id"), col("event_id"),
+        row_number().over(w).as("version"),
+        col("sec").as("valid_from"),
+        lead(col("sec"), 1).over(w).as("valid_to"),
+        lead(col("sec"), 1).over(w).isNull.as("is_current"))
+    untouched.unionByName(rebuilt)
+  }
+
   /** Streaming materializer: foreachBatch body maintaining the SCD2
     * history at `stateDir` (read-modify-swap on parquet; MERGE INTO on
     * a real table format), epoch-fenced so replays are no-ops. Expects

@@ -62,6 +62,33 @@ class ScdApplySpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$stateDir/state")) == truth)
   }
 
+  test("out-of-order epochs converge to the batch truth under a shuffled " +
+      "replay, and re-delivered changes are no-ops") {
+    val truth = rows(SparkEntry.queries("cdc_scd2_history")(spark, sf))
+    import spark.implicits._
+    // deterministic NON-chronological permutation: order by a hash of
+    // the change id, so early and late changes interleave across epochs
+    val changes = queries.Tables.events(spark, sf)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .select(col("user_id"), col("event_id"), col("sec"))
+      .orderBy(xxhash64(col("event_id")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    var history = graft.operators.ScdApply.emptyHistory(spark)
+    changes.grouped((changes.size + 3) / 4).foreach { chunk =>
+      val b = chunk.toDF("user_id", "event_id", "sec")
+      history = graft.operators.ScdApply
+        .advanceOutOfOrder(history, b).localCheckpoint()
+    }
+    assert(rows(history) == truth)
+
+    // at-least-once: re-delivering an already-applied chunk is a no-op
+    val replayed = graft.operators.ScdApply.advanceOutOfOrder(history,
+      changes.take(100).toDF("user_id", "event_id", "sec"))
+    assert(rows(replayed) == truth)
+  }
+
   test("advance assigns versions incrementally across epochs") {
     import spark.implicits._
     val h0 = ScdApply.emptyHistory(spark)

@@ -130,6 +130,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("landing-zone directory replay: events split across part files " +
+      "stream to the same enriched rows as the single-file fixture") {
+    // a CDC landing zone: events.parquet as a DIRECTORY of part files
+    // arriving over time — rawEventsStream's other branch
+    val zone = java.nio.file.Files.createTempDirectory("graft_zone").toString
+    queries.Tables.events(spark, sf).repartition(4)
+      .write.parquet(s"$zone/events.parquet")
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val lines = graft.sources.CdcReplay.stream(spark, zone).as[String]
+    val enriched = graft.operators.CdcEnrichment
+      .enrichMySql(lines, params.tablePkConfig).toDF()
+    val q = enriched.writeStream.format("memory")
+      .queryName("zone_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("zone_out").select(col("value"))
+      val want = queries.CdcQueries.enriched(spark, sf).select(col("value"))
+      assert(got.count() == 1000)
+      assert(got.exceptAll(want).count() == 0)
+      assert(want.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
   test("windowed aggregation with watermark over the events stream") {
     // watermarks require TIMESTAMP (not NTZ); value-preserving under the
     // session's UTC timezone

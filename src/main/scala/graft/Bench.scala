@@ -127,33 +127,12 @@ object Bench {
     // sweep makes round-over-round per-query deltas undecidable).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
 
-    /** Wait (bounded) for the host to go quiet before timing: the
-      * round driver runs this main right after its correctness sweep /
-      * scale smoke heat the box, which is exactly the capture-window
-      * problem round-4 verdict item 1 calls out. Polls /proc/loadavg
-      * until the 1-min load (which includes this idle JVM, ~0) drops
-      * under cpus/4, up to maxWaitSec.
-      */
-    def awaitQuietWindow(maxWaitSec: Int): Unit = {
-      val threshold = math.max(2.0, cpus.toDouble / 4.0)
-      val deadline = System.nanoTime() + maxWaitSec * 1e9.toLong
-      var load = Double.MaxValue
-      var waited = false
-      while (System.nanoTime() < deadline && {
-        load = try new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get("/proc/loadavg")),
-            java.nio.charset.StandardCharsets.UTF_8)
-            .split("\\s+")(0).toDouble
-          catch { case _: Throwable => 0.0 }
-        load > threshold
-      }) {
-        if (!waited) System.err.println(
-          f"[bench] host load $load%.1f > $threshold%.1f — waiting for a quiet capture window")
-        waited = true
-        Thread.sleep(5000)
-      }
-      if (waited) System.err.println(f"[bench] proceeding at load $load%.1f")
-    }
+    // wait (bounded) for the host to go quiet before timing: the round
+    // driver runs this main right after its correctness sweep / scale
+    // smoke heat the box (round-4 verdict item 1); the 1-min load
+    // includes this idle JVM (~0), threshold cpus/4
+    def awaitQuietWindow(maxWaitSec: Int): Unit =
+      HostLoad.awaitQuiet(math.max(2.0, cpus.toDouble / 4.0), maxWaitSec)
 
     // materialize through the noop sink: unlike count(), Catalyst cannot
     // eliminate the final ORDER BY under an aggregate, so the bench pays
@@ -270,7 +249,7 @@ object Bench {
       extras ++= s""","contended":$contended"""
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(
-        ordered)},"shuffle_mb":${jmap(shuffleMb)},"sf":"$sfDir","failed":${failedSet.size},"materialization":"noop-sink","methodology":"per-query warm run, then $reps interleaved timed reps, per-query min"$extras}"""
+        ordered)},"shuffle_mb":${jmap(shuffleMb)},"sf":"$sfDir","failed":${failedSet.size},"materialization":"noop-sink","methodology":"per-query warm run, one discarded interleaved warm-up pass, then $reps interleaved timed reps, per-query min"$extras}"""
     println(line)
     // stdout gets wrapped in sbt/log noise downstream — persist the
     // structured result to a well-known file too, so consumers that

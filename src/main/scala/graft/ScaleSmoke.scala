@@ -56,21 +56,7 @@ object ScaleSmoke {
     // same quiet-window discipline as Bench: a smoke started right
     // after a sweep/test run times contention, not the operators (a
     // hot capture this round showed pagerank +77% on unchanged code)
-    locally {
-      val deadline = System.nanoTime() + 180 * 1e9.toLong
-      var load = Double.MaxValue
-      while (System.nanoTime() < deadline && {
-        load = try new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get("/proc/loadavg")),
-            java.nio.charset.StandardCharsets.UTF_8)
-            .split("\\s+")(0).toDouble
-          catch { case _: Throwable => 0.0 }
-        load > 8.0
-      }) {
-        System.err.println(f"[scale] host load $load%.1f > 8.0 — waiting")
-        Thread.sleep(5000)
-      }
-    }
+    HostLoad.awaitQuiet(threshold = 8.0, maxWaitSec = 180, tag = "scale")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
@@ -135,9 +121,11 @@ object ScaleSmoke {
       try {
         // drop cached blocks left by earlier ops (fixed-point loops
         // localCheckpoint per iteration): accumulated storage-memory
-        // pressure made late iterative ops swing 2x between captures
+        // pressure made late iterative ops swing 2x between captures.
+        // Blocking, so the removal work itself finishes BEFORE t0
+        // instead of bleeding into the timed window
         spark.sparkContext.getPersistentRDDs.values.foreach(
-          _.unpersist(blocking = false))
+          _.unpersist(blocking = true))
         val t0 = System.nanoTime()
         val d = df
         d.write.format("noop").mode("overwrite").save()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -58,32 +58,26 @@ object CdcApply {
     untouched.unionByName(upserts)
   }
 
+  /** The empty replica frame (schema derived from `batch`'s shape). */
+  def emptyReplica(spark: SparkSession, batch: DataFrame): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      lastChangePerKey(batch.limit(0)).drop("op").schema)
+
   /** Streaming materializer: foreachBatch body maintaining the replica
-    * at `stateDir` (read-modify-swap on parquet; MERGE INTO on a real
-    * table format). Epoch-fenced like ExactlyOnce so replays are no-ops.
+    * at `stateDir` via [[ExactlyOnce.advanceState]] (versioned state
+    * dirs + epoch ledger — crash-safe, replays are no-ops; MERGE INTO
+    * on a real table format). Read the replica with [[replica]].
     */
   def materializer(spark: SparkSession, stateDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
-    ExactlyOnce.writeFenced(spark, s"$stateDir/_ledger", batchId) { () =>
-      val current =
-        try spark.read.parquet(s"$stateDir/state")
-        catch {
-          case _: Exception => // first epoch: empty state
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              lastChangePerKey(batch.limit(0))
-                .drop("op").schema)
-        }
-      val next = applyBatch(current, batch).cache()
-      next.count() // materialize before overwriting the source of `current`
-      next.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state_next")
-      // swap: atomic-enough for a local demo; table formats do this txn'ly
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val st = new org.apache.hadoop.fs.Path(s"$stateDir/state")
-      fs.delete(st, true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$stateDir/state_next"), st)
-      next.unpersist()
-    }
+    ExactlyOnce.advanceState(spark, stateDir, batchId)(
+      emptyReplica(spark, batch))(current => applyBatch(current, batch))
+    ()
   }
+
+  /** The newest committed replica state at `stateDir`. */
+  def replica(spark: SparkSession, stateDir: String): DataFrame =
+    ExactlyOnce.currentState(spark, stateDir)(
+      sys.error(s"no committed replica state under $stateDir"))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Exactly-once delivery machinery (SURVEY §7 hard part 1).
@@ -129,6 +129,71 @@ object ExactlyOnce {
       true
     }
   }
+
+  private def stateFs(spark: SparkSession, dir: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+
+  private def committedEpochs(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val fs = stateFs(spark, stateDir)
+    val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
+    if (!fs.exists(ledger)) Nil
+    else fs.listStatus(ledger).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("epoch-") =>
+        s.stripPrefix("epoch-").toLong }
+  }
+
+  /** Versioned epoch-fenced state maintenance — the shared protocol of
+    * the foreachBatch materializers (CDC replica MERGE, SCD2 history
+    * MERGE). Each epoch's full state is written to its OWN directory
+    * `state-<batchId>` and committed by the epoch ledger marker, so
+    * there is no delete-then-rename window anywhere:
+    *
+    *   - crash after the state write, before the marker → the previous
+    *     committed state is untouched; the replayed epoch overwrites
+    *     the orphan directory and then commits;
+    *   - crash after the marker, before retirement → two committed
+    *     states exist; readers resolve the NEWEST marker, and the next
+    *     epoch's retirement pass removes the straggler;
+    *   - a read failure of a committed state PROPAGATES — it is never
+    *     conflated with the genuinely-empty before-first-commit state
+    *     (the silent-full-reset failure mode of a catch-all fallback).
+    *
+    * Returns true when the epoch advanced the state, false when fenced.
+    */
+  def advanceState(spark: SparkSession, stateDir: String, batchId: Long)(
+      empty: => DataFrame)(advance: DataFrame => DataFrame): Boolean = {
+    val fs = stateFs(spark, stateDir)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$stateDir/_ledger/epoch-$batchId")
+    if (fs.exists(marker)) false
+    else {
+      val prior = committedEpochs(spark, stateDir)
+        .filter(_ < batchId).sorted.lastOption
+      val current = prior match {
+        case Some(e) => spark.read.parquet(s"$stateDir/state-$e")
+        case None => empty
+      }
+      advance(current).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/state-$batchId")
+      fs.create(marker, true).close() // commit marker AFTER the write
+      // retirement only AFTER this epoch is committed, so a crash here
+      // never orphans the only committed state
+      committedEpochs(spark, stateDir).filter(_ < batchId).foreach(e =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/state-$e"), true))
+      true
+    }
+  }
+
+  /** The newest committed state under [[advanceState]]'s protocol, or
+    * `empty` before the first commit.
+    */
+  def currentState(spark: SparkSession, stateDir: String)(
+      empty: => DataFrame): DataFrame =
+    committedEpochs(spark, stateDir).sorted.lastOption match {
+      case Some(e) => spark.read.parquet(s"$stateDir/state-$e")
+      case None => empty
+    }
 
   /** writeStream.foreachBatch body with fencing: idempotent parquet
     * append target (each epoch writes its own subdirectory, so a

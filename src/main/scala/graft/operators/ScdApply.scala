@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,10 +32,10 @@ import org.apache.spark.sql.functions._
   * Scale notes: the per-epoch work is one batch-local window (keyed
   * shuffle of the BATCH only) plus two keyed joins of batch-derived
   * frames against the history — on a lake table this is MERGE INTO with
-  * file pruning on the key; the parquet read-modify-swap here keeps the
-  * logical shape testable. Exactly-once via the same epoch ledger as
-  * CdcApply.materializer: each epoch is a pure function of
-  * (history, batch), so batch-id fencing makes replays no-ops.
+  * file pruning on the key; the versioned parquet state here keeps the
+  * logical shape testable. Exactly-once via ExactlyOnce.advanceState:
+  * each epoch is a pure function of (history, batch), so batch-id
+  * fencing makes replays no-ops.
   */
 object ScdApply {
 
@@ -125,27 +125,20 @@ object ScdApply {
   }
 
   /** Streaming materializer: foreachBatch body maintaining the SCD2
-    * history at `stateDir` (read-modify-swap on parquet; MERGE INTO on
-    * a real table format), epoch-fenced so replays are no-ops. Expects
-    * enriched-events batches with (user_id, event_id, sec).
+    * history at `stateDir` via [[ExactlyOnce.advanceState]] (versioned
+    * state dirs + epoch ledger — crash-safe, replays are no-ops; MERGE
+    * INTO on a real table format). Expects enriched-events batches with
+    * (user_id, event_id, sec); read the history with [[history]].
     */
   def materializer(spark: SparkSession, stateDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
-    ExactlyOnce.writeFenced(spark, s"$stateDir/_ledger", batchId) { () =>
-      val current =
-        try spark.read.parquet(s"$stateDir/state")
-        catch { case _: Exception => emptyHistory(spark) }
-      val next = advance(current, batch).cache()
-      next.count() // materialize before overwriting the source of `current`
-      next.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/state_next")
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val st = new org.apache.hadoop.fs.Path(s"$stateDir/state")
-      fs.delete(st, true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$stateDir/state_next"), st)
-      next.unpersist()
-      ()
-    }
+    ExactlyOnce.advanceState(spark, stateDir, batchId)(
+      emptyHistory(spark))(current => advance(current, batch))
     ()
   }
+
+  /** The newest committed history state at `stateDir`. */
+  def history(spark: SparkSession, stateDir: String): DataFrame =
+    ExactlyOnce.currentState(spark, stateDir)(
+      sys.error(s"no committed SCD2 history under $stateDir"))
 }

@@ -26,17 +26,29 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/part.parquet")
   def nation(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/nation.parquet")
   def region(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/region.parquet")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as long nanos (runtime-settable legacy conf)
-    * and convert to a micros timestamp (truncation — matches DuckDB's
-    * second-level formatting in every oracle).
+  /** Normalize the events `ts` layout: convert to a micros timestamp
+    * ONLY when the column is physically a long (the historical
+    * TIMESTAMP(NANOS)-as-long layout); TIMESTAMP(_NTZ) passes through
+    * untouched. THE single place both the batch loader and the
+    * streaming replay (`CdcReplay.rawEventsStream`) apply the
+    * conversion — a one-sided change here is what reintroduces the
+    * 1000x timestamp bug the streaming value-bytes tripwires catch.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+
+  /** `events.ts` has shipped as both TIMESTAMP(NANOS) (readable only as
+    * long nanos via the runtime-settable legacy conf) and
+    * TIMESTAMP(MICROS); the schema peek + [[normalizeEventsTs]] handle
+    * either (truncation to micros matches DuckDB's second-level
+    * formatting in every oracle).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    normalizeEventsTs(s.read.parquet(s"$dir/events.parquet"))
   }
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")

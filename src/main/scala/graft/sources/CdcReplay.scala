@@ -22,30 +22,46 @@ import org.apache.spark.sql.types._
   */
 object CdcReplay {
 
+  /** The events schema a landing zone is EXPECTED to fill with: the
+    * current fixtures' TIMESTAMP(MICROS)-as-NTZ layout. Used only when
+    * the schema peek finds nothing to peek at (stream started before
+    * the first part file arrived).
+    */
+  val emptyZoneSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** Raw events file stream with a batch schema peek, so the fixture's
     * physical timestamp layout — TIMESTAMP(MICROS) today, nanos-as-long
-    * historically — streams with TRUE timestamps either way. Mirrors the
-    * peek `graft.queries.Tables.events` does on the batch path: the
-    * micros→timestamp conversion is applied ONLY when `ts` really is a
-    * long. Streams the landing-zone directory directly when
-    * `events.parquet` is one (part files arriving), else globs the single
-    * fixture file from its parent.
+    * historically — streams with TRUE timestamps either way: the
+    * conversion is `Tables.normalizeEventsTs`, the SAME code the batch
+    * path applies. Streams the landing-zone directory directly when
+    * `events.parquet` is one (part files arriving), else globs the
+    * single fixture file from its parent. A landing zone with no files
+    * yet has nothing to peek — the stream then starts idle on
+    * [[emptyZoneSchema]] and picks files up as they arrive.
     */
   def rawEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
-    val batchSchema = spark.read.parquet(path).schema
-    val isDir = org.apache.hadoop.fs.FileSystem
-      .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(new org.apache.hadoop.fs.Path(path)).isDirectory
+    val batchSchema =
+      try spark.read.parquet(path).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyZoneSchema }
+    val isDir =
+      try org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(new org.apache.hadoop.fs.Path(path)).isDirectory
+      catch { case _: java.io.FileNotFoundException => true } // not-yet-created zone
     val reader = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", 1)
     val raw0 =
       if (isDir) reader.parquet(path)
       else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    if (batchSchema("ts").dataType == LongType)
-      raw0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw0
+    graft.queries.Tables.normalizeEventsTs(raw0)
   }
 
   /** Deterministic op code for an events row. */

@@ -109,6 +109,15 @@ object StreamingDupSpans {
     (spans, merged)
   }
 
+  /** Distinct gram hashes of `batch` absent from `index` — the expected
+    * per-epoch delta cardinality. An independent (anti-join) computation
+    * of what [[advanceOrdered]] derives via left-join + null filter, used
+    * by the O(batch)-write guarantee test.
+    */
+  def newHashes(index: DataFrame, batch: DataFrame): DataFrame =
+    gramRows(batch).select(col("gh1"), col("gh2")).distinct()
+      .join(index, Seq("gh1", "gh2"), "left_anti")
+
   /** One ORDERED-feed epoch: returns (spans of this batch, index DELTA).
     *
     * Under the doc_id-ordered feed contract every arriving doc_id is
@@ -122,15 +131,6 @@ object StreamingDupSpans {
     * periodically — compaction is a pure rewrite, never a merge, because
     * delta key sets are disjoint by construction.
     */
-  /** Distinct gram hashes of `batch` absent from `index` — the expected
-    * per-epoch delta cardinality. An independent (anti-join) computation
-    * of what [[advanceOrdered]] derives via left-join + null filter, used
-    * by the O(batch)-write guarantee test.
-    */
-  def newHashes(index: DataFrame, batch: DataFrame): DataFrame =
-    gramRows(batch).select(col("gh1"), col("gh2")).distinct()
-      .join(index, Seq("gh1", "gh2"), "left_anti")
-
   def advanceOrdered(index: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
     val bg = gramRows(batch)
     val batchMin = bg.groupBy(col("gh1"), col("gh2"))

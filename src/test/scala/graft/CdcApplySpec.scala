@@ -50,7 +50,7 @@ class CdcApplySpec extends SparkSpec {
       .foreachBatch(CdcApply.materializer(spark, stateDir) _)
       .start()
     try q.processAllAvailable() finally q.stop()
-    val replica = spark.read.parquet(s"$stateDir/state")
+    val replica = CdcApply.replica(spark, stateDir)
     assert(replica.count() == 900)
     assert(replica.select(col("partitionKey")).distinct().count() == 900)
     // full row parity with the declared batch surface, not just counts

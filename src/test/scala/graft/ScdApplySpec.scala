@@ -48,7 +48,7 @@ class ScdApplySpec extends SparkSpec {
       }
     } finally q.stop()
 
-    val got = rows(spark.read.parquet(s"$stateDir/state"))
+    val got = rows(ScdApply.history(spark, stateDir))
     assert(got.size == truth.size,
       s"history has ${got.size} version rows, batch built ${truth.size}")
     assert(got == truth)
@@ -59,7 +59,7 @@ class ScdApplySpec extends SparkSpec {
       ScdApply.emptyHistory(spark)
         .select(col("user_id"), col("event_id"), col("valid_from").as("sec")),
       0L)
-    assert(rows(spark.read.parquet(s"$stateDir/state")) == truth)
+    assert(rows(ScdApply.history(spark, stateDir)) == truth)
   }
 
   test("out-of-order epochs converge to the batch truth under a shuffled " +
@@ -87,6 +87,33 @@ class ScdApplySpec extends SparkSpec {
     val replayed = graft.operators.ScdApply.advanceOutOfOrder(history,
       changes.take(100).toDF("user_id", "event_id", "sec"))
     assert(rows(replayed) == truth)
+  }
+
+  test("a crash between state write and marker commit never loses the " +
+      "previously committed history") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("graft_scd2_crash").toString
+    val b0 = Seq((7L, 100L, 10L)).toDF("user_id", "event_id", "sec")
+    ScdApply.materializer(spark, stateDir)(b0, 0L)
+    val committed = rows(ScdApply.history(spark, stateDir))
+
+    // simulate the torn epoch 1: state written, crash BEFORE the marker
+    val b1 = Seq((7L, 101L, 20L)).toDF("user_id", "event_id", "sec")
+    ScdApply.advance(ScdApply.history(spark, stateDir), b1)
+      .write.parquet(s"$stateDir/state-1")
+    // the reader still resolves epoch 0 — the orphan is invisible
+    assert(rows(ScdApply.history(spark, stateDir)) == committed)
+
+    // the replayed epoch overwrites the orphan and commits atomically
+    ScdApply.materializer(spark, stateDir)(b1, 1L)
+    assert(rows(ScdApply.history(spark, stateDir)) == Seq(
+      (7L, 100L, 1, 10L, Some(20L), false),
+      (7L, 101L, 2, 20L, None, true)))
+    // epoch 0's state was retired only after epoch 1 committed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/state-0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/state-1")))
   }
 
   test("advance assigns versions incrementally across epochs") {

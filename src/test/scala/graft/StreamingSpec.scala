@@ -154,6 +154,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream started on an empty landing zone starts idle instead of " +
+      "failing the schema peek") {
+    val zone = java.nio.file.Files.createTempDirectory("graft_empty_zone").toString
+    assert(new java.io.File(s"$zone/events.parquet").mkdirs())
+    val lines = graft.sources.CdcReplay.stream(spark, zone)
+    val q = lines.writeStream.format("memory")
+      .queryName("empty_zone_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("empty_zone_out").count() == 0)
+    } finally q.stop()
+  }
+
   test("windowed aggregation with watermark over the events stream") {
     // watermarks require TIMESTAMP (not NTZ); value-preserving under the
     // session's UTC timezone

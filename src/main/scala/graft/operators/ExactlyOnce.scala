@@ -195,6 +195,88 @@ object ExactlyOnce {
       case None => empty
     }
 
+  /** APPEND-ONLY epoch-fenced state — the durable form of a standing
+    * index whose per-epoch update is a disjoint DELTA (the
+    * StreamingDupSpans ordered-feed shape): each epoch writes only its
+    * `delta-<batchId>` directory, committed by the same ledger-marker
+    * protocol as [[advanceState]] (crash before the marker → the delta
+    * is invisible and the replay overwrites it). The standing state is
+    * the UNION of a compacted base (if any) plus every later committed
+    * delta — a miniature LSM:
+    *
+    *   - [[appendDelta]]: O(delta) written per epoch, never O(history);
+    *   - [[appendedState]]: base-so-far ∪ committed deltas after it;
+    *   - [[compactAppended]]: folds base + deltas ≤ the newest
+    *     committed epoch into one `base-<epoch>` directory (a pure
+    *     rewrite — delta key sets are disjoint by construction), then
+    *     retires the inputs; its own `compact-<epoch>` marker makes the
+    *     fold atomic the same way epoch markers do.
+    */
+  def appendDelta(spark: SparkSession, stateDir: String, batchId: Long)(
+      delta: => DataFrame): Boolean = {
+    val fs = stateFs(spark, stateDir)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$stateDir/_ledger/epoch-$batchId")
+    if (fs.exists(marker)) false
+    else {
+      delta.write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/delta-$batchId")
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
+  private def committedCompacts(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val fs = stateFs(spark, stateDir)
+    val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
+    if (!fs.exists(ledger)) Nil
+    else fs.listStatus(ledger).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("compact-") =>
+        s.stripPrefix("compact-").toLong }
+  }
+
+  /** The standing appended state: newest committed base ∪ every
+    * committed delta after it, or `empty` before the first commit.
+    */
+  def appendedState(spark: SparkSession, stateDir: String)(
+      empty: => DataFrame): DataFrame = {
+    val fs = stateFs(spark, stateDir)
+    val base = committedCompacts(spark, stateDir).sorted.lastOption
+    val deltas = committedEpochs(spark, stateDir)
+      .filter(e => base.forall(_ < e)).sorted
+      // a delta folded into the base was retired; skip retired dirs
+      .filter(e => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$stateDir/delta-$e")))
+      .map(e => spark.read.parquet(s"$stateDir/delta-$e"))
+    val parts = base.map(b =>
+      spark.read.parquet(s"$stateDir/base-$b")).toSeq ++ deltas
+    if (parts.isEmpty) empty else parts.reduce(_ unionByName _)
+  }
+
+  /** Fold the current base + committed deltas into one `base-<epoch>`
+    * directory and retire the inputs. Returns the new base epoch, or
+    * None when there is nothing to compact.
+    */
+  def compactAppended(spark: SparkSession, stateDir: String)(
+      empty: => DataFrame): Option[Long] = {
+    val fs = stateFs(spark, stateDir)
+    val upTo = committedEpochs(spark, stateDir).sorted.lastOption
+    upTo.filter(e => !committedCompacts(spark, stateDir).contains(e)).map { e =>
+      appendedState(spark, stateDir)(empty).write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/base-$e")
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$stateDir/_ledger/compact-$e"), true).close()
+      // retirement only AFTER the compact marker — a crash mid-delete
+      // leaves both the base and some inputs, and the reader prefers
+      // the base while skipping retired delta dirs
+      committedCompacts(spark, stateDir).filter(_ < e).foreach(b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/base-$b"), true))
+      committedEpochs(spark, stateDir).filter(_ <= e).foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/delta-$d"), true))
+      e
+    }
+  }
+
   /** writeStream.foreachBatch body with fencing: idempotent parquet
     * append target (each epoch writes its own subdirectory, so a
     * replayed epoch is a no-op and a torn write is overwritten on

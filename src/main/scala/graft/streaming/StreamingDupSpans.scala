@@ -147,4 +147,30 @@ object StreamingDupSpans {
       .select(col("gh1"), col("gh2"), col("bmin").as("dmin"))
     (spans, delta)
   }
+
+  /** Durable ordered-feed materializer: foreachBatch body that probes
+    * the standing index persisted under `stateDir` (LSM-style: a
+    * compacted base plus per-epoch delta parquet — the
+    * [[graft.operators.ExactlyOnce.appendedState]] protocol), writes
+    * the batch's spans to `spansDir/epoch=<batchId>`, appends the
+    * O(batch) index delta, and commits both under one epoch marker so
+    * a crashed epoch replays as a pure overwrite. Every `compactEvery`
+    * epochs the accumulated deltas fold into a fresh base (a pure
+    * rewrite — delta key sets are disjoint by construction).
+    */
+  def materializer(spark: SparkSession, stateDir: String, spansDir: String,
+      compactEvery: Int = 8)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.operators.ExactlyOnce
+    ExactlyOnce.writeFenced(spark, s"$stateDir/_ledger", batchId) { () =>
+      val index = ExactlyOnce.appendedState(spark, stateDir)(emptyIndex(spark))
+      val (spans, delta) = advanceOrdered(index, batch)
+      spans.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$spansDir/epoch=$batchId")
+      delta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$stateDir/delta-$batchId")
+    }
+    if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+      ExactlyOnce.compactAppended(spark, stateDir)(emptyIndex(spark))
+    ()
+  }
 }

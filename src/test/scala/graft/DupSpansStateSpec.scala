@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+import graft.operators.ExactlyOnce
+import graft.streaming.StreamingDupSpans
+
+/** Durable standing-index state for the streaming dup-spans twin: the
+  * LSM-style append-only protocol (per-epoch delta parquet + periodic
+  * compaction, all ledger-fenced) yields bit-for-bit the batch
+  * `txt_dup_spans_prefix` answer after an ordered replay, and a torn
+  * epoch (delta written, marker missing) is invisible until replayed.
+  */
+class DupSpansStateSpec extends SparkSpec {
+
+  test("durable materializer matches batch txt_dup_spans_prefix " +
+      "bit-for-bit, compacting mid-stream") {
+    val batchTruth = SparkEntry.queries("txt_dup_spans_prefix")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_words")))
+      .sorted.toSeq
+
+    val docs = queries.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .as[(Long, String)](org.apache.spark.sql.Encoders.product[(Long, String)])
+      .collect().toSeq
+
+    val stateDir = Files.createTempDirectory("graft_dupspans_state").toString
+    val spansDir = Files.createTempDirectory("graft_dupspans_out").toString
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // compactEvery=2 forces at least one mid-stream fold of the deltas
+    val q = in.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch(
+        StreamingDupSpans.materializer(spark, stateDir, spansDir, 2) _)
+      .start()
+    try {
+      docs.grouped((docs.size + 3) / 4).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(spansDir).drop("epoch").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_words")))
+      .sorted.toSeq
+    assert(streamed == batchTruth,
+      s"stream mined ${streamed.size} spans, batch found ${batchTruth.size}")
+
+    // compaction happened: a committed base exists and folded deltas are
+    // retired, so the standing index is NOT one dir per epoch
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(
+      new org.apache.hadoop.fs.Path(stateDir)).map(_.getPath.getName).toSet
+    assert(entries.exists(_.startsWith("base-")), s"no compacted base in $entries")
+    assert(entries.count(_.startsWith("delta-")) < 4,
+      s"folded deltas were not retired: $entries")
+
+    // the standing index equals the batch's full first-seen aggregate
+    val idx = ExactlyOnce.appendedState(spark, stateDir)(
+      StreamingDupSpans.emptyIndex(spark))
+    val expectedDistinct = StreamingDupSpans.newHashes(
+      StreamingDupSpans.emptyIndex(spark),
+      queries.Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+      .count()
+    assert(idx.count() == expectedDistinct)
+    assert(idx.select(col("gh1"), col("gh2")).distinct().count() == expectedDistinct)
+  }
+
+  test("a torn epoch's delta is invisible until its marker commits") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("graft_append_crash").toString
+    val empty = StreamingDupSpans.emptyIndex(spark)
+    assert(ExactlyOnce.appendDelta(spark, stateDir, 0L)(
+      Seq((1L, 2L, 3L)).toDF("gh1", "gh2", "dmin")))
+    assert(ExactlyOnce.appendedState(spark, stateDir)(empty).count() == 1)
+
+    // torn epoch 1: delta parquet written, crash BEFORE the marker
+    Seq((4L, 5L, 6L)).toDF("gh1", "gh2", "dmin")
+      .write.parquet(s"$stateDir/delta-1")
+    assert(ExactlyOnce.appendedState(spark, stateDir)(empty).count() == 1)
+
+    // the replay overwrites the orphan and commits it
+    assert(ExactlyOnce.appendDelta(spark, stateDir, 1L)(
+      Seq((4L, 5L, 7L)).toDF("gh1", "gh2", "dmin")))
+    val rows = ExactlyOnce.appendedState(spark, stateDir)(empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rows == Seq((1L, 2L, 3L), (4L, 5L, 7L)))
+
+    // re-delivery of a committed epoch is fenced
+    assert(!ExactlyOnce.appendDelta(spark, stateDir, 1L)(
+      Seq((9L, 9L, 9L)).toDF("gh1", "gh2", "dmin")))
+    assert(ExactlyOnce.appendedState(spark, stateDir)(empty).count() == 2)
+  }
+}

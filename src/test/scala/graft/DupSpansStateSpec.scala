@@ -74,6 +74,45 @@ class DupSpansStateSpec extends SparkSpec {
     assert(idx.select(col("gh1"), col("gh2")).distinct().count() == expectedDistinct)
   }
 
+  test("compaction crash windows: an unmarked base is invisible; a marked " +
+      "base with unretired inputs never double-counts") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("graft_compact_crash").toString
+    val empty = StreamingDupSpans.emptyIndex(spark)
+    ExactlyOnce.appendDelta(spark, stateDir, 0L)(
+      Seq((1L, 1L, 1L)).toDF("gh1", "gh2", "dmin"))
+    ExactlyOnce.appendDelta(spark, stateDir, 1L)(
+      Seq((2L, 2L, 2L)).toDF("gh1", "gh2", "dmin"))
+
+    // crash BETWEEN base write and compact marker: the orphan base is
+    // invisible — the reader still unions the deltas
+    ExactlyOnce.appendedState(spark, stateDir)(empty)
+      .write.parquet(s"$stateDir/base-1")
+    assert(ExactlyOnce.appendedState(spark, stateDir)(empty).count() == 2)
+
+    // re-running compaction overwrites the orphan and commits; the
+    // folded state is identical
+    assert(ExactlyOnce.compactAppended(spark, stateDir)(empty) == Some(1L))
+    assert(ExactlyOnce.appendedState(spark, stateDir)(empty).count() == 2)
+
+    // crash BETWEEN compact marker and input retirement: resurrect a
+    // folded delta dir — the reader prefers the base and must NOT
+    // double-count the resurrected input
+    Seq((2L, 2L, 2L)).toDF("gh1", "gh2", "dmin")
+      .write.parquet(s"$stateDir/delta-9991")
+    // (an unmarked delta dir is invisible regardless of its name)
+    assert(ExactlyOnce.appendedState(spark, stateDir)(empty).count() == 2)
+    Seq((1L, 1L, 1L)).toDF("gh1", "gh2", "dmin")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$stateDir/delta-0")
+    assert(ExactlyOnce.appendedState(spark, stateDir)(empty).count() == 2)
+
+    // a delta committed AFTER the base keeps appending on top of it
+    ExactlyOnce.appendDelta(spark, stateDir, 2L)(
+      Seq((3L, 3L, 3L)).toDF("gh1", "gh2", "dmin"))
+    assert(ExactlyOnce.appendedState(spark, stateDir)(empty).count() == 3)
+  }
+
   test("a torn epoch's delta is invisible until its marker commits") {
     import spark.implicits._
     val stateDir = Files.createTempDirectory("graft_append_crash").toString

@@ -64,20 +64,52 @@ object CdcApply {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       lastChangePerKey(batch.limit(0)).drop("op").schema)
 
-  /** Streaming materializer: foreachBatch body maintaining the replica
-    * at `stateDir` via [[ExactlyOnce.advanceState]] (versioned state
-    * dirs + epoch ledger — crash-safe, replays are no-ops; MERGE INTO
-    * on a real table format). Read the replica with [[replica]].
+  /** How many hash buckets the persisted replica is split across. Small
+    * here (tests); a 100 TB replica would use thousands — per-epoch
+    * write cost is O(touched buckets' rows), so more buckets = finer
+    * pruning, bounded below by sane file sizes.
     */
-  def materializer(spark: SparkSession, stateDir: String)(
+  val DefaultBuckets = 16
+
+  /** Streaming materializer: foreachBatch body maintaining the replica
+    * at `stateDir` via [[ExactlyOnce.advanceStateBucketed]] — the state
+    * is hash-bucketed on partitionKey and an epoch rewrites ONLY the
+    * buckets its batch touches, committed under one epoch-ledger marker
+    * (crash-safe, replays are no-ops). This is MERGE INTO with file
+    * pruning on a real table format, kept testable as versioned
+    * parquet. Read the replica with [[replica]]; reads resolving while
+    * an epoch commits get a one-epoch grace window (retirement keeps
+    * each bucket's previous version until the next epoch).
+    */
+  def materializer(spark: SparkSession, stateDir: String,
+      numBuckets: Int = DefaultBuckets)(
       batch: DataFrame, batchId: Long): Unit = {
-    ExactlyOnce.advanceState(spark, stateDir, batchId)(
+    ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, batch,
+      "partitionKey", numBuckets)(
       emptyReplica(spark, batch))(current => applyBatch(current, batch))
     ()
   }
 
-  /** The newest committed replica state at `stateDir`. */
-  def replica(spark: SparkSession, stateDir: String): DataFrame =
-    ExactlyOnce.currentState(spark, stateDir)(
-      sys.error(s"no committed replica state under $stateDir"))
+  /** The replica's fixed schema: partitionKey + the dynamic after-image
+    * map + the change position that produced it.
+    */
+  val replicaSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("partitionKey", StringType),
+      StructField("after", MapType(StringType, StringType)),
+      StructField("ts_ms", LongType),
+      StructField("pos", LongType)))
+  }
+
+  /** The newest committed replica state at `stateDir` (per bucket, the
+    * newest committed epoch's version).
+    */
+  def replica(spark: SparkSession, stateDir: String): DataFrame = {
+    require(ExactlyOnce.hasCommittedState(spark, stateDir),
+      s"no committed replica state under $stateDir")
+    ExactlyOnce.currentStateBucketed(spark, stateDir)(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], replicaSchema))
+  }
 }

@@ -121,11 +121,13 @@ object ExactlyOnce {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(ledgerPath),
       spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(s"$ledgerPath/epoch-$batchId")
-    if (fs.exists(marker)) false
+    val ledger = new org.apache.hadoop.fs.Path(ledgerPath)
+    if (epochFenced(fs, ledger, batchId)) false
     else {
       write()
-      fs.create(marker, true).close() // commit marker AFTER the write
+      // commit marker AFTER the write
+      fs.create(new org.apache.hadoop.fs.Path(
+        ledger, s"epoch-$batchId"), true).close()
       true
     }
   }
@@ -134,66 +136,240 @@ object ExactlyOnce {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
 
+  // Tolerant marker-name parse: the per-(epoch, partition) fencing of
+  // runFenced writes `epoch-N.part-P` siblings, so a name must match the
+  // exact `epoch-<digits>` shape to count as an epoch marker — anything
+  // else in the ledger dir is ignored rather than crashing state reads.
+  private val EpochMarkerRe = "^epoch-(\\d+)$".r
+  private val HwmMarkerRe = "^hwm-(\\d+)$".r
+
   private def committedEpochs(spark: SparkSession, stateDir: String): Seq[Long] = {
     val fs = stateFs(spark, stateDir)
     val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
     if (!fs.exists(ledger)) Nil
     else fs.listStatus(ledger).toSeq.map(_.getPath.getName)
-      .collect { case s if s.startsWith("epoch-") =>
-        s.stripPrefix("epoch-").toLong }
+      .collect { case EpochMarkerRe(e) => e.toLong }
   }
 
-  /** Versioned epoch-fenced state maintenance — the shared protocol of
-    * the foreachBatch materializers (CDC replica MERGE, SCD2 history
-    * MERGE). Each epoch's full state is written to its OWN directory
-    * `state-<batchId>` and committed by the epoch ledger marker, so
-    * there is no delete-then-rename window anywhere:
-    *
-    *   - crash after the state write, before the marker → the previous
-    *     committed state is untouched; the replayed epoch overwrites
-    *     the orphan directory and then commits;
-    *   - crash after the marker, before retirement → two committed
-    *     states exist; readers resolve the NEWEST marker, and the next
-    *     epoch's retirement pass removes the straggler;
-    *   - a read failure of a committed state PROPAGATES — it is never
-    *     conflated with the genuinely-empty before-first-commit state
-    *     (the silent-full-reset failure mode of a catch-all fallback).
-    *
-    * Returns true when the epoch advanced the state, false when fenced.
+  /** The ledger's committed high watermark: every epoch `<= hwm` is
+    * committed, even after its individual marker was folded away (the
+    * anti-unbounded-ledger device — per-epoch markers below the
+    * watermark are deleted once nothing references them, so ledger
+    * listings stay O(live state), not O(total epochs ever)). Sound
+    * because foreachBatch epochs commit sequentially: a committed epoch
+    * implies every lower epoch committed before it.
     */
-  def advanceState(spark: SparkSession, stateDir: String, batchId: Long)(
-      empty: => DataFrame)(advance: DataFrame => DataFrame): Boolean = {
+  private def ledgerHwm(fs: org.apache.hadoop.fs.FileSystem,
+      ledger: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(ledger)) None
+    else fs.listStatus(ledger).toSeq.map(_.getPath.getName)
+      .collect { case HwmMarkerRe(e) => e.toLong }.maxOption
+
+  private def epochFenced(fs: org.apache.hadoop.fs.FileSystem,
+      ledger: org.apache.hadoop.fs.Path, batchId: Long): Boolean =
+    ledgerHwm(fs, ledger).exists(batchId <= _) ||
+      fs.exists(new org.apache.hadoop.fs.Path(ledger, s"epoch-$batchId"))
+
+  /** Advance the ledger's high watermark to `upTo` and fold the
+    * individual epoch markers it subsumes. Crash-ordered: the new hwm
+    * file lands FIRST, so fencing never weakens mid-fold (a half-folded
+    * ledger has both the hwm and some markers — epochFenced honors
+    * either).
+    */
+  private def foldLedger(fs: org.apache.hadoop.fs.FileSystem,
+      ledger: org.apache.hadoop.fs.Path, upTo: Long): Unit = {
+    val newHwm = math.max(upTo, ledgerHwm(fs, ledger).getOrElse(Long.MinValue))
+    fs.create(new org.apache.hadoop.fs.Path(ledger, s"hwm-$newHwm"), true).close()
+    fs.listStatus(ledger).toSeq.map(_.getPath.getName).foreach {
+      case n @ EpochMarkerRe(e) if e.toLong <= newHwm =>
+        fs.delete(new org.apache.hadoop.fs.Path(ledger, n), false)
+      case n @ HwmMarkerRe(e) if e.toLong < newHwm =>
+        fs.delete(new org.apache.hadoop.fs.Path(ledger, n), false)
+      case _ => ()
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Bucketed versioned state — the O(touched-buckets) epoch protocol of
+  // the foreachBatch materializers (CDC replica MERGE, SCD2 history
+  // MERGE). The state is hash-bucketed on its key: epoch `e` writes
+  // `state-<e>/__bucket=<b>` for ONLY the buckets its batch touches,
+  // and the epoch marker records that bucket list, so a bucket's
+  // current content lives at the NEWEST committed epoch that touched
+  // it. This mirrors MERGE INTO file pruning on a lake table: an epoch
+  // rewrites the files its keys land in, never the whole table. The
+  // crash windows inherit the single-marker reasoning:
+  //
+  //   - crash after some bucket writes, before the marker → every new
+  //     bucket dir is an uncommitted orphan (the marker is what makes
+  //     an epoch's buckets visible); the replayed epoch's Overwrite
+  //     clears them and then commits;
+  //   - crash after the marker, before retirement → superseded bucket
+  //     versions linger; readers resolve per-bucket newest, the next
+  //     epoch's retirement sweep removes them;
+  //   - retirement keeps the TWO newest versions of each bucket (a
+  //     one-epoch grace window, so a reader that resolved state while
+  //     epoch N commits can finish scanning N-1's files);
+  //   - a read failure of a committed bucket PROPAGATES — never
+  //     conflated with the genuinely-empty before-first-commit state.
+  // -------------------------------------------------------------------
+
+  private def bucketExpr(keyCol: String, numBuckets: Int) =
+    pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int")
+
+  /** Committed (epoch, touched-bucket-set) pairs from the ledger. */
+  private def epochBuckets(spark: SparkSession,
+      stateDir: String): Seq[(Long, Set[Int])] = {
     val fs = stateFs(spark, stateDir)
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$stateDir/_ledger/epoch-$batchId")
-    if (fs.exists(marker)) false
-    else {
-      val prior = committedEpochs(spark, stateDir)
-        .filter(_ < batchId).sorted.lastOption
-      val current = prior match {
-        case Some(e) => spark.read.parquet(s"$stateDir/state-$e")
-        case None => empty
-      }
-      advance(current).write.mode(SaveMode.Overwrite)
-        .parquet(s"$stateDir/state-$batchId")
-      fs.create(marker, true).close() // commit marker AFTER the write
-      // retirement only AFTER this epoch is committed, so a crash here
-      // never orphans the only committed state
-      committedEpochs(spark, stateDir).filter(_ < batchId).foreach(e =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/state-$e"), true))
-      true
+    val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
+    committedEpochs(spark, stateDir).sorted.map { e =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(ledger, s"epoch-$e"))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      e -> txt.split(',').filter(_.nonEmpty).map(_.toInt).toSet
     }
   }
 
-  /** The newest committed state under [[advanceState]]'s protocol, or
-    * `empty` before the first commit.
+  /** bucket -> epochs that touched it, newest first (committed only). */
+  private def bucketOwners(spark: SparkSession,
+      stateDir: String): Map[Int, Seq[Long]] =
+    epochBuckets(spark, stateDir)
+      .flatMap { case (e, bs) => bs.map(_ -> e) }
+      .groupBy(_._1).map { case (b, xs) =>
+        b -> xs.map(_._2).sorted(Ordering[Long].reverse) }
+
+  /** The bucket-count pin: the hash fan-out is structural (a key's
+    * bucket must be stable across every epoch and reader), so the first
+    * epoch records it and later epochs fail fast on a mismatch instead
+    * of silently splitting keys across incompatible layouts.
     */
-  def currentState(spark: SparkSession, stateDir: String)(
-      empty: => DataFrame): DataFrame =
-    committedEpochs(spark, stateDir).sorted.lastOption match {
-      case Some(e) => spark.read.parquet(s"$stateDir/state-$e")
-      case None => empty
+  private def pinBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+      ledger: org.apache.hadoop.fs.Path, numBuckets: Int): Unit = {
+    val pinned =
+      if (!fs.exists(ledger)) None
+      else fs.listStatus(ledger).toSeq.map(_.getPath.getName)
+        .collect { case s if s.startsWith("buckets-") =>
+          s.stripPrefix("buckets-").toInt }.headOption
+    pinned match {
+      case Some(b) if b != numBuckets => sys.error(
+        s"state at ${ledger.getParent} is bucketed $b ways; refusing " +
+          s"to advance it $numBuckets ways (keys would change buckets)")
+      case Some(_) => ()
+      case None =>
+        fs.create(new org.apache.hadoop.fs.Path(
+          ledger, s"buckets-$numBuckets"), true).close()
     }
+  }
+
+  /** One bucketed epoch: fold `batch` into the keyed state at
+    * `stateDir`, writing ONLY the buckets the batch touches — per-epoch
+    * write cost O(touched buckets' state + batch), never O(history).
+    * `advance` receives the touched buckets' current rows (or `empty`
+    * before any commit) and must return those buckets' full next
+    * content — true for any per-key merge (its output keys are a subset
+    * of input-state keys ∪ batch keys, all in touched buckets).
+    *
+    * The touched-bucket probe collects ≤ `numBuckets` distinct ints to
+    * the driver — iteration control, same class as the k-row KMeans
+    * convergence probe. Returns true when the epoch advanced the state,
+    * false when fenced (already committed — replays are no-ops).
+    */
+  def advanceStateBucketed(spark: SparkSession, stateDir: String,
+      batchId: Long, batch: DataFrame, keyCol: String, numBuckets: Int)(
+      empty: => DataFrame)(advance: DataFrame => DataFrame): Boolean = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val fs = stateFs(spark, stateDir)
+    val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
+    if (epochFenced(fs, ledger, batchId)) return false
+    pinBucketCount(fs, ledger, numBuckets)
+    val bExpr = bucketExpr(keyCol, numBuckets)
+    val touched = batch.select(bExpr.as("__bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.nonEmpty) {
+      val owners = bucketOwners(spark, stateDir)
+      val paths = touched.toSeq.sorted
+        .flatMap(b => owners.get(b).flatMap(_.headOption)
+          .map(e => s"$stateDir/state-$e/__bucket=$b"))
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      val current = if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
+      advance(current)
+        .withColumn("__bucket", bExpr)
+        // cluster by bucket so each bucket lands in O(1) files, not
+        // (tasks x buckets) fragments (at cluster scale drop this and
+        // let every task write its bucket slice in parallel)
+        .repartition(numBuckets, col("__bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+        .parquet(s"$stateDir/state-$batchId")
+    }
+    // the marker carries the touched-bucket list — it is both the
+    // atomic commit point and the reader's bucket->epoch index; an
+    // all-empty epoch commits an empty list purely for fencing
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      ledger, s"epoch-$batchId"), true)
+    out.write(touched.toSeq.sorted.mkString(",")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    retireBucketed(spark, stateDir)
+    true
+  }
+
+  /** Retirement sweep: for each bucket keep its two newest committed
+    * versions (current + one-epoch reader grace), delete older bucket
+    * dirs, drop epoch dirs that hold no buckets any more, and fold
+    * epoch markers that no longer own any kept bucket into the ledger
+    * high watermark. Pure cleanup — idempotent, crash-safe at any
+    * point (deletions only ever remove superseded or empty artifacts).
+    */
+  private def retireBucketed(spark: SparkSession, stateDir: String): Unit = {
+    val fs = stateFs(spark, stateDir)
+    val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
+    val eb = epochBuckets(spark, stateDir)
+    if (eb.isEmpty) return
+    val maxE = eb.map(_._1).max
+    val owners = bucketOwners(spark, stateDir)
+    owners.foreach { case (b, es) =>
+      es.drop(2).foreach { e =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$stateDir/state-$e/__bucket=$b"), true)
+      }
+    }
+    // epoch dirs with no remaining bucket subdirs are empty shells
+    eb.map(_._1).foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(s"$stateDir/state-$e")
+      if (fs.exists(p) &&
+          !fs.listStatus(p).exists(_.getPath.getName.startsWith("__bucket=")))
+        fs.delete(p, true)
+    }
+    // markers owning nothing within the keep-2 horizon are foldable
+    val foldable = eb.collect { case (e, bs)
+      if e < maxE && bs.forall(b => !owners(b).take(2).contains(e)) => e }
+    foldable.maxOption.foreach(foldLedger(fs, ledger, _))
+  }
+
+  /** True once any epoch has committed state at `stateDir` — the guard
+    * that keeps "not started yet" distinct from "committed and empty".
+    */
+  def hasCommittedState(spark: SparkSession, stateDir: String): Boolean = {
+    val fs = stateFs(spark, stateDir)
+    committedEpochs(spark, stateDir).nonEmpty ||
+      ledgerHwm(fs, new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")).nonEmpty
+  }
+
+  /** The current state under [[advanceStateBucketed]]'s protocol: per
+    * bucket, the newest committed epoch's version (a bucket whose owner
+    * epoch wrote it empty contributes nothing). `empty` is returned
+    * before the first commit AND for a committed-but-all-empty state —
+    * callers needing the distinction check [[hasCommittedState]].
+    */
+  def currentStateBucketed(spark: SparkSession, stateDir: String)(
+      empty: => DataFrame): DataFrame = {
+    val fs = stateFs(spark, stateDir)
+    val paths = bucketOwners(spark, stateDir).toSeq.sortBy(_._1)
+      .flatMap { case (b, es) =>
+        es.headOption.map(e => s"$stateDir/state-$e/__bucket=$b") }
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
+  }
 
   /** APPEND-ONLY epoch-fenced state — the durable form of a standing
     * index whose per-epoch update is a disjoint DELTA (the
@@ -215,24 +391,25 @@ object ExactlyOnce {
   def appendDelta(spark: SparkSession, stateDir: String, batchId: Long)(
       delta: => DataFrame): Boolean = {
     val fs = stateFs(spark, stateDir)
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$stateDir/_ledger/epoch-$batchId")
-    if (fs.exists(marker)) false
+    val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
+    if (epochFenced(fs, ledger, batchId)) false
     else {
       delta.write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/delta-$batchId")
-      fs.create(marker, true).close()
+      fs.create(new org.apache.hadoop.fs.Path(
+        ledger, s"epoch-$batchId"), true).close()
       true
     }
   }
+
+  private val CompactMarkerRe = "^compact-(\\d+)$".r
 
   private def committedCompacts(spark: SparkSession, stateDir: String): Seq[Long] = {
     val fs = stateFs(spark, stateDir)
     val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
     if (!fs.exists(ledger)) Nil
     else fs.listStatus(ledger).toSeq.map(_.getPath.getName)
-      .collect { case s if s.startsWith("compact-") =>
-        s.stripPrefix("compact-").toLong }
+      .collect { case CompactMarkerRe(e) => e.toLong }
   }
 
   /** The standing appended state: newest committed base ∪ every
@@ -260,19 +437,36 @@ object ExactlyOnce {
   def compactAppended(spark: SparkSession, stateDir: String)(
       empty: => DataFrame): Option[Long] = {
     val fs = stateFs(spark, stateDir)
+    val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
     val upTo = committedEpochs(spark, stateDir).sorted.lastOption
     upTo.filter(e => !committedCompacts(spark, stateDir).contains(e)).map { e =>
       appendedState(spark, stateDir)(empty).write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/base-$e")
       fs.create(new org.apache.hadoop.fs.Path(
-        s"$stateDir/_ledger/compact-$e"), true).close()
+        ledger, s"compact-$e"), true).close()
       // retirement only AFTER the compact marker — a crash mid-delete
       // leaves both the base and some inputs, and the reader prefers
-      // the base while skipping retired delta dirs
-      committedCompacts(spark, stateDir).filter(_ < e).foreach(b =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/base-$b"), true))
+      // the base while skipping retired delta dirs. EVERY other base
+      // dir goes, committed or not: an unmarked base is an orphan of a
+      // crashed compaction (invisible to readers by construction), and
+      // leaving it would leak disk forever.
+      val BaseRe = "^base-(\\d+)$".r
+      fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
+        .map(_.getPath.getName).foreach {
+          case n @ BaseRe(b) if b.toLong != e =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/$n"), true)
+          case _ => ()
+        }
       committedEpochs(spark, stateDir).filter(_ <= e).foreach(d =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/delta-$d"), true))
+      // retired compact markers + folded epoch markers: everything at or
+      // below the new base is subsumed by it, so the ledger listing —
+      // read several times per epoch — stays O(live deltas), not
+      // O(total epochs ever)
+      committedCompacts(spark, stateDir).filter(_ < e).foreach(b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          ledger, s"compact-$b"), false))
+      foldLedger(fs, ledger, e)
       e
     }
   }

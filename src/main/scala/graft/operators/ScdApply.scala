@@ -32,10 +32,11 @@ import org.apache.spark.sql.functions._
   * Scale notes: the per-epoch work is one batch-local window (keyed
   * shuffle of the BATCH only) plus two keyed joins of batch-derived
   * frames against the history — on a lake table this is MERGE INTO with
-  * file pruning on the key; the versioned parquet state here keeps the
-  * logical shape testable. Exactly-once via ExactlyOnce.advanceState:
-  * each epoch is a pure function of (history, batch), so batch-id
-  * fencing makes replays no-ops.
+  * file pruning on the key; the bucketed versioned parquet state here
+  * keeps the logical shape testable AND the write O(touched) — see
+  * ExactlyOnce.advanceStateBucketed. Exactly-once: each epoch is a
+  * pure function of (history, batch), so batch-id fencing makes
+  * replays no-ops.
   */
 object ScdApply {
 
@@ -124,21 +125,54 @@ object ScdApply {
     untouched.unionByName(rebuilt)
   }
 
-  /** Streaming materializer: foreachBatch body maintaining the SCD2
-    * history at `stateDir` via [[ExactlyOnce.advanceState]] (versioned
-    * state dirs + epoch ledger — crash-safe, replays are no-ops; MERGE
-    * INTO on a real table format). Expects enriched-events batches with
-    * (user_id, event_id, sec); read the history with [[history]].
+  /** Hash-bucket fan-out of the persisted history (see
+    * [[CdcApply.DefaultBuckets]] for the sizing story).
     */
-  def materializer(spark: SparkSession, stateDir: String)(
+  val DefaultBuckets = 16
+
+  private def run(spark: SparkSession, stateDir: String, numBuckets: Int,
+      step: (DataFrame, DataFrame) => DataFrame)(
       batch: DataFrame, batchId: Long): Unit = {
-    ExactlyOnce.advanceState(spark, stateDir, batchId)(
-      emptyHistory(spark))(current => advance(current, batch))
+    ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, batch,
+      "user_id", numBuckets)(
+      emptyHistory(spark))(current => step(current, batch))
     ()
   }
 
-  /** The newest committed history state at `stateDir`. */
-  def history(spark: SparkSession, stateDir: String): DataFrame =
-    ExactlyOnce.currentState(spark, stateDir)(
-      sys.error(s"no committed SCD2 history under $stateDir"))
+  /** Streaming materializer (ordered-feed arm): foreachBatch body
+    * maintaining the SCD2 history at `stateDir` via
+    * [[ExactlyOnce.advanceStateBucketed]] — the history is
+    * hash-bucketed on user_id and an epoch rewrites ONLY the buckets
+    * its batch touches, committed under one epoch-ledger marker
+    * (crash-safe, replays are no-ops; MERGE INTO with file pruning on a
+    * real table format). Expects enriched-events batches with (user_id,
+    * event_id, sec) honoring the ordered-feed contract of [[advance]];
+    * feeds that can deliver late use [[materializerOutOfOrder]]. Read
+    * the history with [[history]].
+    */
+  def materializer(spark: SparkSession, stateDir: String,
+      numBuckets: Int = DefaultBuckets)(
+      batch: DataFrame, batchId: Long): Unit =
+    run(spark, stateDir, numBuckets, advance)(batch, batchId)
+
+  /** Streaming materializer (out-of-order arm): same fenced bucketed
+    * protocol, but each epoch folds through [[advanceOutOfOrder]] — the
+    * touched keys' histories are re-ranked over existing ∪ new changes,
+    * exact for ANY arrival order, and at-least-once re-deliveries fold
+    * to the identical row set. Per-epoch cost O(touched keys' history +
+    * batch) — late data rewrites the touched buckets, never the table.
+    */
+  def materializerOutOfOrder(spark: SparkSession, stateDir: String,
+      numBuckets: Int = DefaultBuckets)(
+      batch: DataFrame, batchId: Long): Unit =
+    run(spark, stateDir, numBuckets, advanceOutOfOrder)(batch, batchId)
+
+  /** The newest committed history state at `stateDir` (per bucket, the
+    * newest committed epoch's version).
+    */
+  def history(spark: SparkSession, stateDir: String): DataFrame = {
+    require(ExactlyOnce.hasCommittedState(spark, stateDir),
+      s"no committed SCD2 history under $stateDir")
+    ExactlyOnce.currentStateBucketed(spark, stateDir)(emptyHistory(spark))
+  }
 }

@@ -111,6 +111,47 @@ class DupSpansStateSpec extends SparkSpec {
     ExactlyOnce.appendDelta(spark, stateDir, 2L)(
       Seq((3L, 3L, 3L)).toDF("gh1", "gh2", "dmin"))
     assert(ExactlyOnce.appendedState(spark, stateDir)(empty).count() == 3)
+
+    // an orphan base from a crashed LATER compaction (base written, no
+    // marker, then epochs moved on) is deleted by the next successful
+    // compaction instead of leaking forever
+    Seq((9L, 9L, 9L)).toDF("gh1", "gh2", "dmin")
+      .write.parquet(s"$stateDir/base-77")
+    assert(ExactlyOnce.compactAppended(spark, stateDir)(empty) == Some(2L))
+    val fs2 = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dirs = fs2.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+      .map(_.getPath.getName).toSet
+    assert(!dirs.contains("base-77"), s"orphan base leaked: $dirs")
+    assert(!dirs.contains("base-1"), s"superseded base leaked: $dirs")
+    assert(dirs.contains("base-2"))
+    assert(ExactlyOnce.appendedState(spark, stateDir)(empty).count() == 3)
+  }
+
+  test("compaction folds subsumed epoch markers into a high watermark: " +
+      "the ledger stays O(live deltas) and folded epochs remain fenced") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("graft_fold").toString
+    val empty = StreamingDupSpans.emptyIndex(spark)
+    (0L to 3L).foreach(e => ExactlyOnce.appendDelta(spark, stateDir, e)(
+      Seq((e, e, e)).toDF("gh1", "gh2", "dmin")))
+    assert(ExactlyOnce.compactAppended(spark, stateDir)(empty) == Some(3L))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val ledger = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$stateDir/_ledger"))
+      .map(_.getPath.getName).toSet
+    assert(!ledger.exists(_.matches("^epoch-\\d+$")),
+      s"subsumed epoch markers not folded: $ledger")
+    assert(ledger.exists(_.startsWith("hwm-")), s"no high watermark: $ledger")
+    // a replay of any folded epoch is still fenced — by the watermark
+    assert(!ExactlyOnce.appendDelta(spark, stateDir, 2L)(
+      Seq((99L, 99L, 99L)).toDF("gh1", "gh2", "dmin")))
+    assert(ExactlyOnce.appendedState(spark, stateDir)(empty).count() == 4)
+    // and new epochs continue on top of the folded ledger
+    assert(ExactlyOnce.appendDelta(spark, stateDir, 4L)(
+      Seq((40L, 40L, 40L)).toDF("gh1", "gh2", "dmin")))
+    assert(ExactlyOnce.appendedState(spark, stateDir)(empty).count() == 5)
   }
 
   test("a torn epoch's delta is invisible until its marker commits") {

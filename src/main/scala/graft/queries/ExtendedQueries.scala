@@ -204,7 +204,9 @@ object ExtendedQueries {
     // row — hundreds of thousands of multi-KB sketches that spill.
     // Split, the distinct pass carries no sketch buffers and the
     // sketch pass partial-aggregates to one buffer per group per
-    // partition (~4x faster at sf0.1; the gap widens with scale).
+    // partition. Same-session A/B at sf0.1 (r7, 5-rep min through the
+    // bench harness): split 0.88 s / 7.9 MB shuffled vs single-pass
+    // 4.85 s / 40.0 MB — 5.5x, and the gap widens with scale.
     "rel_approx_distinct" -> QueryDef(
       (s, dir) => {
         val l = Tables.lineitem(s, dir)

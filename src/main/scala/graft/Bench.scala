@@ -226,6 +226,17 @@ object Bench {
     }
 
     val finalMins = mins
+    // median-of-reps alongside min (round-6 verdict item 6): min is the
+    // throughput estimate (least-contended observation of a
+    // deterministic plan), median is the robustness witness — a query
+    // whose median tracks its min ran on a quiet machine; a large
+    // median/min gap localizes contention to specific reps without
+    // poisoning the headline number
+    val medians = samples.collect {
+      case (n, ss) if ss.nonEmpty && !failedSet.contains(n) =>
+        val sorted = ss.sorted
+        n -> sorted(sorted.size / 2)
+    }
     val spreadPct = samples.collect {
       case (n, ss) if ss.size > 1 && !failedSet.contains(n) =>
         n -> math.round((ss.max - ss.min) / ss.min * 1000) / 10.0
@@ -241,7 +252,7 @@ object Bench {
     }
     val total = ordered.filter(_._2 >= 0).map(_._2).sum
     val extras = new StringBuilder
-    extras ++= s""","reps":${reps + rescues},"spread_pct":${jmap(spreadPct)}"""
+    extras ++= s""","reps":${reps + rescues},"median":${jmap(medians)},"spread_pct":${jmap(spreadPct)}"""
     ref.foreach { case (p, _) =>
       extras ++= s""","sweep_ref":"${p}""""
       deviation.foreach(d =>
@@ -249,7 +260,7 @@ object Bench {
       extras ++= s""","contended":$contended"""
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(
-        ordered)},"shuffle_mb":${jmap(shuffleMb)},"sf":"$sfDir","failed":${failedSet.size},"materialization":"noop-sink","methodology":"per-query warm run, one discarded interleaved warm-up pass, then $reps interleaved timed reps, per-query min"$extras}"""
+        ordered)},"shuffle_mb":${jmap(shuffleMb)},"sf":"$sfDir","failed":${failedSet.size},"materialization":"noop-sink","methodology":"per-query warm run, one discarded interleaved warm-up pass, then $reps interleaved timed reps, per-query min + median"$extras}"""
     println(line)
     // stdout gets wrapped in sbt/log noise downstream — persist the
     // structured result to a well-known file too, so consumers that

@@ -48,20 +48,37 @@ object CdcReplay {
   def rawEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
-    val batchSchema =
-      try spark.read.parquet(path).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => emptyZoneSchema }
+    val peeked =
+      try Some(spark.read.parquet(path).schema)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     val isDir =
       try org.apache.hadoop.fs.FileSystem
         .get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
         .getFileStatus(new org.apache.hadoop.fs.Path(path)).isDirectory
       catch { case _: java.io.FileNotFoundException => true } // not-yet-created zone
-    val reader = spark.readStream.schema(batchSchema)
+    val reader = spark.readStream.schema(peeked.getOrElse(emptyZoneSchema))
       .option("maxFilesPerTrigger", 1)
     val raw0 =
       if (isDir) reader.parquet(path)
       else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    graft.queries.Tables.normalizeEventsTs(raw0)
+    val normalized = graft.queries.Tables.normalizeEventsTs(raw0)
+    // The empty-zone path ASSUMED [[emptyZoneSchema]] (timestamp
+    // micros) with nothing to peek at; if files later arrive in the
+    // historical nanos-as-long layout, the fixed stream schema would
+    // decode raw nanos as micros — timestamps ~1000x in the future,
+    // silently. Fail the batch on the first such row instead: a real
+    // micros value is bounded far below year 2500 (~16.7e15 micros),
+    // a 2020-era nanos value lands ~year 52000 when misread. Peeked
+    // schemas need no guard — the conversion is layout-driven there.
+    if (peeked.isEmpty)
+      normalized.withColumn("ts",
+        when(year(col("ts")) < 2500, col("ts"))
+          .otherwise(raise_error(concat(lit(
+            s"landing zone $path: arriving files do not match the " +
+              "assumed timestamp-micros layout (ts decoded as "),
+            col("ts").cast("string"),
+            lit(") - nanos-as-long fixtures must be re-peeked")))))
+    else normalized
   }
 
   /** Deterministic op code for an events row. */

@@ -167,6 +167,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("empty-zone stream accepts files arriving in the assumed " +
+      "micros layout and streams true timestamps") {
+    val zone = java.nio.file.Files.createTempDirectory("graft_zone_ok").toString
+    assert(new java.io.File(s"$zone/events.parquet").mkdirs())
+    val events = graft.sources.CdcReplay.rawEventsStream(spark, zone)
+    val q = events.writeStream.format("memory")
+      .queryName("zone_ok_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("zone_ok_out").count() == 0)
+      // the zone fills AFTER stream start, in the expected layout
+      queries.Tables.events(spark, sf).limit(50)
+        .write.mode("append").parquet(s"$zone/events.parquet")
+      q.processAllAvailable()
+      val got = spark.table("zone_ok_out")
+      assert(got.count() == 50)
+      assert(got.agg(max(year(col("ts")))).head().getInt(0) < 2100)
+    } finally q.stop()
+  }
+
+  test("empty-zone stream FAILS FAST when arriving files decode to the " +
+      "nanos-as-long 1000x timestamp class instead of reading them wrong") {
+    val zone = java.nio.file.Files.createTempDirectory("graft_zone_bad").toString
+    assert(new java.io.File(s"$zone/events.parquet").mkdirs())
+    val events = graft.sources.CdcReplay.rawEventsStream(spark, zone)
+    val q = events.writeStream.format("memory")
+      .queryName("zone_bad_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a nanos-as-long file misread under the assumed micros schema
+      // decodes 2020-era values to ~year 52000; synthesize exactly
+      // that decode result
+      spark.range(1).select(
+        lit(1L).as("event_id"),
+        expr("cast(timestamp_micros(1600000000000000000) as timestamp_ntz)")
+          .as("ts"),
+        lit(1L).as("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+        .write.mode("append").parquet(s"$zone/events.parquet")
+      val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msgs = Iterator.iterate(failure: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("nanos-as-long"),
+        s"expected the layout tripwire, got: $msgs")
+    } finally q.stop()
+  }
+
   test("windowed aggregation with watermark over the events stream") {
     // watermarks require TIMESTAMP (not NTZ); value-preserving under the
     // session's UTC timezone

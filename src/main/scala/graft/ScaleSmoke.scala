@@ -212,6 +212,101 @@ object ScaleSmoke {
     println(s"[scale] jaccard-truth report at 30x: n_true=$nTrue " +
       s"precision=${dqInfo._1} recall=${dqInfo._2} pass=$jqPass")
 
+    // ---- durable materializers at 30x: per-epoch write volume ----
+    // (round-6 verdict item 5) Executable evidence that the fenced
+    // state protocols write O(touched), not O(history), at scale:
+    //   - SCD2 bucketed materializer: a bulk epoch (all 3M changes,
+    //     every bucket) then steady-state epochs touching ~8 keys —
+    //     per-epoch rows/bytes written must be the touched buckets'
+    //     slice, not the full history;
+    //   - dup-spans LSM materializer: 4 doc_id-ordered epochs; the
+    //     per-epoch delta rows must sum to EXACTLY the corpus's
+    //     distinct gram-pair count (appends partition the first-seen
+    //     set — no epoch ever rewrites an already-indexed row).
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def dirBytes(p: String): Long =
+      try hfs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+      catch { case _: Throwable => 0L }
+    def dirRows(p: String): Long =
+      try spark.read.parquet(p).count() catch { case _: Throwable => 0L }
+
+    val ScdBuckets = 64
+    val scdDir = s"$dir/scd2_state"
+    hfs.delete(new org.apache.hadoop.fs.Path(scdDir), true)
+    val allChanges = queries.Tables.events(spark, dir)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .select(col("user_id"), col("event_id"), col("sec"))
+    val maxSec = allChanges.agg(max(col("sec"))).head().getLong(0)
+    val maxEid = allChanges.agg(max(col("event_id"))).head().getLong(0)
+    val steadyUsers = allChanges.select(col("user_id")).distinct()
+      .orderBy(col("user_id")).limit(8)
+      .collect().map(_.getLong(0)).toSeq
+    val scdEpochs = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 to 3).foreach { e =>
+      val batch =
+        if (e == 0) allChanges
+        else {
+          import spark.implicits._
+          steadyUsers.zipWithIndex.map { case (u, i) =>
+            (u, maxEid + e * 100L + i, maxSec + e * 60L) }
+            .toDF("user_id", "event_id", "sec")
+        }
+      val t0 = System.nanoTime()
+      graft.operators.ScdApply.materializer(spark, scdDir, ScdBuckets)(
+        batch, e.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val touched = {
+        val p = new org.apache.hadoop.fs.Path(s"$scdDir/state-$e")
+        if (!hfs.exists(p)) 0
+        else hfs.listStatus(p).count(_.getPath.getName.startsWith("__bucket="))
+      }
+      val rows = dirRows(s"$scdDir/state-$e")
+      val bytes = dirBytes(s"$scdDir/state-$e")
+      scdEpochs += s"""{"epoch":$e,"sec":${math.round(sec * 1000) / 1000.0},"rows_written":$rows,"bytes_written":$bytes,"buckets_touched":$touched}"""
+      println(f"[scale] scd2 epoch $e: $sec%.1f s, $rows rows / $bytes bytes" +
+        f" written, $touched/$ScdBuckets buckets")
+    }
+    val scdHistoryRows = graft.operators.ScdApply.history(spark, scdDir).count()
+    // steady-state epochs must write a small fraction of the history
+    // (the touched buckets' slice) — gate at < 1/4
+    val scdSteadyRows = dirRows(s"$scdDir/state-3")
+    val scdPass = scdSteadyRows > 0 && scdSteadyRows < scdHistoryRows / 4
+    println(s"[scale] scd2 steady-state epoch wrote $scdSteadyRows of " +
+      s"$scdHistoryRows history rows pass=$scdPass")
+    if (!scdPass) failed += "scd2_materializer_o_touched"
+
+    val dupDir = s"$dir/dupspans_state"
+    val spansDir = s"$dir/dupspans_out"
+    hfs.delete(new org.apache.hadoop.fs.Path(dupDir), true)
+    hfs.delete(new org.apache.hadoop.fs.Path(spansDir), true)
+    val docs30x = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val qs = docs30x.stat.approxQuantile("doc_id",
+      Array(0.25, 0.5, 0.75), 0.001).map(_.toLong)
+    val dupEpochs = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 to 3).foreach { e =>
+      val lo = if (e == 0) Long.MinValue else qs(e - 1)
+      val hi = if (e == 3) Long.MaxValue else qs(e)
+      val batch = docs30x.filter(col("doc_id") > lo && col("doc_id") <= hi)
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingDupSpans.materializer(
+        spark, dupDir, spansDir, 0)(batch, e.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val deltaRows = dirRows(s"$dupDir/delta-$e")
+      val deltaBytes = dirBytes(s"$dupDir/delta-$e")
+      dupEpochs += s"""{"epoch":$e,"sec":${math.round(sec * 1000) / 1000.0},"delta_rows":$deltaRows,"delta_bytes":$deltaBytes}"""
+      println(f"[scale] dup-spans epoch $e: $sec%.1f s, delta $deltaRows " +
+        f"rows / $deltaBytes bytes")
+    }
+    val deltaTotal = (0 to 3).map(e => dirRows(s"$dupDir/delta-$e")).sum
+    val distinctPairs = graft.streaming.StreamingDupSpans.newHashes(
+      graft.streaming.StreamingDupSpans.emptyIndex(spark), docs30x).count()
+    val dupPass = deltaTotal == distinctPairs
+    println(s"[scale] dup-spans deltas $deltaTotal rows vs corpus distinct " +
+      s"pairs $distinctPairs pass=$dupPass")
+    if (!dupPass) failed += "dupspans_materializer_o_batch"
+
     // ---- artifact ----
     def jnum(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -224,7 +319,9 @@ object ScaleSmoke {
           annRecall * 10000) / 10000.0},"ann_threshold":0.30,"ann_pass":$annPass,"dedup_clone_recall":${math.round(
           cloneRecall * 10000) / 10000.0},"dedup_clone_pairs":$nClonePairs,"dedup_recall_threshold":0.95,"dedup_pass":$dqPass,"jaccard_truth_pairs":$nTrue,"jaccard_truth_precision":${dqInfo._1.map(_.toString)
           .getOrElse("null")},"jaccard_truth_recall":${dqInfo._2.map(_.toString)
-          .getOrElse("null")},"jaccard_recall_threshold":0.80,"jaccard_pass":$jqPass},"failed":${failed
+          .getOrElse("null")},"jaccard_recall_threshold":0.80,"jaccard_pass":$jqPass},"materializers":{"scd2":{"buckets":$ScdBuckets,"epochs":${scdEpochs
+          .mkString("[", ",", "]")},"history_rows":$scdHistoryRows,"steady_epoch_rows":$scdSteadyRows,"o_touched_pass":$scdPass},"dup_spans":{"epochs":${dupEpochs
+          .mkString("[", ",", "]")},"delta_rows_total":$deltaTotal,"corpus_distinct_pairs":$distinctPairs,"o_batch_write_pass":$dupPass}},"failed":${failed
           .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"single timed noop-sink pass per op (cold plans; 30x scale: 90% of texts cloned 30x, 10% stratum singleton + one-token near-dup variant), untimed count for cardinality"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

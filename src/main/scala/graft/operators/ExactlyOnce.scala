@@ -340,10 +340,16 @@ object ExactlyOnce {
           !fs.listStatus(p).exists(_.getPath.getName.startsWith("__bucket=")))
         fs.delete(p, true)
     }
-    // markers owning nothing within the keep-2 horizon are foldable
+    // markers owning nothing within the keep-2 horizon are foldable —
+    // but the high watermark subsumes a RANGE, so only a CONTIGUOUS
+    // PREFIX of foldable epochs may fold: folding epoch e deletes
+    // every marker <= e, and an older epoch still owning live buckets
+    // must keep its marker (it is the reader's only index to them)
     val foldable = eb.collect { case (e, bs)
-      if e < maxE && bs.forall(b => !owners(b).take(2).contains(e)) => e }
-    foldable.maxOption.foreach(foldLedger(fs, ledger, _))
+      if e < maxE && bs.forall(b => !owners(b).take(2).contains(e)) => e
+    }.toSet
+    val prefix = eb.map(_._1).takeWhile(foldable.contains)
+    prefix.lastOption.foreach(foldLedger(fs, ledger, _))
   }
 
   /** True once any epoch has committed state at `stateDir` — the guard

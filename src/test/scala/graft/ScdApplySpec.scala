@@ -224,6 +224,33 @@ class ScdApplySpec extends SparkSpec {
       (keyB, 4L, 2, 25L, None, true)).sortBy(t => (t._1, t._3)))
   }
 
+  test("ledger folding never orphans an old epoch that still owns " +
+      "untouched buckets (bulk load + hot-key steady state)") {
+    // the 30x-scale regression in miniature: epoch 0 bulk-loads TWO
+    // buckets, epochs 1-3 touch only one of them — epoch 1 becomes
+    // individually foldable before epoch 0 does, but folding it would
+    // delete epoch 0's marker (the only index to the cold bucket), so
+    // the watermark must only advance over a CONTIGUOUS foldable prefix
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("graft_scd2_coldbucket").toString
+    val (keyA, keyB, _, _) = twoKeysInDistinctBuckets()
+    ScdApply.materializer(spark, stateDir)(
+      Seq((keyA, 1L, 10L), (keyB, 2L, 10L)).toDF("user_id", "event_id", "sec"),
+      0L)
+    (1 to 3).foreach(e => ScdApply.materializer(spark, stateDir)(
+      Seq((keyA, 10L + e, 10L + e * 10L)).toDF("user_id", "event_id", "sec"),
+      e.toLong))
+    val h = ScdApply.history(spark, stateDir)
+    assert(h.filter(col("user_id") === keyB).count() == 1,
+      "cold bucket lost after hot-key epochs — ledger fold orphaned it")
+    assert(h.count() == 5)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$stateDir/_ledger/epoch-0")),
+      "epoch 0 still owns the cold bucket; its marker must survive")
+  }
+
   test("out-of-order STREAMING materializer converges to the batch truth " +
       "under a shuffled replay") {
     val truth = rows(SparkEntry.queries("cdc_scd2_history")(spark, sf))

@@ -58,6 +58,38 @@ object CdcApply {
     untouched.unionByName(upserts)
   }
 
+  /** Apply with an explicit version guard — exact for ANY arrival
+    * order: across state ∪ batch, each key keeps the change with the
+    * greatest (ts_ms, pos) — the binlog position total order the
+    * envelope already carries, i.e. the classic CDC MERGE with an
+    * ordering column. Deletes become TOMBSTONES (after = null,
+    * deleted = true) rather than removals, so a late-arriving OLDER
+    * upsert can never resurrect a deleted key; re-delivery of an
+    * already-applied change folds to the identical row. A lake
+    * deployment GCs tombstones past its lateness horizon — here they
+    * are retained (bounded by distinct deleted keys).
+    */
+  def applyBatchVersioned(state: DataFrame, batch: DataFrame): DataFrame = {
+    val changes = lastChangePerKey(batch).select(
+      col("partitionKey"),
+      when(col("op") === "d", lit(null)).otherwise(col("after")).as("after"),
+      col("ts_ms"), col("pos"),
+      (col("op") === "d").as("deleted"))
+    val w = Window.partitionBy(col("partitionKey"))
+      .orderBy(col("ts_ms").desc, col("pos").desc)
+    state.unionByName(changes)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** The empty versioned-replica frame. */
+  def emptyVersioned(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(replicaSchema.fields :+
+        org.apache.spark.sql.types.StructField("deleted",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+
   /** The empty replica frame (schema derived from `batch`'s shape). */
   def emptyReplica(spark: SparkSession, batch: DataFrame): DataFrame =
     spark.createDataFrame(
@@ -88,6 +120,31 @@ object CdcApply {
       "partitionKey", numBuckets)(
       emptyReplica(spark, batch))(current => applyBatch(current, batch))
     ()
+  }
+
+  /** Streaming materializer (out-of-order arm): same fenced bucketed
+    * protocol, each epoch folding through [[applyBatchVersioned]] —
+    * exact under ANY arrival order and at-least-once re-delivery,
+    * holding tombstones against late older upserts. Read the live
+    * rows with [[replicaVersioned]].
+    */
+  def materializerVersioned(spark: SparkSession, stateDir: String,
+      numBuckets: Int = DefaultBuckets)(
+      batch: DataFrame, batchId: Long): Unit = {
+    ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, batch,
+      "partitionKey", numBuckets)(
+      emptyVersioned(spark))(current => applyBatchVersioned(current, batch))
+    ()
+  }
+
+  /** The live (non-tombstoned) rows of a [[materializerVersioned]]
+    * state, in the same shape [[replica]] returns.
+    */
+  def replicaVersioned(spark: SparkSession, stateDir: String): DataFrame = {
+    require(ExactlyOnce.hasCommittedState(spark, stateDir),
+      s"no committed replica state under $stateDir")
+    ExactlyOnce.currentStateBucketed(spark, stateDir)(emptyVersioned(spark))
+      .filter(!col("deleted")).drop("deleted")
   }
 
   /** The replica's fixed schema: partitionKey + the dynamic after-image

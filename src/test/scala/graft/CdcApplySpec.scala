@@ -37,6 +37,61 @@ class CdcApplySpec extends SparkSpec {
       .exceptAll(once.select(col("partitionKey"))).count() == 0)
   }
 
+  test("version-guarded materializer converges to the ordered replica " +
+      "under a SHUFFLED replay, and tombstones hold against late upserts") {
+    val stateDir = Files.createTempDirectory("graft_apply_ooo").toString
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // deterministic NON-chronological permutation of the enriched feed
+    val shuffled = queries.CdcQueries.enriched(spark, sf)
+      .select(col("partitionKey"), col("value"))
+      .orderBy(xxhash64(col("value")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = in.toDS().toDF("partitionKey", "value")
+      .writeStream
+      .foreachBatch(CdcApply.materializerVersioned(spark, stateDir) _)
+      .start()
+    try {
+      shuffled.grouped((shuffled.size + 3) / 4).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val live = CdcApply.replicaVersioned(spark, stateDir)
+    assert(live.count() == 900)
+    // full row parity with the ordered batch surface despite the
+    // shuffled arrival order
+    val got = live.select(
+      col("after").getItem("event_id").cast("long").as("event_id"),
+      col("partitionKey").as("partition_key"),
+      col("after").getItem("event_type").as("event_type_trunc"),
+      col("after").getItem("value").as("value_str"))
+    val want = SparkEntry.queries("cdc_apply_replica")(spark, sf)
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+
+    // a late epoch carrying genuinely OLDER changes — an upsert from
+    // before a key's delete, and a stale image of a live key — must be
+    // a complete no-op: the tombstone and the newer image win on
+    // (ts_ms, pos)
+    val lateOld = Seq(
+      ("test_db.events.0",
+        """{"after":{"event_id":"0","event_type":"late"},""" +
+          """"source":{"ts_ms":0,"pos":0},"op":"c","ts_ms":0}"""),
+      ("test_db.events.1",
+        """{"after":{"event_id":"1","event_type":"stale"},""" +
+          """"source":{"ts_ms":0,"pos":0},"op":"c","ts_ms":0}"""))
+      .toDF("partitionKey", "value")
+    CdcApply.materializerVersioned(spark, stateDir)(lateOld, 99L)
+    val after = CdcApply.replicaVersioned(spark, stateDir)
+    assert(after.count() == 900)
+    // the deleted key stays dead despite the resurrection attempt
+    assert(after.filter(col("partitionKey") === "test_db.events.0").count() == 0)
+    // the live key keeps its newer image, not the stale one
+    assert(after.filter(col("partitionKey") === "test_db.events.1")
+      .select(col("after").getItem("event_type")).head().getString(0) != "stale")
+  }
+
   test("streaming materializer converges to the batch replica") {
     val stateDir = Files.createTempDirectory("graft_apply").toString
     implicit val s: org.apache.spark.sql.SparkSession = spark

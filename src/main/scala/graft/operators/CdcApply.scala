@@ -65,11 +65,14 @@ object CdcApply {
     * ordering column. Deletes become TOMBSTONES (after = null,
     * deleted = true) rather than removals, so a late-arriving OLDER
     * upsert can never resurrect a deleted key; re-delivery of an
-    * already-applied change folds to the identical row. A lake
-    * deployment GCs tombstones past its lateness horizon — here they
-    * are retained (bounded by distinct deleted keys).
+    * already-applied change folds to the identical row. With
+    * `tombstoneHorizonMs` set, tombstones older than the batch's
+    * event-time high watermark minus the horizon are dropped lazily
+    * (only in buckets the epoch rewrites anyway); unset, they are
+    * retained forever (bounded by distinct deleted keys).
     */
-  def applyBatchVersioned(state: DataFrame, batch: DataFrame): DataFrame = {
+  def applyBatchVersioned(state: DataFrame, batch: DataFrame,
+      tombstoneHorizonMs: Long = Long.MaxValue): DataFrame = {
     val changes = lastChangePerKey(batch).select(
       col("partitionKey"),
       when(col("op") === "d", lit(null)).otherwise(col("after")).as("after"),
@@ -77,9 +80,26 @@ object CdcApply {
       (col("op") === "d").as("deleted"))
     val w = Window.partitionBy(col("partitionKey"))
       .orderBy(col("ts_ms").desc, col("pos").desc)
-    state.unionByName(changes)
+    val merged = state.unionByName(changes)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    if (tombstoneHorizonMs == Long.MaxValue) merged
+    else {
+      // LAZY tombstone GC, piggybacked on buckets this epoch rewrites
+      // anyway (zero extra writes — untouched buckets keep their
+      // tombstones until next touched, standard LSM practice): drop
+      // tombstones older than the batch's event-time high watermark
+      // minus the horizon. The horizon IS the lateness contract — a
+      // change arriving later than it may resurrect a GC'd delete,
+      // exactly the bound a lake's VACUUM declares.
+      val hwm = batch.agg(
+        max(get_json_object(col("value"), "$.source.ts_ms").cast("long"))
+          .as("__hwm"))
+      merged.crossJoin(broadcast(hwm))
+        .filter(col("__hwm").isNull || !col("deleted") ||
+          col("ts_ms") >= col("__hwm") - tombstoneHorizonMs)
+        .drop("__hwm")
+    }
   }
 
   /** The empty versioned-replica frame. */
@@ -129,11 +149,13 @@ object CdcApply {
     * rows with [[replicaVersioned]].
     */
   def materializerVersioned(spark: SparkSession, stateDir: String,
-      numBuckets: Int = DefaultBuckets)(
+      numBuckets: Int = DefaultBuckets,
+      tombstoneHorizonMs: Long = Long.MaxValue)(
       batch: DataFrame, batchId: Long): Unit = {
     ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, batch,
       "partitionKey", numBuckets)(
-      emptyVersioned(spark))(current => applyBatchVersioned(current, batch))
+      emptyVersioned(spark))(current =>
+      applyBatchVersioned(current, batch, tombstoneHorizonMs))
     ()
   }
 

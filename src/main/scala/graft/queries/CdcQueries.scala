@@ -417,6 +417,66 @@ object CdcQueries {
           MIN(ts_ms) AS first_ts_ms, MAX(ts_ms) AS last_ts_ms
         FROM e GROUP BY op ORDER BY op""")),
 
+    // ----------------------------- schema-drift census (DDL monitoring)
+    // The other half of CDC observability: Debezium emits whatever the
+    // table looks like NOW, so an upstream ALTER TABLE shows up as
+    // after-images whose column set deviates from the table's majority
+    // shape — silently, unless something watches. This query is that
+    // watcher: per (table, after-image column signature), row volume
+    // and the binlog-position span where the shape was seen, with the
+    // majority signature flagged canonical — minority rows ARE the
+    // drift (added column / dropped column), localized to a position
+    // range for replay. Drift is injected deterministically (pos % 101
+    // gains a column, pos % 103 loses one — the cdc_dlq corruption
+    // idiom) so detection is demonstrable; the oracle restates the
+    // rules independently. One keyed aggregate over the envelope +
+    // an O(signatures) window — O(distinct shapes) output at any
+    // stream volume, no per-row state.
+    "cdc_schema_drift" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val env = CdcReplay
+          .envelope(Tables.rebalance(Tables.events(s, dir)))
+          .filter(col("after").isNotNull)
+        val drifted = env.withColumn("after2",
+          when(col("source.pos") % 101 === 0,
+            map_concat(col("after"), map(lit("schema_v2"), lit("1"))))
+            .when(col("source.pos") % 103 === 0,
+              map_filter(col("after"), (k, _) => k =!= lit("props")))
+            .otherwise(col("after")))
+        val census = drifted.select(
+            col("source.table").as("tbl"),
+            concat_ws(",", array_sort(map_keys(col("after2")))).as("cols"),
+            col("source.pos").as("pos"))
+          .groupBy(col("tbl"), col("cols"))
+          .agg(count(lit(1)).as("n"),
+            min(col("pos")).as("first_pos"),
+            max(col("pos")).as("last_pos"))
+        val w = Window.partitionBy(col("tbl"))
+          .orderBy(col("n").desc, col("cols"))
+        census
+          .withColumn("is_canonical", row_number().over(w) === 1)
+          .orderBy(col("tbl"), col("cols"))
+      },
+      Some("""WITH e AS (
+          SELECT event_id, 'events' AS tbl,
+            CASE WHEN event_id % 101 = 0
+                   THEN 'event_id,event_type,props,schema_v2,ts,user_id,value'
+                 WHEN event_id % 103 = 0
+                   THEN 'event_id,event_type,ts,user_id,value'
+                 ELSE 'event_id,event_type,props,ts,user_id,value' END AS cols
+          FROM events WHERE event_id % 10 <> 0),
+        c AS (
+          SELECT tbl, cols, COUNT(*) AS n,
+            MIN(event_id) AS first_pos, MAX(event_id) AS last_pos
+          FROM e GROUP BY tbl, cols),
+        r AS (
+          SELECT tbl, cols, n, first_pos, last_pos,
+            ROW_NUMBER() OVER (PARTITION BY tbl ORDER BY n DESC, cols) AS rn
+          FROM c)
+        SELECT tbl, cols, n, first_pos, last_pos, rn = 1 AS is_canonical
+        FROM r ORDER BY tbl, cols""")),
+
     // ---------------- snapshot chunk planning (operator #1, splitSize)
     // The reference's snapshot phase reads each table in splitSize-row
     // PK-range chunks (default 8096, MySQLCDC2AWSMSK.scala:255-258) —

@@ -92,6 +92,44 @@ class CdcApplySpec extends SparkSpec {
       .select(col("after").getItem("event_type")).head().getString(0) != "stale")
   }
 
+  test("tombstones survive within the lateness horizon and GC lazily " +
+      "once a touched bucket's watermark passes it") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("graft_apply_gc").toString
+    // two DISTINCT keys in the SAME hash bucket, probed through the
+    // protocol's own bucket expression
+    val probed = (0L to 200L).map(i => s"test_db.events.$i").toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k")), lit(16L)).cast("int").as("b"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val (k1, bucket) = probed.head
+    val k2 = probed.tail.find(_._2 == bucket).get._1
+    def env(op: String, eid: Long, tsMs: Long) =
+      s"""{"after":{"event_id":"$eid"},"before":{"event_id":"$eid"},""" +
+        s""""source":{"ts_ms":$tsMs,"pos":$eid},"op":"$op","ts_ms":$tsMs}"""
+    def raw = graft.operators.ExactlyOnce.currentStateBucketed(
+      spark, stateDir)(CdcApply.emptyVersioned(spark))
+    val horizon = 5000L
+
+    // epoch 0: delete k1 at ts 1000 — tombstoned
+    CdcApply.materializerVersioned(spark, stateDir, 16, horizon)(
+      Seq((k1, env("d", 1L, 1000L))).toDF("partitionKey", "value"), 0L)
+    assert(raw.filter(col("deleted")).count() == 1)
+
+    // epoch 1 rewrites the same bucket INSIDE the horizon — kept
+    CdcApply.materializerVersioned(spark, stateDir, 16, horizon)(
+      Seq((k2, env("c", 2L, 3000L))).toDF("partitionKey", "value"), 1L)
+    assert(raw.filter(col("deleted")).count() == 1)
+
+    // epoch 2 pushes the bucket's watermark past the horizon — GC'd
+    CdcApply.materializerVersioned(spark, stateDir, 16, horizon)(
+      Seq((k2, env("u", 2L, 10000L))).toDF("partitionKey", "value"), 2L)
+    assert(raw.filter(col("deleted")).count() == 0)
+    assert(raw.filter(col("partitionKey") === k1).count() == 0)
+    val live = CdcApply.replicaVersioned(spark, stateDir)
+    assert(live.count() == 1)
+    assert(live.head().getAs[String]("partitionKey") == k2)
+  }
+
   test("streaming materializer converges to the batch replica") {
     val stateDir = Files.createTempDirectory("graft_apply").toString
     implicit val s: org.apache.spark.sql.SparkSession = spark

@@ -647,4 +647,51 @@ class StreamingOpsSpec extends SparkSpec {
         "replayed epoch 0 must be fenced")
     } finally q.stop()
   }
+
+  test("streaming schema-drift census equals batch cdc_schema_drift " +
+      "bit-for-bit under a SHUFFLED replay") {
+    import java.nio.file.Files
+    val truth = SparkEntry.queries("cdc_schema_drift")(spark, sf)
+      .collect().map(_.toString).toSeq
+
+    // the same drift the declared query injects, then signature rows
+    // in a deterministic NON-positional order — the census fold is
+    // commutative, so any arrival order must converge
+    val env = graft.sources.CdcReplay
+      .envelope(graft.queries.Tables.events(spark, sf))
+      .filter(col("after").isNotNull)
+    val drifted = env.withColumn("after",
+      when(col("source.pos") % 101 === 0,
+        map_concat(col("after"), map(lit("schema_v2"), lit("1"))))
+        .when(col("source.pos") % 103 === 0,
+          map_filter(col("after"), (k, _) => k =!= lit("props")))
+        .otherwise(col("after")))
+    val sig = graft.streaming.StreamingSchemaDrift.signatureRows(drifted)
+      .orderBy(xxhash64(col("pos")))
+      .as[(String, String, Long)].collect().toSeq
+
+    val stateDir = Files.createTempDirectory("graft_drift_state").toString
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, String, Long)]
+    val q = in.toDS().toDF("tbl", "cols", "pos")
+      .writeStream
+      .foreachBatch(
+        graft.streaming.StreamingSchemaDrift.materializer(spark, stateDir) _)
+      .start()
+    try {
+      sig.grouped((sig.size + 3) / 4).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = graft.streaming.StreamingSchemaDrift.census(spark, stateDir)
+      .collect().map(_.toString).toSeq
+    assert(got == truth)
+
+    // a replayed epoch is fenced to a no-op
+    graft.streaming.StreamingSchemaDrift.materializer(spark, stateDir)(
+      Seq(("events", "bogus", 1L)).toDF("tbl", "cols", "pos"), 0L)
+    assert(graft.streaming.StreamingSchemaDrift.census(spark, stateDir)
+      .collect().map(_.toString).toSeq == truth)
+  }
 }

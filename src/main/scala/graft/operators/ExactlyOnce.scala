@@ -204,12 +204,22 @@ object ExactlyOnce {
   //     bucket dir is an uncommitted orphan (the marker is what makes
   //     an epoch's buckets visible); the replayed epoch's Overwrite
   //     clears them and then commits;
+  //   - content-bearing ledger files (markers carry the bucket list,
+  //     owners snapshots carry the bucket index) land via tmp+rename,
+  //     so a crash mid-write leaves an invisible `.tmp`, never a
+  //     visible-but-truncated commit point;
   //   - crash after the marker, before retirement → superseded bucket
   //     versions linger; readers resolve per-bucket newest, the next
   //     epoch's retirement sweep removes them;
   //   - retirement keeps the TWO newest versions of each bucket (a
   //     one-epoch grace window, so a reader that resolved state while
   //     epoch N commits can finish scanning N-1's files);
+  //   - every retirement folds all but the newest marker into an
+  //     `owners-<E>` snapshot (bucket -> owning epochs) plus the
+  //     `hwm-<E>` fence — ownership and fencing are SEPARATE, so a
+  //     cold bucket owned by an ancient epoch never blocks the fold
+  //     and ledger listings stay O(1) files / O(buckets) content over
+  //     an unbounded stream;
   //   - a read failure of a committed bucket PROPAGATES — never
   //     conflated with the genuinely-empty before-first-commit state.
   // -------------------------------------------------------------------
@@ -217,26 +227,72 @@ object ExactlyOnce {
   private def bucketExpr(keyCol: String, numBuckets: Int) =
     pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int")
 
-  /** Committed (epoch, touched-bucket-set) pairs from the ledger. */
-  private def epochBuckets(spark: SparkSession,
-      stateDir: String): Seq[(Long, Set[Int])] = {
-    val fs = stateFs(spark, stateDir)
-    val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
-    committedEpochs(spark, stateDir).sorted.map { e =>
-      val in = fs.open(new org.apache.hadoop.fs.Path(ledger, s"epoch-$e"))
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      e -> txt.split(',').filter(_.nonEmpty).map(_.toInt).toSet
-    }
+  private val OwnersRe = "^owners-(\\d+)$".r
+  private val StateDirRe = "^state-(\\d+)$".r
+
+  /** Atomic content-bearing ledger write: tmp then rename, so the file
+    * is either absent or complete — never visibly truncated.
+    */
+  private def atomicLedgerWrite(fs: org.apache.hadoop.fs.FileSystem,
+      ledger: org.apache.hadoop.fs.Path, name: String,
+      content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(ledger, s"$name.tmp")
+    val out = fs.create(tmp, true)
+    out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(ledger, name)))
+      sys.error(s"ledger rename failed for $name under $ledger")
   }
 
-  /** bucket -> epochs that touched it, newest first (committed only). */
+  private def readLedgerText(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** bucket -> owning epochs, newest first: the newest `owners-<E>`
+    * snapshot plus every epoch marker above E. Bounded retry covers
+    * the one benign race — a concurrent retirement folding a listed
+    * marker between listStatus and open.
+    */
   private def bucketOwners(spark: SparkSession,
-      stateDir: String): Map[Int, Seq[Long]] =
-    epochBuckets(spark, stateDir)
-      .flatMap { case (e, bs) => bs.map(_ -> e) }
-      .groupBy(_._1).map { case (b, xs) =>
-        b -> xs.map(_._2).sorted(Ordering[Long].reverse) }
+      stateDir: String): Map[Int, Seq[Long]] = {
+    val fs = stateFs(spark, stateDir)
+    val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
+    def attempt(): Map[Int, Seq[Long]] = {
+      if (!fs.exists(ledger)) return Map.empty
+      val names = fs.listStatus(ledger).toSeq.map(_.getPath.getName)
+      val snapE = names.collect { case OwnersRe(e) => e.toLong }.maxOption
+      val snap: Map[Int, Seq[Long]] = snapE match {
+        case None => Map.empty
+        case Some(e) =>
+          readLedgerText(fs,
+            new org.apache.hadoop.fs.Path(ledger, s"owners-$e"))
+            .split('\n').filter(_.nonEmpty).map { line =>
+              val Array(b, es) = line.split(':')
+              b.toInt -> es.split(',').filter(_.nonEmpty)
+                .map(_.toLong).toSeq
+            }.toMap
+      }
+      val live = names
+        .collect { case EpochMarkerRe(e) if snapE.forall(e.toLong > _) =>
+          e.toLong }.sorted
+      live.foldLeft(snap) { (acc, e) =>
+        val bs = readLedgerText(fs,
+          new org.apache.hadoop.fs.Path(ledger, s"epoch-$e"))
+          .split(',').filter(_.nonEmpty).map(_.toInt)
+        bs.foldLeft(acc)((m, b) =>
+          m.updated(b, (e +: m.getOrElse(b, Nil)).distinct))
+      }
+    }
+    var lastErr: Throwable = null
+    (1 to 3).foreach { _ =>
+      try return attempt()
+      catch { case e: java.io.FileNotFoundException => lastErr = e }
+    }
+    throw lastErr
+  }
 
   /** The bucket-count pin: the hash fan-out is structural (a key's
     * bucket must be stable across every epoch and reader), so the first
@@ -283,73 +339,104 @@ object ExactlyOnce {
     if (epochFenced(fs, ledger, batchId)) return false
     pinBucketCount(fs, ledger, numBuckets)
     val bExpr = bucketExpr(keyCol, numBuckets)
-    val touched = batch.select(bExpr.as("__bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (touched.nonEmpty) {
-      val owners = bucketOwners(spark, stateDir)
-      val paths = touched.toSeq.sorted
-        .flatMap(b => owners.get(b).flatMap(_.headOption)
-          .map(e => s"$stateDir/state-$e/__bucket=$b"))
-        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-      val current = if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
-      advance(current)
-        .withColumn("__bucket", bExpr)
-        // cluster by bucket so each bucket lands in O(1) files, not
-        // (tasks x buckets) fragments (at cluster scale drop this and
-        // let every task write its bucket slice in parallel)
-        .repartition(numBuckets, col("__bucket"))
-        .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
-        .parquet(s"$stateDir/state-$batchId")
-    }
-    // the marker carries the touched-bucket list — it is both the
-    // atomic commit point and the reader's bucket->epoch index; an
-    // all-empty epoch commits an empty list purely for fencing
-    val out = fs.create(new org.apache.hadoop.fs.Path(
-      ledger, s"epoch-$batchId"), true)
-    out.write(touched.toSeq.sorted.mkString(",")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    retireBucketed(spark, stateDir)
-    true
+    // the epoch evaluates `batch` several times (touched-bucket probe
+    // here, plus whatever advance() does) — pin it so a source-backed
+    // micro-batch is scanned once, not once per job
+    batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = batch.select(bExpr.as("__bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (touched.nonEmpty) {
+        val owners = bucketOwners(spark, stateDir)
+        val paths = touched.toSeq.sorted
+          .flatMap(b => owners.get(b).flatMap(_.headOption)
+            .map(e => s"$stateDir/state-$e/__bucket=$b"))
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+        val current = if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
+        advance(current)
+          .withColumn("__bucket", bExpr)
+          // cluster by bucket so each bucket lands in O(1) files, not
+          // (tasks x buckets) fragments (at cluster scale drop this and
+          // let every task write its bucket slice in parallel)
+          .repartition(numBuckets, col("__bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+          .parquet(s"$stateDir/state-$batchId")
+      }
+      // the marker carries the touched-bucket list — it is both the
+      // atomic commit point (tmp+rename: absent or complete, never
+      // truncated) and the reader's bucket->epoch index; an all-empty
+      // epoch commits an empty list purely for fencing
+      atomicLedgerWrite(fs, ledger, s"epoch-$batchId",
+        touched.toSeq.sorted.mkString(","))
+      retireBucketed(spark, stateDir)
+      true
+    } finally batch.unpersist()
   }
 
-  /** Retirement sweep: for each bucket keep its two newest committed
-    * versions (current + one-epoch reader grace), delete older bucket
-    * dirs, drop epoch dirs that hold no buckets any more, and fold
-    * epoch markers that no longer own any kept bucket into the ledger
-    * high watermark. Pure cleanup — idempotent, crash-safe at any
-    * point (deletions only ever remove superseded or empty artifacts).
+  /** Retirement sweep: filesystem-driven and idempotent, crash-safe at
+    * any point (deletions only ever remove superseded, orphaned, or
+    * subsumed artifacts):
+    *
+    *   1. delete every bucket dir outside its bucket's two newest
+    *      committed versions (keep-2 = current + one-epoch reader
+    *      grace) — this also sweeps orphan dirs of uncommitted epochs,
+    *      which own nothing by construction;
+    *   2. drop epoch dirs that hold no buckets any more;
+    *   3. fold ALL markers below the newest one into an `owners-<E>`
+    *      snapshot (per bucket, its surviving owners at or below E)
+    *      plus the `hwm-<E>` fence, then delete the subsumed markers
+    *      and older snapshots. Ownership lives in the snapshot,
+    *      fencing in the hwm — a cold bucket owned by an old epoch
+    *      folds like any other, so the ledger stays O(1) files.
     */
   private def retireBucketed(spark: SparkSession, stateDir: String): Unit = {
     val fs = stateFs(spark, stateDir)
     val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
-    val eb = epochBuckets(spark, stateDir)
-    if (eb.isEmpty) return
-    val maxE = eb.map(_._1).max
     val owners = bucketOwners(spark, stateDir)
-    owners.foreach { case (b, es) =>
-      es.drop(2).foreach { e =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$stateDir/state-$e/__bucket=$b"), true)
+    if (owners.isEmpty) return
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val BucketDirRe = "^__bucket=(\\d+)$".r
+    fs.listStatus(root).toSeq.map(_.getPath.getName).foreach {
+      case n @ StateDirRe(es) =>
+        val e = es.toLong
+        val p = new org.apache.hadoop.fs.Path(s"$stateDir/$n")
+        fs.listStatus(p).toSeq.map(_.getPath.getName).foreach {
+          case bn @ BucketDirRe(bs) =>
+            if (!owners.getOrElse(bs.toInt, Nil).take(2).contains(e))
+              fs.delete(new org.apache.hadoop.fs.Path(p, bn), true)
+          case _ => ()
+        }
+        if (!fs.listStatus(p).exists(
+            s => BucketDirRe.matches(s.getPath.getName)))
+          fs.delete(p, true)
+      case _ => ()
+    }
+    val markerEpochs = fs.listStatus(ledger).toSeq.map(_.getPath.getName)
+      .collect { case EpochMarkerRe(e) => e.toLong }.sorted
+    if (markerEpochs.size > 1) {
+      val foldUpTo = markerEpochs.init.last
+      val snapshot = owners.toSeq.sortBy(_._1).flatMap { case (b, es) =>
+        val kept = es.take(2).filter(_ <= foldUpTo)
+        if (kept.isEmpty) None else Some(s"$b:${kept.mkString(",")}")
+      }.mkString("\n")
+      // snapshot THEN fence THEN delete — a crash anywhere leaves both
+      // the folded view and the markers it subsumes, and readers merge
+      // them idempotently
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          ledger, s"owners-$foldUpTo")))
+        atomicLedgerWrite(fs, ledger, s"owners-$foldUpTo", snapshot)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(ledger, s"hwm-$foldUpTo")))
+        atomicLedgerWrite(fs, ledger, s"hwm-$foldUpTo", "")
+      fs.listStatus(ledger).toSeq.map(_.getPath.getName).foreach {
+        case n @ EpochMarkerRe(e) if e.toLong <= foldUpTo =>
+          fs.delete(new org.apache.hadoop.fs.Path(ledger, n), false)
+        case n @ OwnersRe(e) if e.toLong < foldUpTo =>
+          fs.delete(new org.apache.hadoop.fs.Path(ledger, n), false)
+        case n @ HwmMarkerRe(e) if e.toLong < foldUpTo =>
+          fs.delete(new org.apache.hadoop.fs.Path(ledger, n), false)
+        case _ => ()
       }
     }
-    // epoch dirs with no remaining bucket subdirs are empty shells
-    eb.map(_._1).foreach { e =>
-      val p = new org.apache.hadoop.fs.Path(s"$stateDir/state-$e")
-      if (fs.exists(p) &&
-          !fs.listStatus(p).exists(_.getPath.getName.startsWith("__bucket=")))
-        fs.delete(p, true)
-    }
-    // markers owning nothing within the keep-2 horizon are foldable —
-    // but the high watermark subsumes a RANGE, so only a CONTIGUOUS
-    // PREFIX of foldable epochs may fold: folding epoch e deletes
-    // every marker <= e, and an older epoch still owning live buckets
-    // must keep its marker (it is the reader's only index to them)
-    val foldable = eb.collect { case (e, bs)
-      if e < maxE && bs.forall(b => !owners(b).take(2).contains(e)) => e
-    }.toSet
-    val prefix = eb.map(_._1).takeWhile(foldable.contains)
-    prefix.lastOption.foreach(foldLedger(fs, ledger, _))
   }
 
   /** True once any epoch has committed state at `stateDir` — the guard
@@ -381,7 +468,7 @@ object ExactlyOnce {
     * index whose per-epoch update is a disjoint DELTA (the
     * StreamingDupSpans ordered-feed shape): each epoch writes only its
     * `delta-<batchId>` directory, committed by the same ledger-marker
-    * protocol as [[advanceState]] (crash before the marker → the delta
+    * protocol as [[advanceStateBucketed]] (crash before the marker → the delta
     * is invisible and the replay overwrites it). The standing state is
     * the UNION of a compacted base (if any) plus every later committed
     * delta — a miniature LSM:

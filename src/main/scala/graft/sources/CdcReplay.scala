@@ -72,7 +72,7 @@ object CdcReplay {
     // schemas need no guard — the conversion is layout-driven there.
     if (peeked.isEmpty)
       normalized.withColumn("ts",
-        when(year(col("ts")) < 2500, col("ts"))
+        when(col("ts").isNull || year(col("ts")) < 2500, col("ts"))
           .otherwise(raise_error(concat(lit(
             s"landing zone $path: arriving files do not match the " +
               "assumed timestamp-micros layout (ts decoded as "),

@@ -225,30 +225,60 @@ class ScdApplySpec extends SparkSpec {
   }
 
   test("ledger folding never orphans an old epoch that still owns " +
-      "untouched buckets (bulk load + hot-key steady state)") {
+      "untouched buckets, and the ledger stays O(1) files under a " +
+      "bulk load + hot-key steady state") {
     // the 30x-scale regression in miniature: epoch 0 bulk-loads TWO
-    // buckets, epochs 1-3 touch only one of them — epoch 1 becomes
-    // individually foldable before epoch 0 does, but folding it would
-    // delete epoch 0's marker (the only index to the cold bucket), so
-    // the watermark must only advance over a CONTIGUOUS foldable prefix
+    // buckets, later epochs touch only one of them — the cold bucket's
+    // ownership must survive every fold (it moves into the owners
+    // snapshot), while the ledger itself stays bounded instead of
+    // accumulating one marker per epoch forever
     import spark.implicits._
     val stateDir = Files.createTempDirectory("graft_scd2_coldbucket").toString
     val (keyA, keyB, _, _) = twoKeysInDistinctBuckets()
     ScdApply.materializer(spark, stateDir)(
       Seq((keyA, 1L, 10L), (keyB, 2L, 10L)).toDF("user_id", "event_id", "sec"),
       0L)
-    (1 to 3).foreach(e => ScdApply.materializer(spark, stateDir)(
+    (1 to 6).foreach(e => ScdApply.materializer(spark, stateDir)(
       Seq((keyA, 10L + e, 10L + e * 10L)).toDF("user_id", "event_id", "sec"),
       e.toLong))
     val h = ScdApply.history(spark, stateDir)
     assert(h.filter(col("user_id") === keyB).count() == 1,
       "cold bucket lost after hot-key epochs — ledger fold orphaned it")
-    assert(h.count() == 5)
+    assert(h.count() == 8)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(
-      s"$stateDir/_ledger/epoch-0")),
-      "epoch 0 still owns the cold bucket; its marker must survive")
+    val ledger = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$stateDir/_ledger")).map(_.getPath.getName).toSet
+    assert(ledger.count(_.matches("^epoch-\\d+$")) == 1,
+      s"ledger accumulates markers: $ledger")
+    assert(ledger.exists(_.startsWith("owners-")),
+      s"no owners snapshot: $ledger")
+    // replays of every folded epoch stay fenced
+    ScdApply.materializer(spark, stateDir)(
+      Seq((keyB, 999L, 5L)).toDF("user_id", "event_id", "sec"), 3L)
+    assert(rows(ScdApply.history(spark, stateDir)) ==
+      rows(h).sortBy(t => (t._1, t._3)))
+  }
+
+  test("a torn marker write (crash mid-rename) is invisible: the .tmp " +
+      "file neither fences nor corrupts the bucket index") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("graft_scd2_tornmark").toString
+    ScdApply.materializer(spark, stateDir)(
+      Seq((7L, 100L, 10L)).toDF("user_id", "event_id", "sec"), 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // a crash between tmp write and rename leaves exactly this file
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$stateDir/_ledger/epoch-1.tmp"), true)
+    out.write("0,1,2".getBytes("UTF-8")); out.close()
+    assert(rows(ScdApply.history(spark, stateDir)).size == 1)
+    // the replayed epoch 1 is NOT fenced by the orphan tmp and commits
+    ScdApply.materializer(spark, stateDir)(
+      Seq((7L, 101L, 20L)).toDF("user_id", "event_id", "sec"), 1L)
+    assert(rows(ScdApply.history(spark, stateDir)) == Seq(
+      (7L, 100L, 1, 10L, Some(20L), false),
+      (7L, 101L, 2, 20L, None, true)))
   }
 
   test("out-of-order STREAMING materializer converges to the batch truth " +

@@ -177,12 +177,17 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       assert(spark.table("zone_ok_out").count() == 0)
-      // the zone fills AFTER stream start, in the expected layout
+      // the zone fills AFTER stream start, in the expected layout —
+      // including a NULL ts row, which the layout tripwire must pass
+      // through untouched (null is not evidence of a wrong layout)
       queries.Tables.events(spark, sf).limit(50)
+        .withColumn("ts", when(col("event_id") === 1,
+          lit(null).cast("timestamp_ntz")).otherwise(col("ts")))
         .write.mode("append").parquet(s"$zone/events.parquet")
       q.processAllAvailable()
       val got = spark.table("zone_ok_out")
       assert(got.count() == 50)
+      assert(got.filter(col("ts").isNull).count() == 1)
       assert(got.agg(max(year(col("ts")))).head().getInt(0) < 2100)
     } finally q.stop()
   }

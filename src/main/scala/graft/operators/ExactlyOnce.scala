@@ -238,8 +238,8 @@ object ExactlyOnce {
       content: String): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(ledger, s"$name.tmp")
     val out = fs.create(tmp, true)
-    out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(ledger, name)))
       sys.error(s"ledger rename failed for $name under $ledger")
   }
@@ -346,8 +346,8 @@ object ExactlyOnce {
     try {
       val touched = batch.select(bExpr.as("__bucket")).distinct()
         .collect().map(_.getInt(0)).toSet
+      val owners = bucketOwners(spark, stateDir)
       if (touched.nonEmpty) {
-        val owners = bucketOwners(spark, stateDir)
         val paths = touched.toSeq.sorted
           .flatMap(b => owners.get(b).flatMap(_.headOption)
             .map(e => s"$stateDir/state-$e/__bucket=$b"))
@@ -368,7 +368,11 @@ object ExactlyOnce {
       // epoch commits an empty list purely for fencing
       atomicLedgerWrite(fs, ledger, s"epoch-$batchId",
         touched.toSeq.sorted.mkString(","))
-      retireBucketed(spark, stateDir)
+      // hand the post-commit ownership view forward so retirement does
+      // not re-read the whole ledger it just derived
+      val ownersAfter = touched.toSeq.sorted.foldLeft(owners)((m, b) =>
+        m.updated(b, (batchId +: m.getOrElse(b, Nil)).distinct))
+      retireBucketed(spark, stateDir, ownersAfter)
       true
     } finally batch.unpersist()
   }
@@ -389,11 +393,10 @@ object ExactlyOnce {
     *      fencing in the hwm — a cold bucket owned by an old epoch
     *      folds like any other, so the ledger stays O(1) files.
     */
-  private def retireBucketed(spark: SparkSession, stateDir: String): Unit = {
+  private def retireBucketed(spark: SparkSession, stateDir: String,
+      owners: Map[Int, Seq[Long]]): Unit = {
     val fs = stateFs(spark, stateDir)
     val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
-    val owners = bucketOwners(spark, stateDir)
-    if (owners.isEmpty) return
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val BucketDirRe = "^__bucket=(\\d+)$".r
     fs.listStatus(root).toSeq.map(_.getPath.getName).foreach {
@@ -411,8 +414,15 @@ object ExactlyOnce {
           fs.delete(p, true)
       case _ => ()
     }
-    val markerEpochs = fs.listStatus(ledger).toSeq.map(_.getPath.getName)
-      .collect { case EpochMarkerRe(e) => e.toLong }.sorted
+    // single-writer invariant makes the ledger sweep safe: any .tmp
+    // seen here is a crash orphan (this epoch's own atomic writes all
+    // completed their renames before this point)
+    val TmpRe = "^(?:epoch|owners|hwm)-\\d+\\.tmp$".r
+    val names = fs.listStatus(ledger).toSeq.map(_.getPath.getName)
+    names.filter(TmpRe.matches).foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(ledger, n), false))
+    val markerEpochs = names.collect { case EpochMarkerRe(e) => e.toLong }
+      .sorted
     if (markerEpochs.size > 1) {
       val foldUpTo = markerEpochs.init.last
       val snapshot = owners.toSeq.sortBy(_._1).flatMap { case (b, es) =>
@@ -421,13 +431,15 @@ object ExactlyOnce {
       }.mkString("\n")
       // snapshot THEN fence THEN delete — a crash anywhere leaves both
       // the folded view and the markers it subsumes, and readers merge
-      // them idempotently
-      if (!fs.exists(new org.apache.hadoop.fs.Path(
+      // them idempotently. An all-empty snapshot (every owner above the
+      // fold point, or an idle stream of empty epochs) writes nothing:
+      // readers without an owners file resolve from live markers alone.
+      if (snapshot.nonEmpty && !fs.exists(new org.apache.hadoop.fs.Path(
           ledger, s"owners-$foldUpTo")))
         atomicLedgerWrite(fs, ledger, s"owners-$foldUpTo", snapshot)
       if (!fs.exists(new org.apache.hadoop.fs.Path(ledger, s"hwm-$foldUpTo")))
         atomicLedgerWrite(fs, ledger, s"hwm-$foldUpTo", "")
-      fs.listStatus(ledger).toSeq.map(_.getPath.getName).foreach {
+      names.foreach {
         case n @ EpochMarkerRe(e) if e.toLong <= foldUpTo =>
           fs.delete(new org.apache.hadoop.fs.Path(ledger, n), false)
         case n @ OwnersRe(e) if e.toLong < foldUpTo =>

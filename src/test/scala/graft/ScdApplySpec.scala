@@ -260,6 +260,31 @@ class ScdApplySpec extends SparkSpec {
       rows(h).sortBy(t => (t._1, t._3)))
   }
 
+  test("an idle stream of empty epochs keeps the ledger bounded and " +
+      "folded epochs fenced") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("graft_scd2_idle").toString
+    val emptyBatch = ScdApply.emptyHistory(spark)
+      .select(col("user_id"), col("event_id"), col("valid_from").as("sec"))
+    ScdApply.materializer(spark, stateDir)(
+      Seq((7L, 100L, 10L)).toDF("user_id", "event_id", "sec"), 0L)
+    // no-data triggers: every epoch still commits a fencing marker
+    (1L to 8L).foreach(e =>
+      ScdApply.materializer(spark, stateDir)(emptyBatch, e))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val ledger = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$stateDir/_ledger")).map(_.getPath.getName).toSet
+    assert(ledger.count(_.matches("^epoch-\\d+$")) == 1,
+      s"idle epochs accumulate markers: $ledger")
+    // a folded empty epoch replays as a fenced no-op, and the state
+    // epoch 0 wrote is still fully readable
+    ScdApply.materializer(spark, stateDir)(
+      Seq((7L, 999L, 5L)).toDF("user_id", "event_id", "sec"), 4L)
+    assert(rows(ScdApply.history(spark, stateDir)) ==
+      Seq((7L, 100L, 1, 10L, None, true)))
+  }
+
   test("a torn marker write (crash mid-rename) is invisible: the .tmp " +
       "file neither fences nor corrupts the bucket index") {
     import spark.implicits._

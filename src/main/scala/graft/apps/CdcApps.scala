@@ -139,6 +139,58 @@ object ReplayCdcExactlyOnceLocal {
   }
 }
 
+/** Runnable demo of the downstream APPLY side — what the reference's
+  * MSK consumers do with the topic: replay → enrichment → the
+  * version-guarded replica materializer (bucketed fenced state, delete
+  * tombstones, exact under any arrival order) plus the standing
+  * schema-drift census, both maintained per micro-batch. Prints the
+  * replica and census summaries at the end.
+  */
+object ReplayCdcApplyLocal {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.sliding(2, 2).collectFirst {
+      case Array("-sf_dir", v) => v }.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("CDC replay -> versioned replica + schema census (local)")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import graft.operators.CdcApply
+    import graft.streaming.StreamingSchemaDrift
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val replicaDir = java.nio.file.Files
+      .createTempDirectory("graft_apply_demo").toString
+    val censusDir = java.nio.file.Files
+      .createTempDirectory("graft_census_demo").toString
+    val lines = graft.sources.CdcReplay.stream(spark, sfDir).as[String]
+    val config = CdcParams.fromArgs(Array("-table_pk",
+      """[{"db":"test_db","table":"eve.*","primary_key":"event_id"}]"""))
+      .tablePkConfig
+    val enriched = CdcEnrichment.enrichMySql(lines, config).toDF()
+    val q = enriched.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        CdcApply.materializerVersioned(spark, replicaDir)(batch, batchId)
+        val env = batch.select(from_json(col("value"),
+          graft.model.CdcEnvelope.mysqlEnvelope).as("env")).select("env.*")
+        StreamingSchemaDrift.materializer(spark, censusDir)(
+          StreamingSchemaDrift.signatureRows(env), batchId)
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+    val live = CdcApply.replicaVersioned(spark, replicaDir)
+    val raw = graft.operators.ExactlyOnce.currentStateBucketed(
+      spark, replicaDir)(CdcApply.emptyVersioned(spark))
+    println(s"[apply-demo] replica live_keys=${live.count()} " +
+      s"tombstones=${raw.filter(col("deleted")).count()}")
+    StreamingSchemaDrift.census(spark, censusDir).show(false)
+    spark.stop()
+  }
+}
+
 object ReplayCdcLocal {
   def main(args: Array[String]): Unit = {
     val params = CdcParams.fromArgs(args)

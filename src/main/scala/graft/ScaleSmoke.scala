@@ -276,6 +276,46 @@ object ScaleSmoke {
       s"$scdHistoryRows history rows pass=$scdPass")
     if (!scdPass) failed += "scd2_materializer_o_touched"
 
+    // Versioned (out-of-order) replica materializer on the same
+    // bulk + hot-keys shape: bulk epoch applies all 3M enriched
+    // changes, steady epochs deliver synthetic late changes for 8
+    // keys — per-epoch write must be the touched buckets' slice.
+    val repDir = s"$dir/replica_state"
+    hfs.delete(new org.apache.hadoop.fs.Path(repDir), true)
+    val enriched30 = queries.CdcQueries.enriched(spark, dir)
+      .select(col("partitionKey"), col("value"))
+    val hotKeys = (1L to 8L).map(i => s"test_db.events.${i * 7 + 2}")
+    def lateEnv(eid: Long, tsMs: Long) =
+      s"""{"after":{"event_id":"$eid","event_type":"late"},""" +
+        s""""source":{"ts_ms":$tsMs,"pos":$eid},"op":"u","ts_ms":$tsMs}"""
+    val repEpochs = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 to 3).foreach { e =>
+      val batch =
+        if (e == 0) enriched30
+        else {
+          import spark.implicits._
+          hotKeys.zipWithIndex.map { case (k, i) =>
+            (k, lateEnv(9000000L + e * 100L + i, 9999999000L + e)) }
+            .toDF("partitionKey", "value")
+        }
+      val t0 = System.nanoTime()
+      graft.operators.CdcApply.materializerVersioned(
+        spark, repDir, ScdBuckets)(batch, e.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = dirRows(s"$repDir/state-$e")
+      val bytes = dirBytes(s"$repDir/state-$e")
+      repEpochs += s"""{"epoch":$e,"sec":${math.round(sec * 1000) / 1000.0},"rows_written":$rows,"bytes_written":$bytes}"""
+      println(f"[scale] replica epoch $e: $sec%.1f s, $rows rows / " +
+        f"$bytes bytes written")
+    }
+    val repLive = graft.operators.CdcApply
+      .replicaVersioned(spark, repDir).count()
+    val repSteadyRows = dirRows(s"$repDir/state-3")
+    val repPass = repSteadyRows > 0 && repSteadyRows < repLive / 4
+    println(s"[scale] replica steady-state epoch wrote $repSteadyRows of " +
+      s"$repLive live rows pass=$repPass")
+    if (!repPass) failed += "replica_materializer_o_touched"
+
     val dupDir = s"$dir/dupspans_state"
     val spansDir = s"$dir/dupspans_out"
     hfs.delete(new org.apache.hadoop.fs.Path(dupDir), true)
@@ -320,7 +360,8 @@ object ScaleSmoke {
           cloneRecall * 10000) / 10000.0},"dedup_clone_pairs":$nClonePairs,"dedup_recall_threshold":0.95,"dedup_pass":$dqPass,"jaccard_truth_pairs":$nTrue,"jaccard_truth_precision":${dqInfo._1.map(_.toString)
           .getOrElse("null")},"jaccard_truth_recall":${dqInfo._2.map(_.toString)
           .getOrElse("null")},"jaccard_recall_threshold":0.80,"jaccard_pass":$jqPass},"materializers":{"scd2":{"buckets":$ScdBuckets,"epochs":${scdEpochs
-          .mkString("[", ",", "]")},"history_rows":$scdHistoryRows,"steady_epoch_rows":$scdSteadyRows,"o_touched_pass":$scdPass},"dup_spans":{"epochs":${dupEpochs
+          .mkString("[", ",", "]")},"history_rows":$scdHistoryRows,"steady_epoch_rows":$scdSteadyRows,"o_touched_pass":$scdPass},"replica_versioned":{"buckets":$ScdBuckets,"epochs":${repEpochs
+          .mkString("[", ",", "]")},"live_rows":$repLive,"steady_epoch_rows":$repSteadyRows,"o_touched_pass":$repPass},"dup_spans":{"epochs":${dupEpochs
           .mkString("[", ",", "]")},"delta_rows_total":$deltaTotal,"corpus_distinct_pairs":$distinctPairs,"o_batch_write_pass":$dupPass}},"failed":${failed
           .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"single timed noop-sink pass per op (cold plans; 30x scale: 90% of texts cloned 30x, 10% stratum singleton + one-token near-dup variant), untimed count for cardinality"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

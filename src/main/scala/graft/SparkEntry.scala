@@ -17,6 +17,7 @@ object SparkEntry {
   private val allDefs: Map[String, QueryDef] =
     RelationalQueries.defs ++
       ExtendedQueries.defs ++
+      TpchQueries.defs ++
       PipelineQueries.defs ++
       CdcQueries.defs ++
       TextQueries.defs ++

@@ -42,7 +42,9 @@ class PlanSweepSpec extends SparkSpec {
     "sim_hard_negatives", // broadcast anchor set vs anti-label vector scan
     "emb_matryoshka",     // broadcast probe set ×2 (full + truncated brute top-k)
     "pipe_curriculum",    // crossJoin(broadcast(1-row doc count))
-    "rel_kmv_distinct"    // crossJoin(broadcast(1-row exact-distinct count))
+    "rel_kmv_distinct",   // crossJoin(broadcast(1-row exact-distinct count))
+    "rel_tpch_q11",       // crossJoin(broadcast(1-row regional total))
+    "rel_tpch_q22"        // crossJoin(broadcast(1-row average balance))
   )
 
   test("every declared query ends in a global total order (the oracle " +

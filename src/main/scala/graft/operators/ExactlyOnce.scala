@@ -451,6 +451,17 @@ object ExactlyOnce {
     }
   }
 
+  /** True when `batchId` committed at `stateDir` — marker present, or
+    * at/below the folded high watermark. The public probe for readers
+    * of per-epoch side outputs (e.g. a materializer's event log):
+    * an epoch directory without a committed marker is crash debris and
+    * must stay invisible.
+    */
+  def isEpochCommitted(spark: SparkSession, stateDir: String,
+      batchId: Long): Boolean =
+    epochFenced(stateFs(spark, stateDir),
+      new org.apache.hadoop.fs.Path(s"$stateDir/_ledger"), batchId)
+
   /** True once any epoch has committed state at `stateDir` — the guard
     * that keeps "not started yet" distinct from "committed and empty".
     */

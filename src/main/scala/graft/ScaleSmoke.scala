@@ -347,6 +347,56 @@ object ScaleSmoke {
       s"pairs $distinctPairs pass=$dupPass")
     if (!dupPass) failed += "dupspans_materializer_o_batch"
 
+    // Durable LSH near-dup index on the same bulk + trickle shape: the
+    // bulk epoch folds the full 30x corpus (every shard), steady
+    // epochs ingest 8 fresh docs each — a steady epoch's state write
+    // must be the touched shards' slice of the index, not the index.
+    val LshShards = 64
+    val lshDir = s"$dir/lsh_state"
+    val lshEvDir = s"$dir/lsh_events"
+    hfs.delete(new org.apache.hadoop.fs.Path(lshDir), true)
+    hfs.delete(new org.apache.hadoop.fs.Path(lshEvDir), true)
+    val maxDocId = docs30x.agg(max(col("doc_id"))).head().getLong(0)
+    val freshTexts = docs30x.orderBy(col("doc_id")).limit(8)
+      .collect().map(_.getString(1)).toSeq
+    val lshEpochs = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 to 3).foreach { e =>
+      val batch =
+        if (e == 0) docs30x
+        else {
+          import spark.implicits._
+          freshTexts.zipWithIndex.map { case (t, i) =>
+            (maxDocId + e * 100L + i, s"epoch $e variant $i $t") }
+            .toDF("doc_id", "text")
+        }
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingLshIndex.materializer(
+        spark, lshDir, lshEvDir, LshShards)(batch, e.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = dirRows(s"$lshDir/state-$e")
+      val bytes = dirBytes(s"$lshDir/state-$e")
+      val touched = {
+        val p = new org.apache.hadoop.fs.Path(s"$lshDir/state-$e")
+        if (!hfs.exists(p)) 0
+        else hfs.listStatus(p).count(_.getPath.getName.startsWith("__bucket="))
+      }
+      lshEpochs += s"""{"epoch":$e,"sec":${math.round(sec * 1000) / 1000.0},"rows_written":$rows,"bytes_written":$bytes,"shards_touched":$touched}"""
+      println(f"[scale] lsh-index epoch $e: $sec%.1f s, $rows rows / " +
+        f"$bytes bytes, $touched/$LshShards shards")
+    }
+    val lshIndexRows = graft.streaming.StreamingLshIndex
+      .index(spark, lshDir).count()
+    val lshEvents = graft.streaming.StreamingLshIndex
+      .dupEvents(spark, lshDir, lshEvDir).count()
+    val lshSteadyRows = dirRows(s"$lshDir/state-3")
+    // 8 docs touch ≤ 32 band buckets → ≤ 32 of 64 shards; the write is
+    // those shards' index slice — gate well under the full index
+    val lshPass = lshSteadyRows > 0 && lshSteadyRows < lshIndexRows / 4 &&
+      lshEvents > 0
+    println(s"[scale] lsh-index steady-state epoch wrote $lshSteadyRows of " +
+      s"$lshIndexRows index rows, $lshEvents dup events, pass=$lshPass")
+    if (!lshPass) failed += "lsh_index_materializer_o_touched"
+
     // ---- artifact ----
     def jnum(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -362,7 +412,8 @@ object ScaleSmoke {
           .getOrElse("null")},"jaccard_recall_threshold":0.80,"jaccard_pass":$jqPass},"materializers":{"scd2":{"buckets":$ScdBuckets,"epochs":${scdEpochs
           .mkString("[", ",", "]")},"history_rows":$scdHistoryRows,"steady_epoch_rows":$scdSteadyRows,"o_touched_pass":$scdPass},"replica_versioned":{"buckets":$ScdBuckets,"epochs":${repEpochs
           .mkString("[", ",", "]")},"live_rows":$repLive,"steady_epoch_rows":$repSteadyRows,"o_touched_pass":$repPass},"dup_spans":{"epochs":${dupEpochs
-          .mkString("[", ",", "]")},"delta_rows_total":$deltaTotal,"corpus_distinct_pairs":$distinctPairs,"o_batch_write_pass":$dupPass}},"failed":${failed
+          .mkString("[", ",", "]")},"delta_rows_total":$deltaTotal,"corpus_distinct_pairs":$distinctPairs,"o_batch_write_pass":$dupPass},"lsh_index":{"shards":$LshShards,"epochs":${lshEpochs
+          .mkString("[", ",", "]")},"index_rows":$lshIndexRows,"dup_events":$lshEvents,"steady_epoch_rows":$lshSteadyRows,"o_touched_pass":$lshPass}},"failed":${failed
           .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"single timed noop-sink pass per op (cold plans; 30x scale: 90% of texts cloned 30x, 10% stratum singleton + one-token near-dup variant), untimed count for cardinality"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -48,9 +48,10 @@ object TpchQueries {
     // The correlated-min shape: for each EUROPE-supplied part of one
     // (size, type), the supplier(s) achieving the part's minimum supply
     // cost. partsupp stand-in: cheapest line ever shipped per
-    // (part, supplier). The per-part minimum is a second aggregation
-    // joined back on the part key — both sides arrive on the same
-    // shuffle key, and the region→nation→supplier reduction broadcasts
+    // (part, supplier). The correlated MIN resolves as a window over
+    // the part key — one pass over the offers, no join-back that would
+    // recompute the bridge aggregation (the naive subquery shape scans
+    // lineitem twice); the region→nation→supplier reduction broadcasts
     // before the bridge is built.
     "rel_tpch_q2" -> QueryDef(
       (s, dir) => {
@@ -72,11 +73,10 @@ object TpchQueries {
         val offers = cost
           .join(p, col("l_partkey") === col("p_partkey"))
           .join(sup, col("l_suppkey") === col("s_suppkey"))
-        val best = offers.groupBy(col("p_partkey").as("bp"))
-          .agg(min(col("cost_dec")).as("best_dec"))
-        offers.join(best,
-            col("p_partkey") === col("bp") &&
-              col("cost_dec") === col("best_dec"))
+        offers
+          .withColumn("best_dec",
+            min(col("cost_dec")).over(Window.partitionBy(col("p_partkey"))))
+          .filter(col("cost_dec") === col("best_dec"))
           .select(dec2(col("s_acctbal")).cast("double").as("s_acctbal"),
             col("s_name"), col("n_name"), col("p_partkey"), col("p_brand"),
             col("cost_dec").cast("double").as("supply_cost"))
@@ -670,29 +670,29 @@ object TpchQueries {
 
     // ------------------------------- Q21: suppliers who kept orders waiting
     // The EXISTS/NOT-EXISTS double-correlation, re-expressed as ONE
-    // aggregation: a supplier "kept order o waiting" iff it is the
-    // UNIQUE late supplier of a finished multi-supplier order — i.e.
-    // per order, distinct suppliers ≥ 2 ∧ distinct late suppliers = 1.
-    // That computes in a single groupBy over the order join (every
-    // correlated subquery would re-scan lineitem; the aggregate form
-    // scans once), then the late lines semi-join the qualifying orders.
+    // aggregation pass: a supplier "kept order o waiting" iff it is
+    // the UNIQUE late supplier of a finished multi-supplier order.
+    // Shape: reduce lines to per-(order, supplier) late flags — the
+    // groupBy rides the orderkey partitioning the order join already
+    // produced (orderkey partitioning co-locates (order, supplier)
+    // groups, so NO new exchange) — then per-order supplier counts and
+    // late counts as windows over the same key (again exchange-free).
+    // One lineitem scan, one shuffle; every correlated-subquery
+    // formulation rescans lineitem twice more.
     // "Late" = shipped >60 days after the order date.
     "rel_tpch_q21" -> QueryDef(
       (s, dir) => {
         val o = Tables.orders(s, dir)
           .filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderdate"))
-        val lo = Tables.lineitem(s, dir)
+        val perOS = Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
           .join(o, col("l_orderkey") === col("o_orderkey"))
-          .withColumn("late",
-            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-        val waiting = lo.groupBy(col("o_orderkey"))
-          .agg(countDistinct(col("l_suppkey")).as("n_supps"),
-            countDistinct(when(col("late"), col("l_suppkey")))
-              .as("n_late_supps"))
-          .filter(col("n_supps") >= 2 && col("n_late_supps") === 1)
-          .select(col("o_orderkey").as("wk"))
+          .groupBy(col("o_orderkey"), col("l_suppkey"))
+          .agg(max(when(col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1)
+            .otherwise(0)).as("late_i"))
+        val w = Window.partitionBy(col("o_orderkey"))
         val r = broadcast(Tables.region(s, dir)
           .filter(col("r_name") === "ASIA"))
         val n = broadcast(Tables.nation(s, dir)
@@ -701,9 +701,11 @@ object TpchQueries {
         val sup = broadcast(Tables.supplier(s, dir)
           .join(n, col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"), col("s_name")))
-        lo.filter(col("late"))
-          .join(waiting, col("o_orderkey") === col("wk"), "left_semi")
-          .select(col("o_orderkey"), col("l_suppkey")).distinct()
+        perOS
+          .withColumn("n_supps", count(lit(1)).over(w))
+          .withColumn("n_late", sum(col("late_i")).over(w))
+          .filter(col("late_i") === 1 && col("n_late") === 1 &&
+            col("n_supps") >= 2)
           .groupBy(col("l_suppkey"))
           .agg(count(lit(1)).as("numwait"))
           .join(sup, col("l_suppkey") === col("s_suppkey"))

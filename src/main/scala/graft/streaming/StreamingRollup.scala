@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.ExactlyOnce
+
+/** DURABLE incremental rollup — materialized-view maintenance of a
+  * grouped aggregate under an append-only stream, the streaming twin
+  * of `rel_rollup_incremental` (whose oracle proves the
+  * merge-of-partials identity batch-side: partial states + a new
+  * delta's partials re-aggregate to exactly the from-scratch rollup).
+  *
+  * Each micro-batch folds ONE map-side-combined partial per group into
+  * keyed state under [[ExactlyOnce.advanceStateBucketed]]:
+  *
+  *   - per-epoch cost O(batch groups + touched buckets' state) — the
+  *     standing rollup is NEVER rescanned (at 100 TB the rollup is a
+  *     tiny keyed table and only the delta pays a scan);
+  *   - counts are longs and sums exact decimals, so merge order can't
+  *     leak into the result: any replay/arrival order converges to the
+  *     bit-identical rollup the batch aggregate produces;
+  *   - the epoch ledger fences at-least-once re-delivery (a replayed
+  *     epoch is a no-op) and crash windows roll forward exactly as in
+  *     the CDC replica materializer.
+  *
+  * The aggregate algebra is the commutative-monoid subset (COUNT + SUM
+  * — what makes map-side combine and AQE stage reuse safe); AVG reads
+  * derive as sum/count at query time. MIN/MAX fold the same way (max
+  * of maxes) but are not needed by the anchor query.
+  */
+object StreamingRollup {
+
+  /** Physical buckets of the persisted rollup (tests; production
+    * scales this with group-key cardinality).
+    */
+  val DefaultBuckets = 16
+
+  /** One micro-batch's partial: one row per group with `__gkey` (the
+    * packed bucket/join key), the group columns, `n` (count) and one
+    * exact-decimal sum per entry in `sums` (output column -> summed
+    * input expression, cast decimal(18,2) before the partial so the
+    * fold is order-free).
+    */
+  def partials(batch: DataFrame, keyCols: Seq[String],
+      sums: Seq[(String, String)]): DataFrame =
+    batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sums.map { case (out, in) =>
+          sum(expr(in).cast("decimal(18,2)")).as(out) }: _*)
+      .withColumn("__gkey", concat_ws("\u0001", keyCols.map(col): _*))
+
+  private def emptyLike(spark: SparkSession, p: DataFrame): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], p.schema)
+
+  /** foreachBatch body: fold one batch into the rollup at `stateDir`.
+    * `sums` maps output column -> input expression (see [[partials]]).
+    */
+  def materializer(spark: SparkSession, stateDir: String,
+      keyCols: Seq[String], sums: Seq[(String, String)],
+      numBuckets: Int = DefaultBuckets)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val p = partials(batch, keyCols, sums)
+    val sumCols = "n" +: sums.map(_._1)
+    ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, p,
+      "__gkey", numBuckets)(emptyLike(spark, p)) { current =>
+      // merge-of-partials: groups untouched by the batch pass through
+      // (they are in touched buckets only by hash collision), touched
+      // groups fold sum-of-sums / count-of-counts — exact in
+      // long/decimal, so the result is independent of epoch split
+      current.unionByName(p)
+        .groupBy((col("__gkey") +: keyCols.map(col)): _*)
+        .agg(sumCols.map(c => sum(col(c)).as(c)).head,
+          sumCols.map(c => sum(col(c)).as(c)).tail: _*)
+        .select((col("__gkey") +: keyCols.map(col)) ++
+          sumCols.map(col): _*)
+    }
+    ()
+  }
+
+  /** The standing rollup (group columns + n + sums), bit-identical to
+    * the batch aggregate of everything ingested so far.
+    */
+  def rollup(spark: SparkSession, stateDir: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(ExactlyOnce.hasCommittedState(spark, stateDir),
+      s"no committed rollup state under $stateDir")
+    ExactlyOnce.currentStateBucketed(spark, stateDir)(
+      // only reachable when every committed epoch ingested an empty
+      // batch — there is no schema to return an empty frame in, and
+      // "rollup of nothing" deserves a loud answer over a guess
+      sys.error(s"rollup state at $stateDir committed only empty " +
+        "epochs; no groups exist yet"))
+      .drop("__gkey")
+  }
+}

@@ -79,6 +79,51 @@ object StreamingRollup {
     ()
   }
 
+  /** Signed partials: each row carries `signCol` ∈ {+1, −1} (insert /
+    * retraction — the TPC-H refresh-stream shape, or a CDC feed's
+    * after/before images). `n` folds as sum-of-signs and every sum as
+    * sign × value, so a delete is just a −1 row and the algebra stays
+    * the same commutative monoid.
+    */
+  def signedPartials(batch: DataFrame, keyCols: Seq[String],
+      sums: Seq[(String, String)], signCol: String): DataFrame =
+    batch.groupBy(keyCols.map(col): _*)
+      .agg(sum(col(signCol).cast("long")).as("n"),
+        sums.map { case (out, in) =>
+          sum(col(signCol).cast("decimal(18,2)") *
+            expr(in).cast("decimal(18,2)")).as(out) }: _*)
+      .withColumn("__gkey", concat_ws("\u0001", keyCols.map(col): _*))
+
+  /** [[materializer]] with retractions: rows where `signCol` = −1
+    * subtract from their group, and a group whose live count reaches
+    * zero VANISHES from the rollup (state never accumulates dead
+    * groups). Exact for any insert/delete interleaving — a retraction
+    * may even arrive BEFORE its insert (the count goes transiently
+    * negative and the group is carried until it balances); the one
+    * contract, mirrored from every IVM engine, is that retractions
+    * match inserts value-for-value, which makes "count 0" imply "all
+    * sums 0" so the vanish-at-zero drop can never lose a pending
+    * correction.
+    */
+  def materializerSigned(spark: SparkSession, stateDir: String,
+      keyCols: Seq[String], sums: Seq[(String, String)], signCol: String,
+      numBuckets: Int = DefaultBuckets)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val p = signedPartials(batch, keyCols, sums, signCol)
+    val sumCols = "n" +: sums.map(_._1)
+    ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, p,
+      "__gkey", numBuckets)(emptyLike(spark, p)) { current =>
+      current.unionByName(p, allowMissingColumns = false)
+        .groupBy((col("__gkey") +: keyCols.map(col)): _*)
+        .agg(sumCols.map(c => sum(col(c)).as(c)).head,
+          sumCols.map(c => sum(col(c)).as(c)).tail: _*)
+        .filter(col("n") =!= 0)
+        .select((col("__gkey") +: keyCols.map(col)) ++
+          sumCols.map(col): _*)
+    }
+    ()
+  }
+
   /** The standing rollup (group columns + n + sums), bit-identical to
     * the batch aggregate of everything ingested so far.
     */

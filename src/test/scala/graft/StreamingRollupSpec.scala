@@ -67,6 +67,44 @@ class StreamingRollupSpec extends SparkSpec {
     assert(stateTruth(stateDir) == batchTruth())
   }
 
+  test("signed retractions: deletes subtract exactly, a fully-retracted " +
+      "group vanishes, and an out-of-order retraction carries until it " +
+      "balances") {
+    val stateDir = Files.createTempDirectory("graft_rollup_signed").toString
+    val rows = feed().withColumn("sign", lit(1))
+    val deletes = feed().filter(col("event_type") === "click")
+      .withColumn("sign", lit(-1))
+
+    StreamingRollup.materializerSigned(spark, stateDir, keys, sums, "sign")(
+      rows, 0L)
+    // retract every click row — the group must vanish entirely
+    StreamingRollup.materializerSigned(spark, stateDir, keys, sums, "sign")(
+      deletes, 1L)
+    val afterDelete = stateTruth(stateDir)
+    assert(!afterDelete.contains("click"))
+    val want = queries.Tables.events(spark, sf)
+      .filter(col("event_type") =!= "click")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("value_sum"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), BigDecimal(r.getDecimal(2))))
+      .toMap
+    assert(afterDelete == want)
+
+    // out-of-order: a retraction for a purchase row arrives BEFORE its
+    // (re-)insert; after both, the rollup is back to the same state
+    val one = feed().filter(col("event_type") === "purchase")
+      .orderBy(col("event_id")).limit(1)
+    StreamingRollup.materializerSigned(spark, stateDir, keys, sums, "sign")(
+      one.withColumn("sign", lit(-1)), 2L)
+    val dipped = stateTruth(stateDir)("purchase")
+    assert(dipped._1 == afterDelete("purchase")._1 - 1)
+    StreamingRollup.materializerSigned(spark, stateDir, keys, sums, "sign")(
+      one.withColumn("sign", lit(1)), 3L)
+    assert(stateTruth(stateDir) == afterDelete)
+  }
+
   test("multi-column group keys fold exactly") {
     val stateDir = Files.createTempDirectory("graft_rollup_mk").toString
     val rows = queries.Tables.events(spark, sf)

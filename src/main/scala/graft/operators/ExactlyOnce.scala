@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Exactly-once delivery machinery (SURVEY §7 hard part 1).
@@ -226,6 +226,14 @@ object ExactlyOnce {
 
   private def bucketExpr(keyCol: String, numBuckets: Int) =
     pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int")
+
+  /** The protocol's key→bucket map, public so a co-bucketed caller (the
+    * join-view materializer keeps three states on the SAME key) can
+    * compute touched buckets with the exact formula the state writer
+    * uses — any drift would silently split keys across layouts.
+    */
+  def bucketOf(keyCol: String, numBuckets: Int): Column =
+    bucketExpr(keyCol, numBuckets)
 
   private val OwnersRe = "^owners-(\\d+)$".r
   private val StateDirRe = "^state-(\\d+)$".r
@@ -483,6 +491,23 @@ object ExactlyOnce {
     val paths = bucketOwners(spark, stateDir).toSeq.sortBy(_._1)
       .flatMap { case (b, es) =>
         es.headOption.map(e => s"$stateDir/state-$e/__bucket=$b") }
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
+  }
+
+  /** [[currentStateBucketed]] restricted to a bucket subset — the read
+    * half of bucket pruning: a caller that knows which buckets its keys
+    * land in (via [[bucketOf]]) scans only those buckets' newest
+    * versions, never the whole state. At 100 TB this is the difference
+    * between probing a few state files and rescanning the table.
+    */
+  def currentStateBuckets(spark: SparkSession, stateDir: String,
+      buckets: Set[Int])(empty: => DataFrame): DataFrame = {
+    val fs = stateFs(spark, stateDir)
+    val paths = bucketOwners(spark, stateDir).toSeq.sortBy(_._1)
+      .collect { case (b, es) if buckets.contains(b) =>
+        es.headOption.map(e => s"$stateDir/state-$e/__bucket=$b") }
+      .flatten
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
   }

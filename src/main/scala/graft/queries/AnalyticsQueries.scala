@@ -445,6 +445,38 @@ object AnalyticsQueries {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // --------------------------- incremental join-view maintenance
+    // The bilinear IVM identity Δ(L⋈R) = ΔL⋈R + L⋈ΔR + ΔL⋈ΔR, the
+    // algebra behind StreamingJoinView's durable materializer: the two
+    // "materialized generations" are even/odd order keys (L) and
+    // even/odd customer keys (R); the four generation-pair joins union
+    // to exactly the from-scratch join, which is the oracle. At 100 TB
+    // the old generations are standing bucketed state and only the
+    // deltas scan — each small join here stands in for one
+    // bucket-pruned increment probe.
+    "rel_join_view_incremental" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"))
+        val Seq(l1, l2) = Seq(0, 1).map(g =>
+          o.filter(col("o_orderkey") % 2 === g))
+        val Seq(r1, r2) = Seq(0, 1).map(g =>
+          c.filter(col("c_custkey") % 2 === g))
+        def j(l: org.apache.spark.sql.DataFrame,
+            r: org.apache.spark.sql.DataFrame) =
+          l.join(r, col("o_custkey") === col("c_custkey"))
+        j(l1, r1).unionAll(j(l2, r1)).unionAll(j(l1, r2))
+          .unionAll(j(l2, r2))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("c_name"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, c_name
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderkey""")),
+
     // -------------------------------------------- gaps & islands
     // Sequence-gap detection (the classic islands-and-gaps shape): the
     // `click` stream's event_ids are a sparse subsequence of the dense

@@ -439,6 +439,78 @@ object ScaleSmoke {
       s"events, pass=$lshPass")
     if (!lshPass) failed += "lsh_index_materializer_o_touched"
 
+    // Incremental join view at 30x: bulk epoch materializes the full
+    // 4.5M-order x 15k-customer join, steady epochs ingest 40 orders
+    // for 8 hot customers (epoch write must be the touched buckets'
+    // slice of the view, never the view), one epoch RETRACTS a
+    // customer (its entire join fan-in must leave the view), the next
+    // re-inserts it. Exactness gate: sum of view multiplicities ==
+    // the from-scratch batch join count over everything ingested.
+    val JvBuckets = 64
+    val jvDir = s"$dir/joinview_state"
+    hfs.delete(new org.apache.hadoop.fs.Path(jvDir), true)
+    val orders30x = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust1x = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val hotCust = (1L to 8L).map(_ * 11 + 3)
+    val retractedCust = hotCust.head
+    def steadyOrders(e: Int) = {
+      import spark.implicits._
+      (0 until 40).map { i =>
+        (90000000L + e * 1000L + i, hotCust(i % 8),
+          1000.0 + i) }.toDF("o_orderkey", "o_custkey", "o_totalprice")
+    }
+    def custRows(ck: Long, sign: Int) = {
+      import spark.implicits._
+      cust1x.filter(col("c_custkey") === ck)
+        .withColumn("s", lit(sign))
+    }
+    val jv = graft.streaming.StreamingJoinView
+    val jvEpochs = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 to 3).foreach { e =>
+      val (lb, rb) = e match {
+        case 0 => (orders30x.withColumn("s", lit(1)),
+          cust1x.withColumn("s", lit(1)))
+        case 2 => (steadyOrders(e).withColumn("s", lit(1)),
+          custRows(retractedCust, -1))
+        case 3 => (steadyOrders(e).withColumn("s", lit(1)),
+          custRows(retractedCust, 1))
+        case _ => (steadyOrders(e).withColumn("s", lit(1)),
+          cust1x.limit(0).withColumn("s", lit(1)))
+      }
+      val t0 = System.nanoTime()
+      jv.materializerSigned(spark, jvDir, Seq("o_custkey"),
+        Seq("c_custkey"), Some("s"), Some("s"), JvBuckets)(lb, rb, e.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = dirRows(s"$jvDir/view/state-$e")
+      val bytes = dirBytes(s"$jvDir/view/state-$e")
+      val touched = {
+        val p = new org.apache.hadoop.fs.Path(s"$jvDir/view/state-$e")
+        if (!hfs.exists(p)) 0
+        else hfs.listStatus(p).count(_.getPath.getName.startsWith("__bucket="))
+      }
+      jvEpochs += s"""{"epoch":$e,"sec":${math.round(sec * 1000) / 1000.0},"view_rows_written":$rows,"view_bytes_written":$bytes,"view_buckets_touched":$touched}"""
+      println(f"[scale] join-view epoch $e: $sec%.1f s, $rows view rows / " +
+        f"$bytes bytes, $touched/$JvBuckets buckets")
+    }
+    val jvView = jv.view(spark, jvDir)
+    val jvMass = jvView.agg(sum(col("__m"))).head().getLong(0)
+    val allOrders = orders30x
+      .unionByName(steadyOrders(1)).unionByName(steadyOrders(2))
+      .unionByName(steadyOrders(3))
+    val jvTruth = allOrders.join(cust1x,
+      col("o_custkey") === col("c_custkey")).count()
+    val jvViewRows = jvView.count()
+    val jvSteadyRows = dirRows(s"$jvDir/view/state-1")
+    val jvParity = jvMass == jvTruth
+    val jvPass = jvSteadyRows > 0 && jvSteadyRows < jvViewRows / 4 &&
+      jvParity
+    println(s"[scale] join-view: mass $jvMass vs batch-join $jvTruth " +
+      s"(parity=$jvParity), steady epoch wrote $jvSteadyRows of " +
+      s"$jvViewRows view rows, pass=$jvPass")
+    if (!jvPass) failed += "join_view_materializer"
+
     // ---- artifact ----
     def jnum(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -455,7 +527,8 @@ object ScaleSmoke {
           .mkString("[", ",", "]")},"history_rows":$scdHistoryRows,"steady_epoch_rows":$scdSteadyRows,"o_touched_pass":$scdPass},"replica_versioned":{"buckets":$ScdBuckets,"epochs":${repEpochs
           .mkString("[", ",", "]")},"live_rows":$repLive,"steady_epoch_rows":$repSteadyRows,"o_touched_pass":$repPass},"dup_spans":{"epochs":${dupEpochs
           .mkString("[", ",", "]")},"delta_rows_total":$deltaTotal,"corpus_distinct_pairs":$distinctPairs,"o_batch_write_pass":$dupPass},"lsh_index":{"shards":$LshShards,"epochs":${lshEpochs
-          .mkString("[", ",", "]")},"index_rows":$lshIndexRows,"dup_events":$lshEvents,"steady_epoch_rows":$lshSteadyRows,"steady_epoch_shards":$lshSteadyTouched,"slice_bound_rows":${math.round(lshSliceBound)},"o_touched_pass":$lshPass}},"failed":${failed
+          .mkString("[", ",", "]")},"index_rows":$lshIndexRows,"dup_events":$lshEvents,"steady_epoch_rows":$lshSteadyRows,"steady_epoch_shards":$lshSteadyTouched,"slice_bound_rows":${math.round(lshSliceBound)},"o_touched_pass":$lshPass},"join_view":{"buckets":$JvBuckets,"epochs":${jvEpochs
+          .mkString("[", ",", "]")},"view_rows":$jvViewRows,"view_mass":$jvMass,"batch_join_rows":$jvTruth,"steady_epoch_rows":$jvSteadyRows,"parity_pass":$jvParity,"o_touched_pass":$jvPass}},"failed":${failed
           .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"single timed noop-sink pass per op (cold plans; 30x scale: 90% of texts cloned 30x, 10% stratum singleton + one-token near-dup variant), untimed count for cardinality"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -134,10 +134,10 @@ object CdcApply {
     * each bucket's previous version until the next epoch).
     */
   def materializer(spark: SparkSession, stateDir: String,
-      numBuckets: Int = DefaultBuckets)(
+      numBuckets: Int = DefaultBuckets, retain: Int = 2)(
       batch: DataFrame, batchId: Long): Unit = {
     ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, batch,
-      "partitionKey", numBuckets)(
+      "partitionKey", numBuckets, retain)(
       emptyReplica(spark, batch))(current => applyBatch(current, batch))
     ()
   }
@@ -150,10 +150,10 @@ object CdcApply {
     */
   def materializerVersioned(spark: SparkSession, stateDir: String,
       numBuckets: Int = DefaultBuckets,
-      tombstoneHorizonMs: Long = Long.MaxValue)(
+      tombstoneHorizonMs: Long = Long.MaxValue, retain: Int = 2)(
       batch: DataFrame, batchId: Long): Unit = {
     ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, batch,
-      "partitionKey", numBuckets)(
+      "partitionKey", numBuckets, retain)(
       emptyVersioned(spark))(current =>
       applyBatchVersioned(current, batch, tombstoneHorizonMs))
     ()
@@ -191,4 +191,27 @@ object CdcApply {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], replicaSchema))
   }
+
+  /** TIME TRAVEL: the replica exactly as it stood when epoch `asOf`
+    * committed (a lake table's `VERSION AS OF` over the CDC apply —
+    * "what did the row set look like before yesterday's batch").
+    * Reachable depth is the `retain` the materializer ran with; pass
+    * the same value here (it disambiguates written-empty buckets from
+    * retired versions — see
+    * [[ExactlyOnce.currentStateBucketedAsOf]]).
+    */
+  def replicaAsOf(spark: SparkSession, stateDir: String, asOf: Long,
+      retain: Int = 2): DataFrame =
+    ExactlyOnce.currentStateBucketedAsOf(spark, stateDir, asOf, retain)(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], replicaSchema))
+
+  /** [[replicaAsOf]] for a [[materializerVersioned]] state: the LIVE
+    * rows as of `asOf` (tombstones resolved then dropped).
+    */
+  def replicaVersionedAsOf(spark: SparkSession, stateDir: String,
+      asOf: Long, retain: Int = 2): DataFrame =
+    ExactlyOnce.currentStateBucketedAsOf(spark, stateDir, asOf, retain)(
+      emptyVersioned(spark))
+      .filter(!col("deleted")).drop("deleted")
 }

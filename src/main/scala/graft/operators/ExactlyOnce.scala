@@ -339,9 +339,12 @@ object ExactlyOnce {
     * false when fenced (already committed — replays are no-ops).
     */
   def advanceStateBucketed(spark: SparkSession, stateDir: String,
-      batchId: Long, batch: DataFrame, keyCol: String, numBuckets: Int)(
+      batchId: Long, batch: DataFrame, keyCol: String, numBuckets: Int,
+      retain: Int = 2)(
       empty: => DataFrame)(advance: DataFrame => DataFrame): Boolean = {
     require(numBuckets > 0, "numBuckets must be positive")
+    require(retain >= 2, "retain must keep at least current + one grace" +
+      " version (2); larger values enable deeper as-of time travel")
     val fs = stateFs(spark, stateDir)
     val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
     if (epochFenced(fs, ledger, batchId)) return false
@@ -380,7 +383,7 @@ object ExactlyOnce {
       // not re-read the whole ledger it just derived
       val ownersAfter = touched.toSeq.sorted.foldLeft(owners)((m, b) =>
         m.updated(b, (batchId +: m.getOrElse(b, Nil)).distinct))
-      retireBucketed(spark, stateDir, ownersAfter)
+      retireBucketed(spark, stateDir, ownersAfter, retain)
       true
     } finally batch.unpersist()
   }
@@ -389,10 +392,12 @@ object ExactlyOnce {
     * any point (deletions only ever remove superseded, orphaned, or
     * subsumed artifacts):
     *
-    *   1. delete every bucket dir outside its bucket's two newest
-    *      committed versions (keep-2 = current + one-epoch reader
-    *      grace) — this also sweeps orphan dirs of uncommitted epochs,
-    *      which own nothing by construction;
+    *   1. delete every bucket dir outside its bucket's `retain` newest
+    *      committed versions (default keep-2 = current + one-epoch
+    *      reader grace; larger `retain` keeps a deeper version history
+    *      for [[currentStateBucketedAsOf]] time travel) — this also
+    *      sweeps orphan dirs of uncommitted epochs, which own nothing
+    *      by construction;
     *   2. drop epoch dirs that hold no buckets any more;
     *   3. fold ALL markers below the newest one into an `owners-<E>`
     *      snapshot (per bucket, its surviving owners at or below E)
@@ -402,7 +407,7 @@ object ExactlyOnce {
     *      folds like any other, so the ledger stays O(1) files.
     */
   private def retireBucketed(spark: SparkSession, stateDir: String,
-      owners: Map[Int, Seq[Long]]): Unit = {
+      owners: Map[Int, Seq[Long]], retain: Int = 2): Unit = {
     val fs = stateFs(spark, stateDir)
     val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
     val root = new org.apache.hadoop.fs.Path(stateDir)
@@ -413,7 +418,7 @@ object ExactlyOnce {
         val p = new org.apache.hadoop.fs.Path(s"$stateDir/$n")
         fs.listStatus(p).toSeq.map(_.getPath.getName).foreach {
           case bn @ BucketDirRe(bs) =>
-            if (!owners.getOrElse(bs.toInt, Nil).take(2).contains(e))
+            if (!owners.getOrElse(bs.toInt, Nil).take(retain).contains(e))
               fs.delete(new org.apache.hadoop.fs.Path(p, bn), true)
           case _ => ()
         }
@@ -434,7 +439,7 @@ object ExactlyOnce {
     if (markerEpochs.size > 1) {
       val foldUpTo = markerEpochs.init.last
       val snapshot = owners.toSeq.sortBy(_._1).flatMap { case (b, es) =>
-        val kept = es.take(2).filter(_ <= foldUpTo)
+        val kept = es.take(retain).filter(_ <= foldUpTo)
         if (kept.isEmpty) None else Some(s"$b:${kept.mkString(",")}")
       }.mkString("\n")
       // snapshot THEN fence THEN delete — a crash anywhere leaves both
@@ -509,6 +514,52 @@ object ExactlyOnce {
         es.headOption.map(e => s"$stateDir/state-$e/__bucket=$b") }
       .flatten
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
+  }
+
+  /** TIME TRAVEL: the bucketed state AS OF committed epoch `asOf` —
+    * per bucket, the newest version at or below `asOf` (a lake table's
+    * `VERSION AS OF`, resolved from the same owners index current
+    * reads use; zero extra write-path cost). Depth is bounded by the
+    * writer's `retain`: with the default 2 only the previous epoch is
+    * reachable; a writer that wants N-epoch history passes `retain`
+    * accordingly. Pass the SAME `retain` here — it is how the reader
+    * distinguishes three cases that look alike on disk:
+    *
+    *   - owner found, dir present → that version, read it;
+    *   - owner found within the retained window but dir absent → the
+    *     owner epoch wrote the bucket EMPTY (partitioned writes emit
+    *     no dir for an empty slice) — contributes nothing, silently;
+    *   - owner found OUTSIDE the retained window, or no owner ≤ asOf
+    *     in a possibly-truncated list → the version may have been
+    *     retired: FAIL LOUDLY rather than return wrong (empty) data.
+    */
+  def currentStateBucketedAsOf(spark: SparkSession, stateDir: String,
+      asOf: Long, retain: Int = 2)(empty: => DataFrame): DataFrame = {
+    require(isEpochCommitted(spark, stateDir, asOf),
+      s"epoch $asOf never committed at $stateDir — as-of reads name a" +
+        " committed epoch")
+    val fs = stateFs(spark, stateDir)
+    val paths = bucketOwners(spark, stateDir).toSeq.sortBy(_._1)
+      .flatMap { case (b, es) =>
+        es.find(_ <= asOf) match {
+          case Some(e) if es.take(retain).contains(e) =>
+            val p = s"$stateDir/state-$e/__bucket=$b"
+            if (fs.exists(new org.apache.hadoop.fs.Path(p))) Some(p)
+            else None // owner epoch wrote this bucket empty
+          case Some(e) => sys.error(
+            s"bucket $b as of epoch $asOf resolves to epoch $e, which" +
+              s" is outside the $retain-version retained window — the" +
+              " version was retired; advance with a larger retain to" +
+              " keep deeper history")
+          case None if es.size >= retain => sys.error(
+            s"bucket $b has no retained version at or below epoch" +
+              s" $asOf and its $retain-deep owner list may be" +
+              " truncated — cannot prove the bucket was empty then;" +
+              " advance with a larger retain to keep deeper history")
+          case None => None // bucket born after asOf, provably
+        }
+      }
     if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
   }
 

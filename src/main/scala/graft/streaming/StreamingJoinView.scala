@@ -94,10 +94,10 @@ object StreamingJoinView {
     * tagged with THIS epoch.
     */
   private def advanceSide(spark: SparkSession, dir: String, p: DataFrame,
-      batchId: Long, numBuckets: Int): Unit = {
+      batchId: Long, numBuckets: Int, retain: Int): Unit = {
     val valueCols = p.columns.toSeq.filterNot(Set("__m", "__e"))
     ExactlyOnce.advanceStateBucketed(spark, dir, batchId, p,
-      "__jkey", numBuckets)(emptyLike(spark, p)) { current =>
+      "__jkey", numBuckets, retain)(emptyLike(spark, p)) { current =>
       current
         .groupBy(valueCols.map(col): _*)
         .agg(sum(col("__m")).as("__m"), max(col("__e")).as("__e"))
@@ -124,10 +124,10 @@ object StreamingJoinView {
     */
   def materializer(spark: SparkSession, root: String,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      numBuckets: Int = DefaultBuckets)(
+      numBuckets: Int = DefaultBuckets, retain: Int = 2)(
       leftBatch: DataFrame, rightBatch: DataFrame, batchId: Long): Unit =
     materializerSigned(spark, root, leftKeys, rightKeys,
-      None, None, numBuckets)(leftBatch, rightBatch, batchId)
+      None, None, numBuckets, retain)(leftBatch, rightBatch, batchId)
 
   /** foreachBatch body with retractions: each side may carry a sign
     * column (±1, the CDC after/before-image shape); `None` means
@@ -136,7 +136,7 @@ object StreamingJoinView {
   def materializerSigned(spark: SparkSession, root: String,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftSign: Option[String], rightSign: Option[String],
-      numBuckets: Int = DefaultBuckets)(
+      numBuckets: Int = DefaultBuckets, retain: Int = 2)(
       leftBatch: DataFrame, rightBatch: DataFrame, batchId: Long): Unit = {
     val lVals = leftBatch.columns.toSet -- leftSign
     val rVals = rightBatch.columns.toSet -- rightSign
@@ -151,8 +151,8 @@ object StreamingJoinView {
     val pR = partials(rightBatch, rightKeys, rightSign, batchId)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      advanceSide(spark, s"$root/left", pL, batchId, numBuckets)
-      advanceSide(spark, s"$root/right", pR, batchId, numBuckets)
+      advanceSide(spark, s"$root/left", pL, batchId, numBuckets, retain)
+      advanceSide(spark, s"$root/right", pR, batchId, numBuckets, retain)
 
       // the increment reads POST-commit state (identical on replay —
       // a fenced side advance leaves exactly what the pre-crash run
@@ -175,7 +175,7 @@ object StreamingJoinView {
       val inc = half(tagL, rt).unionByName(half(oldL, tagR))
 
       ExactlyOnce.advanceStateBucketed(spark, s"$root/view", batchId,
-        inc, "__jkey", numBuckets)(emptyLike(spark, inc)) { current =>
+        inc, "__jkey", numBuckets, retain)(emptyLike(spark, inc)) { current =>
         current.unionByName(inc)
           .groupBy(inc.columns.filterNot(_ == "__m").map(col).toSeq: _*)
           .agg(sum(col("__m")).as("__m"))
@@ -200,6 +200,33 @@ object StreamingJoinView {
       sys.error(s"join-view side state at $dir committed only empty " +
         "epochs; no schema exists to shape an empty view"))
     ExactlyOnce.currentStateBucketed(spark, s"$root/view") {
+      val l = side(s"$root/left").drop("__m", "__e")
+      val r = side(s"$root/right").drop("__m", "__e", "__jkey")
+      val schema = org.apache.spark.sql.types.StructType(
+        l.schema.fields ++ r.schema.fields :+
+          org.apache.spark.sql.types.StructField("__m",
+            org.apache.spark.sql.types.LongType))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }.drop("__jkey")
+  }
+
+  /** TIME TRAVEL: the join view exactly as it stood when epoch `asOf`
+    * committed. Depth = the `retain` the materializer ran with; pass
+    * the same value (see [[ExactlyOnce.currentStateBucketedAsOf]]).
+    * Unlike [[view]] there is no empty-schema fallback: an epoch whose
+    * view had never matched reads as whatever buckets existed then —
+    * possibly none, in which case the side states' schemas still
+    * shape the frame via the same derivation.
+    */
+  def viewAsOf(spark: SparkSession, root: String, asOf: Long,
+      retain: Int = 2): DataFrame = {
+    def side(dir: String) = ExactlyOnce.currentStateBucketedAsOf(
+      spark, dir, asOf, retain)(
+      sys.error(s"join-view side state at $dir had committed only" +
+        s" empty epochs at epoch $asOf; no schema exists"))
+    ExactlyOnce.currentStateBucketedAsOf(spark, s"$root/view", asOf,
+      retain) {
       val l = side(s"$root/left").drop("__m", "__e")
       val r = side(s"$root/right").drop("__m", "__e", "__jkey")
       val schema = org.apache.spark.sql.types.StructType(

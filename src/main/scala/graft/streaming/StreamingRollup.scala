@@ -59,12 +59,12 @@ object StreamingRollup {
     */
   def materializer(spark: SparkSession, stateDir: String,
       keyCols: Seq[String], sums: Seq[(String, String)],
-      numBuckets: Int = DefaultBuckets)(
+      numBuckets: Int = DefaultBuckets, retain: Int = 2)(
       batch: DataFrame, batchId: Long): Unit = {
     val p = partials(batch, keyCols, sums)
     val sumCols = "n" +: sums.map(_._1)
     ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, p,
-      "__gkey", numBuckets)(emptyLike(spark, p)) { current =>
+      "__gkey", numBuckets, retain)(emptyLike(spark, p)) { current =>
       // merge-of-partials: groups untouched by the batch pass through
       // (they are in touched buckets only by hash collision), touched
       // groups fold sum-of-sums / count-of-counts — exact in
@@ -107,12 +107,12 @@ object StreamingRollup {
     */
   def materializerSigned(spark: SparkSession, stateDir: String,
       keyCols: Seq[String], sums: Seq[(String, String)], signCol: String,
-      numBuckets: Int = DefaultBuckets)(
+      numBuckets: Int = DefaultBuckets, retain: Int = 2)(
       batch: DataFrame, batchId: Long): Unit = {
     val p = signedPartials(batch, keyCols, sums, signCol)
     val sumCols = "n" +: sums.map(_._1)
     ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, p,
-      "__gkey", numBuckets)(emptyLike(spark, p)) { current =>
+      "__gkey", numBuckets, retain)(emptyLike(spark, p)) { current =>
       current.unionByName(p, allowMissingColumns = false)
         .groupBy((col("__gkey") +: keyCols.map(col)): _*)
         .agg(sumCols.map(c => sum(col(c)).as(c)).head,
@@ -139,4 +139,16 @@ object StreamingRollup {
         "epochs; no groups exist yet"))
       .drop("__gkey")
   }
+
+  /** TIME TRAVEL: the rollup exactly as it stood when epoch `asOf`
+    * committed ("yesterday's aggregate without yesterday's rescan").
+    * Depth = the `retain` the materializer ran with; pass the same
+    * value (see [[ExactlyOnce.currentStateBucketedAsOf]]).
+    */
+  def rollupAsOf(spark: SparkSession, stateDir: String, asOf: Long,
+      retain: Int = 2): DataFrame =
+    ExactlyOnce.currentStateBucketedAsOf(spark, stateDir, asOf, retain)(
+      sys.error(s"rollup state at $stateDir had committed only empty " +
+        s"epochs at epoch $asOf; no groups existed yet"))
+      .drop("__gkey")
 }

@@ -468,6 +468,11 @@ object ScaleSmoke {
     }
     val jv = graft.streaming.StreamingJoinView
     val jvEpochs = scala.collection.mutable.ArrayBuffer.empty[String]
+    // captured INSIDE the loop: later epochs touch the same hot
+    // buckets, so retirement (keep-2 grace) sweeps epoch 1's version
+    // dirs before the loop ends — reading state-1 afterwards would
+    // measure the sweep, not the write
+    var jvSteadyRows = 0L
     (0 to 3).foreach { e =>
       val (lb, rb) = e match {
         case 0 => (orders30x.withColumn("s", lit(1)),
@@ -491,6 +496,7 @@ object ScaleSmoke {
         else hfs.listStatus(p).count(_.getPath.getName.startsWith("__bucket="))
       }
       jvEpochs += s"""{"epoch":$e,"sec":${math.round(sec * 1000) / 1000.0},"view_rows_written":$rows,"view_bytes_written":$bytes,"view_buckets_touched":$touched}"""
+      if (e == 1) jvSteadyRows = rows
       println(f"[scale] join-view epoch $e: $sec%.1f s, $rows view rows / " +
         f"$bytes bytes, $touched/$JvBuckets buckets")
     }
@@ -502,7 +508,6 @@ object ScaleSmoke {
     val jvTruth = allOrders.join(cust1x,
       col("o_custkey") === col("c_custkey")).count()
     val jvViewRows = jvView.count()
-    val jvSteadyRows = dirRows(s"$jvDir/view/state-1")
     val jvParity = jvMass == jvTruth
     val jvPass = jvSteadyRows > 0 && jvSteadyRows < jvViewRows / 4 &&
       jvParity

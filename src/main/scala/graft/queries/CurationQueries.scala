@@ -682,6 +682,41 @@ object CurationQueries {
           < least(n_chars, 1000)
         ORDER BY doc_id""")),
 
+    // -------------------------- stratified reservoir (per-language top-k)
+    // A k-row-per-stratum uniform sample without replacement: keep the
+    // k smallest deterministic hash priorities per language — top-k of
+    // a random permutation, reproducible across engines AND across
+    // epochs, which is what makes it a RESERVOIR: the streaming twin
+    // (StreamingReservoir) folds any epoch split to this exact row
+    // set, and its weighted arm (Efraimidis–Spirakis −ln(u)/w keys)
+    // upgrades it to probability-proportional-to-weight curation
+    // sampling. Scale: partial WindowGroupLimit keeps k per stratum
+    // per map partition before the shuffle; the sample is k rows per
+    // stratum regardless of corpus size.
+    "samp_reservoir_groups" -> QueryDef(
+      (s, dir) => {
+        val K = 16
+        val prio = uhash(concat(lit("res_"), col("doc_id").cast("string")))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("priority"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), prio.as("priority"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= K).drop("rn")
+          .orderBy(col("lang"), col("priority"), col("doc_id"))
+      },
+      Some(s"""WITH p AS (
+          SELECT lang, doc_id,
+            ${uhashSql("'res_' || CAST(doc_id AS VARCHAR)")} AS priority
+          FROM documents),
+        r AS (
+          SELECT lang, doc_id, priority,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY priority, doc_id) AS rn
+          FROM p)
+        SELECT lang, doc_id, priority FROM r WHERE rn <= 16
+        ORDER BY lang, priority, doc_id""")),
+
     // ------------------------------------ boilerplate phrase mining
     // Cross-document repeated-phrase detection: 5-word phrases that
     // appear in many DISTINCT documents are boilerplate (headers,

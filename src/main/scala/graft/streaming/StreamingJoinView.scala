@@ -121,23 +121,34 @@ object StreamingJoinView {
     * A streaming caller with one tagged feed splits it:
     * `materializer(...)(batch.filter($"side"==="l").select(lCols),
     * batch.filter($"side"==="r").select(rCols), id)`.
+    * Returns this epoch's view increment (see [[materializerSigned]]).
     */
   def materializer(spark: SparkSession, root: String,
       leftKeys: Seq[String], rightKeys: Seq[String],
       numBuckets: Int = DefaultBuckets, retain: Int = 2)(
-      leftBatch: DataFrame, rightBatch: DataFrame, batchId: Long): Unit =
+      leftBatch: DataFrame, rightBatch: DataFrame, batchId: Long): DataFrame =
     materializerSigned(spark, root, leftKeys, rightKeys,
       None, None, numBuckets, retain)(leftBatch, rightBatch, batchId)
 
   /** foreachBatch body with retractions: each side may carry a sign
     * column (±1, the CDC after/before-image shape); `None` means
     * insert-only for that side.
+    *
+    * Returns this epoch's VIEW INCREMENT (both sides' columns + `__m`
+    * multiplicity deltas, negative for retracted join rows) — the
+    * cascade hook: feeding the increment into ANOTHER view's side with
+    * `signCol = "__m"` maintains a multi-way join ((L⋈R)⋈S and deeper)
+    * incrementally, each stage O(its delta + touched buckets). The
+    * increment is a pure function of post-commit state and `batchId`,
+    * so a replayed epoch returns the identical frame (the downstream
+    * view fences itself) — consume it within the epoch (it reads state
+    * versions the NEXT epoch's retirement may sweep).
     */
   def materializerSigned(spark: SparkSession, root: String,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftSign: Option[String], rightSign: Option[String],
       numBuckets: Int = DefaultBuckets, retain: Int = 2)(
-      leftBatch: DataFrame, rightBatch: DataFrame, batchId: Long): Unit = {
+      leftBatch: DataFrame, rightBatch: DataFrame, batchId: Long): DataFrame = {
     val lVals = leftBatch.columns.toSet -- leftSign
     val rVals = rightBatch.columns.toSet -- rightSign
     val clash = lVals & rVals
@@ -182,7 +193,7 @@ object StreamingJoinView {
           .filter(col("__m") =!= 0)
           .select(inc.columns.map(col): _*)
       }
-      ()
+      inc.drop("__jkey")
     } finally { pL.unpersist(); pR.unpersist() }
   }
 

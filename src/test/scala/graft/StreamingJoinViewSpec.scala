@@ -186,6 +186,7 @@ class StreamingJoinViewSpec extends SparkSpec {
           batch.filter(col("side") === "r")
             .select(col("k").as("rk"), col("v").as("rv")),
           id)
+        () // foreachBatch wants Unit; the increment is unused here
       }
       .start()
     try {
@@ -237,6 +238,52 @@ class StreamingJoinViewSpec extends SparkSpec {
     assert(asOfKeys(2L) == truthKeys(o, c))
     // and the current read agrees with the newest as-of
     assert(asOfKeys(2L) == got(root).map(t => (t._1, t._2)))
+  }
+
+  test("cascade: a three-way view ((orders x customer) x nation) " +
+      "maintained from the increment, retractions rippling through") {
+    val r1 = Files.createTempDirectory("graft_jv_c1").toString
+    val r2 = Files.createTempDirectory("graft_jv_c2").toString
+    val o = ordersFeed().withColumn("s", lit(1))
+    val c = queries.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+    val n = queries.Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"))
+    val retracted = 42L
+
+    def epoch(lb: DataFrame, rb: DataFrame, nb: DataFrame, e: Long): Unit = {
+      val inc1 = StreamingJoinView.materializerSigned(spark, r1,
+        oKeys, cKeys, Some("s"), Some("s"))(lb, rb, e)
+      // the increment's __m IS the sign column of the next stage
+      StreamingJoinView.materializerSigned(spark, r2,
+        Seq("c_nationkey"), Seq("n_nationkey"), Some("__m"), None)(
+        inc1, nb, e)
+    }
+
+    epoch(o.filter(col("o_orderkey") % 2 === 0),
+      c.filter(col("c_custkey") % 2 === 0).withColumn("s", lit(1)),
+      n, 0L)
+    epoch(o.filter(col("o_orderkey") % 2 === 1),
+      c.filter(col("c_custkey") % 2 === 1).withColumn("s", lit(1)),
+      n.limit(0), 1L)
+    // retract one customer: its rows must leave BOTH views
+    epoch(o.limit(0).withColumn("s", lit(1)),
+      c.filter(col("c_custkey") === retracted).withColumn("s", lit(-1)),
+      n.limit(0), 2L)
+
+    val got3 = StreamingJoinView.viewRows(spark, r2)
+      .select(col("o_orderkey"), col("c_custkey"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val want3 = ordersFeed()
+      .join(c.filter(col("c_custkey") =!= retracted),
+        col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got3 == want3)
+    assert(got3.nonEmpty)
   }
 
   test("sides sharing a non-key column name are rejected loudly") {

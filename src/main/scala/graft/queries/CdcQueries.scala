@@ -417,6 +417,53 @@ object CdcQueries {
           MIN(ts_ms) AS first_ts_ms, MAX(ts_ms) AS last_ts_ms
         FROM e GROUP BY op ORDER BY op""")),
 
+    // ------------------- CDC → IVM bridge (signed-delta aggregate)
+    // The envelope stream translated to retraction deltas
+    // (CdcDeltas.signedDeltas: c→+after, d→−before, u→−before,+after)
+    // and folded to a live grouped aggregate: sum(sign) per group is
+    // the replica's live row count, sum(sign·value) its live sum —
+    // the algebra StreamingRollup.materializerSigned maintains
+    // incrementally (its spec proves epoch-split parity against this
+    // query). Groups that net to zero vanish (HAVING mirror of the
+    // materializer's vanish-at-zero). Note the fixture's updates move
+    // rows between RAW and TRUNCATED event_type groups — before-images
+    // keep the raw value (golden-envelope rule), so raw-type groups
+    // carry the negative counts of retracted pre-update rows: the
+    // oracle restates that image policy independently.
+    "cdc_ivm_rollup" -> QueryDef(
+      (s, dir) => {
+        val deltas = graft.operators.CdcDeltas.signedDeltas(
+          enriched(s, dir))
+        deltas.select(
+            col("image").getItem("event_type").as("event_type"),
+            col("image").getItem("value").as("value"),
+            col("sign"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("sign").cast("long")).as("n"),
+            sum(col("sign").cast("decimal(18,2)") *
+              col("value").cast("decimal(18,2)")).cast("double")
+              .as("value_sum"))
+          .filter(col("n") =!= 0)
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH base AS (
+          SELECT event_id, event_type, value, $opSql AS op,
+            ${truncSql("event_type", 6)} AS et_trunc
+          FROM events),
+        deltas AS (
+          SELECT et_trunc AS et, 1 AS sign, value FROM base WHERE op = 'c'
+          UNION ALL
+          SELECT et_trunc, -1, value FROM base WHERE op = 'd'
+          UNION ALL
+          SELECT event_type, -1, value FROM base WHERE op = 'u'
+          UNION ALL
+          SELECT et_trunc, 1, value FROM base WHERE op = 'u')
+        SELECT et AS event_type, CAST(SUM(sign) AS BIGINT) AS n,
+          CAST(SUM(CAST(sign AS DECIMAL(18,2)) *
+            CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM deltas GROUP BY et HAVING SUM(sign) <> 0
+        ORDER BY et""")),
+
     // ----------------------------- schema-drift census (DDL monitoring)
     // The other half of CDC observability: Debezium emits whatever the
     // table looks like NOW, so an upstream ALTER TABLE shows up as

@@ -59,6 +59,14 @@ class StreamingGroupedKmvSpec extends SparkSpec {
     assert(stateTruth(dir) == batchTruth())
   }
 
+  test("the partial's rank filter plans as a partial WindowGroupLimit " +
+      "below the exchange") {
+    val plan = StreamingGroupedKmv.partials(feed(), Seq("l_returnflag"),
+      "l_partkey", K, Seed).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a WindowGroupLimit pushdown in:\n$plan")
+  }
+
   test("overlapping re-ingestion is a no-op (idempotent union) and a " +
       "replayed epoch is fenced") {
     val dir = Files.createTempDirectory("graft_gkmv_idem").toString

@@ -77,6 +77,16 @@ class StreamingReservoirSpec extends SparkSpec {
         f"mean $corpusMean%.1f")
   }
 
+  test("the partial's rank filter plans as a partial WindowGroupLimit " +
+      "below the exchange (k per stratum per map partition shuffles, " +
+      "not the corpus)") {
+    val prio = StreamingReservoir.uniformPriority(col("doc_id"), "res_")
+    val plan = StreamingReservoir.partials(feed(), Seq("lang"),
+      "doc_id", prio, K).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a WindowGroupLimit pushdown in:\n$plan")
+  }
+
   test("re-ingestion is idempotent (not just fenced) and replays are " +
       "fenced") {
     val dir = Files.createTempDirectory("graft_resv_idem").toString

@@ -105,6 +105,35 @@ class StreamingRollupSpec extends SparkSpec {
     assert(stateTruth(stateDir) == afterDelete)
   }
 
+  test("CDC bridge: envelope deltas through the signed materializer " +
+      "equal the declared cdc_ivm_rollup query") {
+    val stateDir = Files.createTempDirectory("graft_rollup_cdc").toString
+    val deltas = graft.operators.CdcDeltas.signedDeltas(
+        queries.CdcQueries.enriched(spark, sf))
+      .select(col("image").getItem("event_type").as("event_type"),
+        col("image").getItem("value").as("value"),
+        col("sign"), col("pos"))
+    val m = StreamingRollup.materializerSigned(spark, stateDir,
+      Seq("event_type"), Seq("value_sum" -> "value"), "sign") _
+    // epoch split on binlog position — updates' retract/insert pairs
+    // share a pos, so pairs never straddle epochs here; the signed
+    // algebra wouldn't care if they did (out-of-order test above)
+    m(deltas.filter(col("pos") % 3 === 0).drop("pos"), 0L)
+    m(deltas.filter(col("pos") % 3 === 1).drop("pos"), 1L)
+    m(deltas.filter(col("pos") % 3 === 2).drop("pos"), 2L)
+
+    val got = StreamingRollup.rollup(spark, stateDir, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        col("value_sum").cast("double").as("value_sum"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = SparkEntry.queries("cdc_ivm_rollup")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("time travel: the rollup as of each retained epoch is the " +
       "prefix aggregate") {
     val stateDir = Files.createTempDirectory("graft_rollup_asof").toString

@@ -142,6 +142,27 @@ object CdcApply {
     ()
   }
 
+  /** [[materializer]] that ALSO produces a lookup changelog: before
+    * applying the batch it derives signed retraction deltas from the
+    * replica's pre-epoch state ([[CdcDeltas.lookupDeltas]] — the
+    * changelog producer for feeds with no before-images, e.g. the
+    * Mongo `fullDocument` shape), applies, then hands the deltas to
+    * `downstream` (a signed rollup / join-view materializer, which
+    * fences its own epoch). Crash anywhere and the replay derives the
+    * IDENTICAL deltas: the lookup reads strictly-pre-epoch bucket
+    * versions, which the retirement grace keeps alive exactly until
+    * the next epoch commits — the foreachBatch replay window.
+    */
+  def materializerWithChangelog(spark: SparkSession, stateDir: String,
+      numBuckets: Int = DefaultBuckets, retain: Int = 2)(
+      downstream: (DataFrame, Long) => Unit)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val deltas = CdcDeltas.lookupDeltas(spark, stateDir, batch, batchId,
+      numBuckets, retain)
+    materializer(spark, stateDir, numBuckets, retain)(batch, batchId)
+    downstream(deltas, batchId)
+  }
+
   /** Streaming materializer (out-of-order arm): same fenced bucketed
     * protocol, each epoch folding through [[applyBatchVersioned]] —
     * exact under ANY arrival order and at-least-once re-delivery,

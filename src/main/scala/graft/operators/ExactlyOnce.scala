@@ -563,6 +563,46 @@ object ExactlyOnce {
     if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
   }
 
+  /** The bucketed state STRICTLY BEFORE epoch `batchId`, restricted to
+    * a bucket subset — the read the changelog-lookup producer needs:
+    * "what did this epoch's touched buckets hold before it committed",
+    * answered identically whether the epoch's own advance has already
+    * committed or not (its versions carry epoch ≥ `batchId` and are
+    * skipped), which is what makes a lookup-derived changelog
+    * replay-stable across the torn-epoch window. Resolvable as long as
+    * the pre-epoch versions sit inside the retirement grace: with the
+    * default retain=2 that is exactly until the NEXT epoch commits —
+    * the same window foreachBatch replays are confined to. Same
+    * retired-vs-written-empty disambiguation as
+    * [[currentStateBucketedAsOf]].
+    */
+  def stateBucketsBefore(spark: SparkSession, stateDir: String,
+      batchId: Long, buckets: Set[Int], retain: Int = 2)(
+      empty: => DataFrame): DataFrame = {
+    val fs = stateFs(spark, stateDir)
+    val paths = bucketOwners(spark, stateDir).toSeq.sortBy(_._1)
+      .filter { case (b, _) => buckets.contains(b) }
+      .flatMap { case (b, es) =>
+        es.find(_ < batchId) match {
+          case Some(e) if es.take(retain).contains(e) =>
+            val p = s"$stateDir/state-$e/__bucket=$b"
+            if (fs.exists(new org.apache.hadoop.fs.Path(p))) Some(p)
+            else None // owner epoch wrote this bucket empty
+          case Some(e) => sys.error(
+            s"bucket $b's pre-epoch-$batchId version (epoch $e) is" +
+              s" outside the $retain-version retained window — derive" +
+              " the changelog before advancing further epochs, or" +
+              " advance with a larger retain")
+          case None if es.size >= retain => sys.error(
+            s"bucket $b has no retained version below epoch $batchId" +
+              " and its owner list may be truncated — cannot prove the" +
+              " bucket was empty then")
+          case None => None // bucket born at/after batchId, provably
+        }
+      }
+    if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
+  }
+
   /** APPEND-ONLY epoch-fenced state — the durable form of a standing
     * index whose per-epoch update is a disjoint DELTA (the
     * StreamingDupSpans ordered-feed shape): each epoch writes only its

@@ -45,18 +45,54 @@ object CdcApply {
         col("env.source.pos").as("pos"))
   }
 
-  /** Apply a change batch to the current state (both keyed by
-    * partitionKey): surviving state = old rows whose key saw no change,
-    * plus the after-image of every non-delete last change.
+  /** Latest change per key for a MONGO change-stream batch
+    * (`value` = mongo envelope JSON): op mapped from `operationType`
+    * (insert/replace → c, update → u, delete → d), the image from
+    * `fullDocument` (post-image only — mongo never ships a
+    * before-image, which is why the lookup changelog exists), and the
+    * order key (ts_ms, pos) with `pos` = the numeric tail of `_id`
+    * (mongo has no binlog position; real deployments order on
+    * clusterTime — the fixture's `_id` is the deterministic stand-in).
+    * Same output shape as [[lastChangePerKey]], so every downstream
+    * (applyChanges, lookup deltas) is envelope-agnostic.
     */
-  def applyBatch(state: DataFrame, batch: DataFrame): DataFrame = {
-    val changes = lastChangePerKey(batch)
+  def lastChangePerKeyMongo(batch: DataFrame): DataFrame = {
+    val env = batch.withColumn("env",
+      from_json(col("value"), graft.model.CdcEnvelope.mongoEnvelope))
+    val op = when(col("env.operationType") === "delete", "d")
+      .when(col("env.operationType") === "update", "u")
+      .otherwise("c")
+    val pos = regexp_extract(col("env._id"), "(\\d+)$", 1).cast("long")
+    val w = Window.partitionBy(col("partitionKey"))
+      .orderBy(col("env.ts_ms").desc, pos.desc)
+    env.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(
+        col("partitionKey"),
+        op.as("op"),
+        from_json(col("env.fullDocument"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)).as("after"),
+        col("env.ts_ms").as("ts_ms"),
+        pos.as("pos"))
+  }
+
+  /** Apply a last-change-per-key frame to the current state (both
+    * keyed by partitionKey): surviving state = old rows whose key saw
+    * no change, plus the after-image of every non-delete last change.
+    */
+  def applyChanges(state: DataFrame, changes: DataFrame): DataFrame = {
     val untouched = state.join(
       changes.select(col("partitionKey")), Seq("partitionKey"), "left_anti")
     val upserts = changes.filter(col("op") =!= "d")
       .select(col("partitionKey"), col("after"), col("ts_ms"), col("pos"))
     untouched.unionByName(upserts)
   }
+
+  /** [[applyChanges]] over a MySQL-envelope batch. */
+  def applyBatch(state: DataFrame, batch: DataFrame): DataFrame =
+    applyChanges(state, lastChangePerKey(batch))
 
   /** Apply with an explicit version guard — exact for ANY arrival
     * order: across state ∪ batch, each key keeps the change with the
@@ -160,6 +196,35 @@ object CdcApply {
     val deltas = CdcDeltas.lookupDeltas(spark, stateDir, batch, batchId,
       numBuckets, retain)
     materializer(spark, stateDir, numBuckets, retain)(batch, batchId)
+    downstream(deltas, batchId)
+  }
+
+  /** [[materializer]] for MONGO change-stream batches (op from
+    * `operationType`, image from `fullDocument`).
+    */
+  def materializerMongo(spark: SparkSession, stateDir: String,
+      numBuckets: Int = DefaultBuckets, retain: Int = 2)(
+      batch: DataFrame, batchId: Long): Unit = {
+    ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, batch,
+      "partitionKey", numBuckets, retain)(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        lastChangePerKeyMongo(batch.limit(0)).drop("op").schema))(
+      current => applyChanges(current, lastChangePerKeyMongo(batch)))
+    ()
+  }
+
+  /** [[materializerWithChangelog]] for MONGO feeds — the shape the
+    * lookup producer exists for (`fullDocument` only, never a
+    * before-image, reference `MongoCDC2AWSMSK.scala:95-96`).
+    */
+  def materializerWithChangelogMongo(spark: SparkSession,
+      stateDir: String, numBuckets: Int = DefaultBuckets,
+      retain: Int = 2)(downstream: (DataFrame, Long) => Unit)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val deltas = CdcDeltas.lookupDeltasMongo(spark, stateDir, batch,
+      batchId, numBuckets, retain)
+    materializerMongo(spark, stateDir, numBuckets, retain)(batch, batchId)
     downstream(deltas, batchId)
   }
 

@@ -73,18 +73,41 @@ object CdcDeltas {
   def lookupDeltas(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, batch: DataFrame, batchId: Long,
       numBuckets: Int = CdcApply.DefaultBuckets,
-      retain: Int = 2): DataFrame = {
-    val changes = CdcApply.lastChangePerKey(batch)
+      retain: Int = 2): DataFrame =
+    lookupCore(spark, stateDir, CdcApply.lastChangePerKey(batch),
+      batchId, numBuckets, retain)
+
+  /** [[lookupDeltas]] for MONGO change-stream batches — the feed the
+    * lookup producer exists for (no before-images at all: see
+    * [[CdcApply.lastChangePerKeyMongo]]).
+    */
+  def lookupDeltasMongo(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, batch: DataFrame, batchId: Long,
+      numBuckets: Int = CdcApply.DefaultBuckets,
+      retain: Int = 2): DataFrame =
+    lookupCore(spark, stateDir, CdcApply.lastChangePerKeyMongo(batch),
+      batchId, numBuckets, retain)
+
+  /** Envelope-agnostic core: `changes` is any last-change-per-key
+    * frame in [[CdcApply.lastChangePerKey]]'s shape.
+    */
+  private def lookupCore(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, changesIn: DataFrame, batchId: Long,
+      numBuckets: Int, retain: Int): DataFrame = {
+    val changes = changesIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val touched = changes
         .select(ExactlyOnce.bucketOf("partitionKey", numBuckets).as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
+      def emptyPre = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        changes.drop("op").schema)
       val pre =
         if (!ExactlyOnce.hasCommittedState(spark, stateDir) ||
-          touched.isEmpty) CdcApply.emptyReplica(spark, batch)
+          touched.isEmpty) emptyPre
         else ExactlyOnce.stateBucketsBefore(spark, stateDir, batchId,
-          touched, retain)(CdcApply.emptyReplica(spark, batch))
+          touched, retain)(emptyPre)
       val retractions = pre.join(
           changes.select(col("partitionKey")), Seq("partitionKey"))
         .select(col("after").as("image"), lit(-1).as("sign"),

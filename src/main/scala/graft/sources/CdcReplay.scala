@@ -156,15 +156,28 @@ object CdcReplay {
     * produces (reference MongoCDC2AWSMSK.scala:156-169).
     */
   def mongoEnvelopeJson(events: DataFrame, db: String = "test_db",
-      coll: String = "events", copyExisting: Boolean = false): DataFrame = {
+      coll: String = "events", copyExisting: Boolean = false,
+      withFullDocument: Boolean = false): DataFrame = {
     val op = opExpr(col("event_id"))
     val opType =
       if (copyExisting) lit("insert")
       else when(op === "d", "delete").when(op === "u", "update")
         .otherwise("insert")
+    // the real change stream carries the post-image for inserts and
+    // replaces (and for updates under updateLookup) but NEVER a
+    // before-image — which is exactly why the Mongo apply path needs
+    // the lookup changelog producer. Deletes carry no document.
+    val fullDoc =
+      if (!withFullDocument) lit(null).cast("string")
+      else when(opType === "delete", lit(null).cast("string"))
+        .otherwise(to_json(struct(
+          col("event_id").cast("string").as("event_id"),
+          col("event_type").cast("string").as("event_type"),
+          col("value").cast("string").as("value"))))
     events.select(to_json(struct(
       concat(lit("evt_"), col("event_id")).as("_id"),
       opType.as("operationType"),
+      fullDoc.as("fullDocument"),
       struct(lit(db).as("db"), lit(coll).as("coll")).as("ns"),
       concat(lit("{\"_id\": "), col("event_id"), lit("}")).as("documentKey"),
       (unix_timestamp(col("ts")) * 1000).as("ts_ms"))).as("value"))

@@ -97,6 +97,53 @@ class ChangelogLookupSpec extends SparkSpec {
     assert(deltasFor(Seq(envelope("zz", "d", 12, "", "")), 1L).isEmpty)
   }
 
+  test("mongo end-to-end: a real fullDocument feed (no before-images " +
+      "by construction) through the mongo changelog materializer") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val replicaDir = Files.createTempDirectory("graft_cl_mongo").toString
+    val rollupDir = Files.createTempDirectory("graft_cl_mongo_r").toString
+    val envs = graft.sources.CdcReplay.mongoEnvelopeJson(
+      queries.Tables.events(spark, sf), withFullDocument = true)
+    val enrichedRecs = graft.operators.CdcEnrichment
+      .enrichMongo(envs.as[String]).toDF()
+      .withColumn("__id",
+        regexp_extract(col("partitionKey"), "(\\d+)$", 1).cast("long"))
+
+    def feedMongoRollup(deltas: DataFrame, id: Long): Unit =
+      StreamingRollup.materializerSigned(spark, rollupDir,
+        Seq("event_type"), Seq("v_sum" -> "v"), "sign")(
+        deltas.select(
+          element_at(col("image"), "event_type").as("event_type"),
+          element_at(col("image"), "value").as("v"), col("sign")), id)
+
+    val m = CdcApply.materializerWithChangelogMongo(spark, replicaDir)(
+      feedMongoRollup) _
+    (0 until 3).foreach { e =>
+      m(enrichedRecs.filter(col("__id") % 3 === e).drop("__id"), e.toLong)
+    }
+
+    val got = StreamingRollup.rollup(spark, rollupDir, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        col("v_sum").cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val want = CdcApply.replica(spark, replicaDir)
+      .select(element_at(col("after"), "event_type").as("et"),
+        element_at(col("after"), "value").cast("decimal(18,2)").as("v"))
+      .groupBy(col("et"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // and the replica is exactly the non-delete fixture rows (deletes
+    // target keys never inserted in this replay — they no-op)
+    val nonDelete = queries.Tables.events(spark, sf)
+      .filter(col("event_id") % 10 =!= 0).count()
+    assert(CdcApply.replica(spark, replicaDir).count() == nonDelete)
+  }
+
   test("torn epoch: replica advance committed, crash before the " +
       "downstream consumed — the replay derives identical deltas") {
     val replicaDir = Files.createTempDirectory("graft_cl_torn").toString

@@ -516,6 +516,57 @@ object ScaleSmoke {
       s"$jvViewRows view rows, pass=$jvPass")
     if (!jvPass) failed += "join_view_materializer"
 
+    // Grouped-KMV sketch + stratified reservoir at 30x: bulk epoch
+    // folds the full corpus, steady epochs ingest 8 fresh docs — the
+    // standing state stays K-bounded per stratum (the whole point:
+    // distinct-count and sample state are O(k·strata) at ANY corpus
+    // size), and a steady epoch rewrites only its touched buckets'
+    // slice of that already-tiny table.
+    val gkDir = s"$dir/gkmv_state"
+    val rsDir = s"$dir/resv_state"
+    hfs.delete(new org.apache.hadoop.fs.Path(gkDir), true)
+    hfs.delete(new org.apache.hadoop.fs.Path(rsDir), true)
+    val docsForSketch = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val sketchEpochs = scala.collection.mutable.ArrayBuffer.empty[String]
+    // captured INSIDE the loop — retirement (keep-2 grace) sweeps the
+    // bulk epoch's version dirs once two steady epochs touch the same
+    // buckets, so post-loop reads would measure the sweep
+    val kmvWrites = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val resvWrites = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (0 to 2).foreach { e =>
+      val batch =
+        if (e == 0) docsForSketch
+        else docsForSketch.orderBy(col("doc_id"))
+          .limit(8).withColumn("doc_id", col("doc_id") + lit(e * 7919L))
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingGroupedKmv.materializer(spark, gkDir,
+        Seq("lang"), "doc_id")(batch, e.toLong)
+      graft.streaming.StreamingReservoir.materializer(spark, rsDir,
+        Seq("lang"), "doc_id",
+        graft.streaming.StreamingReservoir.uniformPriority(
+          col("doc_id"), "scale_"), 16)(batch, e.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gw = dirRows(s"$gkDir/state-$e"); val rw = dirRows(s"$rsDir/state-$e")
+      kmvWrites += gw; resvWrites += rw
+      sketchEpochs += s"""{"epoch":$e,"sec":${math.round(sec * 1000) / 1000.0},"kmv_rows_written":$gw,"reservoir_rows_written":$rw}"""
+      println(f"[scale] sketch epoch $e: $sec%.1f s, $gw kmv rows / " +
+        f"$rw reservoir rows written")
+    }
+    val gkGroups = graft.streaming.StreamingGroupedKmv
+      .estimates(spark, gkDir, Seq("lang")).count()
+    val rsRows = graft.streaming.StreamingReservoir
+      .sample(spark, rsDir).count()
+    // state stays k-bounded: the reservoir is exactly 16 rows per
+    // stratum; the sketch one row per stratum; steady epochs wrote a
+    // strict subset of the bulk write
+    val sketchPass = rsRows == gkGroups * 16 &&
+      kmvWrites(2) <= kmvWrites(0) && resvWrites(2) <= resvWrites(0) &&
+      gkGroups > 0
+    println(s"[scale] sketch state: $gkGroups strata, $rsRows sampled " +
+      s"rows (k=16), pass=$sketchPass")
+    if (!sketchPass) failed += "sketch_reservoir_state_bound"
+
     // ---- artifact ----
     def jnum(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -533,7 +584,8 @@ object ScaleSmoke {
           .mkString("[", ",", "]")},"live_rows":$repLive,"steady_epoch_rows":$repSteadyRows,"o_touched_pass":$repPass},"dup_spans":{"epochs":${dupEpochs
           .mkString("[", ",", "]")},"delta_rows_total":$deltaTotal,"corpus_distinct_pairs":$distinctPairs,"o_batch_write_pass":$dupPass},"lsh_index":{"shards":$LshShards,"epochs":${lshEpochs
           .mkString("[", ",", "]")},"index_rows":$lshIndexRows,"dup_events":$lshEvents,"steady_epoch_rows":$lshSteadyRows,"steady_epoch_shards":$lshSteadyTouched,"slice_bound_rows":${math.round(lshSliceBound)},"o_touched_pass":$lshPass},"join_view":{"buckets":$JvBuckets,"epochs":${jvEpochs
-          .mkString("[", ",", "]")},"view_rows":$jvViewRows,"view_mass":$jvMass,"batch_join_rows":$jvTruth,"steady_epoch_rows":$jvSteadyRows,"parity_pass":$jvParity,"o_touched_pass":$jvPass}},"failed":${failed
+          .mkString("[", ",", "]")},"view_rows":$jvViewRows,"view_mass":$jvMass,"batch_join_rows":$jvTruth,"steady_epoch_rows":$jvSteadyRows,"parity_pass":$jvParity,"o_touched_pass":$jvPass},"sketch_reservoir":{"epochs":${sketchEpochs
+          .mkString("[", ",", "]")},"strata":$gkGroups,"reservoir_rows":$rsRows,"state_bound_pass":$sketchPass}},"failed":${failed
           .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"single timed noop-sink pass per op (cold plans; 30x scale: 90% of texts cloned 30x, 10% stratum singleton + one-token near-dup variant), untimed count for cardinality"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

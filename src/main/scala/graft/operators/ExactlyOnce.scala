@@ -539,25 +539,39 @@ object ExactlyOnce {
     require(isEpochCommitted(spark, stateDir, asOf),
       s"epoch $asOf never committed at $stateDir — as-of reads name a" +
         " committed epoch")
+    resolveVersioned(spark, stateDir, retain, None,
+      _ <= asOf, s"at or below epoch $asOf")(empty)
+  }
+
+  /** Shared version resolver for the historical readers ([[currentStateBucketedAsOf]],
+    * [[stateBucketsBefore]]): per bucket, the newest owner satisfying
+    * `pick`, with the three-way disambiguation the scaladocs above
+    * describe (in-window + dir present → read; in-window + dir absent →
+    * written empty; out-of-window or unprovable → fail loudly).
+    */
+  private def resolveVersioned(spark: SparkSession, stateDir: String,
+      retain: Int, buckets: Option[Set[Int]], pick: Long => Boolean,
+      describe: String)(empty: => DataFrame): DataFrame = {
     val fs = stateFs(spark, stateDir)
     val paths = bucketOwners(spark, stateDir).toSeq.sortBy(_._1)
+      .filter { case (b, _) => buckets.forall(_.contains(b)) }
       .flatMap { case (b, es) =>
-        es.find(_ <= asOf) match {
+        es.find(pick) match {
           case Some(e) if es.take(retain).contains(e) =>
             val p = s"$stateDir/state-$e/__bucket=$b"
             if (fs.exists(new org.apache.hadoop.fs.Path(p))) Some(p)
             else None // owner epoch wrote this bucket empty
           case Some(e) => sys.error(
-            s"bucket $b as of epoch $asOf resolves to epoch $e, which" +
-              s" is outside the $retain-version retained window — the" +
-              " version was retired; advance with a larger retain to" +
-              " keep deeper history")
+            s"bucket $b's version $describe (epoch $e) is outside the" +
+              s" $retain-version retained window — the version was" +
+              " retired; advance with a larger retain to keep deeper" +
+              " history")
           case None if es.size >= retain => sys.error(
-            s"bucket $b has no retained version at or below epoch" +
-              s" $asOf and its $retain-deep owner list may be" +
-              " truncated — cannot prove the bucket was empty then;" +
-              " advance with a larger retain to keep deeper history")
-          case None => None // bucket born after asOf, provably
+            s"bucket $b has no retained version $describe and its" +
+              s" $retain-deep owner list may be truncated — cannot" +
+              " prove the bucket was empty then; advance with a larger" +
+              " retain to keep deeper history")
+          case None => None // bucket provably born outside the window
         }
       }
     if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
@@ -578,30 +592,9 @@ object ExactlyOnce {
     */
   def stateBucketsBefore(spark: SparkSession, stateDir: String,
       batchId: Long, buckets: Set[Int], retain: Int = 2)(
-      empty: => DataFrame): DataFrame = {
-    val fs = stateFs(spark, stateDir)
-    val paths = bucketOwners(spark, stateDir).toSeq.sortBy(_._1)
-      .filter { case (b, _) => buckets.contains(b) }
-      .flatMap { case (b, es) =>
-        es.find(_ < batchId) match {
-          case Some(e) if es.take(retain).contains(e) =>
-            val p = s"$stateDir/state-$e/__bucket=$b"
-            if (fs.exists(new org.apache.hadoop.fs.Path(p))) Some(p)
-            else None // owner epoch wrote this bucket empty
-          case Some(e) => sys.error(
-            s"bucket $b's pre-epoch-$batchId version (epoch $e) is" +
-              s" outside the $retain-version retained window — derive" +
-              " the changelog before advancing further epochs, or" +
-              " advance with a larger retain")
-          case None if es.size >= retain => sys.error(
-            s"bucket $b has no retained version below epoch $batchId" +
-              " and its owner list may be truncated — cannot prove the" +
-              " bucket was empty then")
-          case None => None // bucket born at/after batchId, provably
-        }
-      }
-    if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
-  }
+      empty: => DataFrame): DataFrame =
+    resolveVersioned(spark, stateDir, retain, Some(buckets),
+      _ < batchId, s"below epoch $batchId")(empty)
 
   /** APPEND-ONLY epoch-fenced state — the durable form of a standing
     * index whose per-epoch update is a disjoint DELTA (the

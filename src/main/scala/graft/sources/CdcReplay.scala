@@ -191,10 +191,10 @@ object CdcReplay {
     * so both the fixture's nanos-long and plain timestamp layouts work.
     */
   def mongoStream(spark: SparkSession, sfDir: String,
-      afterId: Long = -1L): DataFrame = {
+      afterId: Long = -1L, withFullDocument: Boolean = false): DataFrame = {
     val raw = rawEventsStream(spark, sfDir)
     val fenced = if (afterId >= 0) raw.filter(col("event_id") > afterId) else raw
-    mongoEnvelopeJson(fenced)
+    mongoEnvelopeJson(fenced, withFullDocument = withFullDocument)
   }
 
   /** Streaming replay: the same pipeline under readStream (file source).

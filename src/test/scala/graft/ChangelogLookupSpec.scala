@@ -144,6 +144,49 @@ class ChangelogLookupSpec extends SparkSpec {
     assert(CdcApply.replica(spark, replicaDir).count() == nonDelete)
   }
 
+  test("the mongo changelog materializer runs under a REAL readStream " +
+      "foreachBatch and converges to the same replica-tracking rollup") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val replicaDir = Files.createTempDirectory("graft_cl_ms").toString
+    val rollupDir = Files.createTempDirectory("graft_cl_ms_r").toString
+
+    def feedMongoRollup(deltas: DataFrame, id: Long): Unit =
+      StreamingRollup.materializerSigned(spark, rollupDir,
+        Seq("event_type"), Seq("v_sum" -> "v"), "sign")(
+        deltas.select(
+          element_at(col("image"), "event_type").as("event_type"),
+          element_at(col("image"), "value").as("v"), col("sign")), id)
+
+    val q = graft.sources.CdcReplay
+      .mongoStream(spark, sf, withFullDocument = true)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val enrichedRecs = graft.operators.CdcEnrichment
+          .enrichMongo(batch.select(col("value")).as[String]).toDF()
+        CdcApply.materializerWithChangelogMongo(spark, replicaDir)(
+          feedMongoRollup)(enrichedRecs, id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+
+    val got = StreamingRollup.rollup(spark, rollupDir, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        col("v_sum").cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val want = CdcApply.replica(spark, replicaDir)
+      .select(element_at(col("after"), "event_type").as("et"),
+        element_at(col("after"), "value").cast("decimal(18,2)").as("v"))
+      .groupBy(col("et"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("torn epoch: replica advance committed, crash before the " +
       "downstream consumed — the replay derives identical deltas") {
     val replicaDir = Files.createTempDirectory("graft_cl_torn").toString

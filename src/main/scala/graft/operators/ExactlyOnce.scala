@@ -627,6 +627,75 @@ object ExactlyOnce {
     }
   }
 
+  /** [[appendDelta]] with the delta HASH-PARTITIONED by key bucket —
+    * the per-bucket LSM that gives the append-only protocol a
+    * bucket-pruned READ path ([[appendedStateBuckets]]) while keeping
+    * the O(delta) write: each epoch writes
+    * `delta-<batchId>/__bucket=<b>` for only the buckets its delta
+    * lands in, under the same ledger-marker commit (crash before the
+    * marker → the delta is invisible; the replay overwrites it). The
+    * bucket count is pinned like [[advanceStateBucketed]]'s — a key's
+    * bucket is structural. Probes then read only the touched buckets'
+    * slice of base + deltas instead of the whole standing index: at a
+    * 100 TB index the difference between scanning a few files and
+    * rescanning the index every micro-batch.
+    */
+  def appendDeltaBucketed(spark: SparkSession, stateDir: String,
+      batchId: Long, keyCol: String, numBuckets: Int)(
+      delta: => DataFrame): Boolean = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val fs = stateFs(spark, stateDir)
+    val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
+    if (epochFenced(fs, ledger, batchId)) false
+    else {
+      pinBucketCount(fs, ledger, numBuckets)
+      delta.withColumn("__bucket", bucketExpr(keyCol, numBuckets))
+        // cluster by bucket: O(1) files per touched bucket (same
+        // trade as advanceStateBucketed — drop at cluster scale)
+        .repartition(numBuckets, col("__bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+        .parquet(s"$stateDir/delta-$batchId")
+      fs.create(new org.apache.hadoop.fs.Path(
+        ledger, s"epoch-$batchId"), true).close()
+      true
+    }
+  }
+
+  /** The bucket-pruned read of a bucketed-append state: base + every
+    * committed delta, restricted to `buckets` — the probe side of the
+    * per-bucket LSM. Missing `__bucket=<b>` children are buckets that
+    * component never touched (partitioned writes emit no dir for an
+    * empty slice) and contribute nothing.
+    */
+  def appendedStateBuckets(spark: SparkSession, stateDir: String,
+      buckets: Set[Int])(empty: => DataFrame): DataFrame = {
+    val fs = stateFs(spark, stateDir)
+    val BucketDirRe = "^__bucket=(\\d+)$".r
+    val paths = appendedComponentDirs(spark, stateDir).flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+        case n @ BucketDirRe(b) if buckets.contains(b.toInt) => s"$d/$n"
+      }
+    }
+    if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
+  }
+
+  /** The live component dirs of an appended state, oldest first:
+    * newest committed base (if any) + every committed, unretired
+    * delta after it.
+    */
+  private def appendedComponentDirs(spark: SparkSession,
+      stateDir: String): Seq[String] = {
+    val fs = stateFs(spark, stateDir)
+    val base = committedCompacts(spark, stateDir).sorted.lastOption
+    base.map(b => s"$stateDir/base-$b").toSeq ++
+      committedEpochs(spark, stateDir)
+        .filter(e => base.forall(_ < e)).sorted
+        .map(e => s"$stateDir/delta-$e")
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+  }
+
   private val CompactMarkerRe = "^compact-(\\d+)$".r
 
   private def committedCompacts(spark: SparkSession, stateDir: String): Seq[Long] = {
@@ -643,15 +712,17 @@ object ExactlyOnce {
   def appendedState(spark: SparkSession, stateDir: String)(
       empty: => DataFrame): DataFrame = {
     val fs = stateFs(spark, stateDir)
-    val base = committedCompacts(spark, stateDir).sorted.lastOption
-    val deltas = committedEpochs(spark, stateDir)
-      .filter(e => base.forall(_ < e)).sorted
-      // a delta folded into the base was retired; skip retired dirs
-      .filter(e => fs.exists(
-        new org.apache.hadoop.fs.Path(s"$stateDir/delta-$e")))
-      .map(e => spark.read.parquet(s"$stateDir/delta-$e"))
-    val parts = base.map(b =>
-      spark.read.parquet(s"$stateDir/base-$b")).toSeq ++ deltas
+    // a bucketed component whose epoch had an all-empty delta holds no
+    // partition dirs at all (only _SUCCESS) — committed, but nothing to
+    // read and no schema to infer: skip it
+    val parts = appendedComponentDirs(spark, stateDir)
+      .filter { d =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(d)).exists { s =>
+          val n = s.getPath.getName
+          n.startsWith("__bucket=") || n.startsWith("part-")
+        }
+      }
+      .map(d => spark.read.parquet(d))
     if (parts.isEmpty) empty else parts.reduce(_ unionByName _)
   }
 
@@ -665,8 +736,12 @@ object ExactlyOnce {
     val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
     val upTo = committedEpochs(spark, stateDir).sorted.lastOption
     upTo.filter(e => !committedCompacts(spark, stateDir).contains(e)).map { e =>
-      appendedState(spark, stateDir)(empty).write.mode(SaveMode.Overwrite)
-        .parquet(s"$stateDir/base-$e")
+      val folded = appendedState(spark, stateDir)(empty)
+      // a per-bucket LSM ([[appendDeltaBucketed]]) folds to a bucketed
+      // base, so compaction preserves the pruned-read layout
+      val w = folded.write.mode(SaveMode.Overwrite)
+      (if (folded.columns.contains("__bucket"))
+        w.partitionBy("__bucket") else w).parquet(s"$stateDir/base-$e")
       fs.create(new org.apache.hadoop.fs.Path(
         ledger, s"compact-$e"), true).close()
       // retirement only AFTER the compact marker — a crash mid-delete

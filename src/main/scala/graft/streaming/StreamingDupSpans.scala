@@ -148,26 +148,83 @@ object StreamingDupSpans {
     (spans, delta)
   }
 
-  /** Durable ordered-feed materializer: foreachBatch body that probes
-    * the standing index persisted under `stateDir` (LSM-style: a
-    * compacted base plus per-epoch delta parquet — the
-    * [[graft.operators.ExactlyOnce.appendedState]] protocol), writes
-    * the batch's spans to `spansDir/epoch=<batchId>`, appends the
-    * O(batch) index delta, and commits both under one epoch marker so
-    * a crashed epoch replays as a pure overwrite. Every `compactEvery`
-    * epochs the accumulated deltas fold into a fresh base (a pure
-    * rewrite — delta key sets are disjoint by construction).
+  /** How many hash buckets the persisted gram index is split across.
+    * Small here (tests); a 100 TB index would use ~a million — the
+    * per-epoch probe reads min(batch's distinct grams, numBuckets)
+    * buckets, so more buckets = finer pruning, bounded below by sane
+    * file sizes.
+    */
+  val DefaultBuckets = 64
+
+  /** The buckets a batch's grams land in — the probe set. Bounded
+    * driver collect (≤ numBuckets ints), same class as the
+    * touched-bucket probes of the other materializers.
+    */
+  def touchedBuckets(batch: DataFrame, numBuckets: Int): Set[Int] = {
+    import graft.operators.ExactlyOnce
+    gramRows(batch)
+      .select(ExactlyOnce.bucketOf("gh1", numBuckets).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+  }
+
+  /** The standing index restricted to `buckets` — the bucket-pruned
+    * probe the materializer joins the batch against. Because a gram's
+    * bucket is a pure function of its gh1, every index row that COULD
+    * match a batch gram lives in the batch's touched buckets, so the
+    * pruned probe and a full-index probe mine identical spans; the
+    * pruned one reads O(touched buckets) files, never the index.
+    */
+  def probeIndex(spark: SparkSession, stateDir: String,
+      buckets: Set[Int], numBuckets: Int = DefaultBuckets): DataFrame = {
+    import graft.operators.ExactlyOnce
+    ExactlyOnce.appendedStateBuckets(spark, stateDir, buckets)(
+      emptyIndex(spark))
+      .select(col("gh1"), col("gh2"), col("dmin"))
+  }
+
+  /** Durable ordered-feed materializer: foreachBatch body over a
+    * standing gram index persisted as a PER-BUCKET LSM
+    * ([[graft.operators.ExactlyOnce.appendDeltaBucketed]] — hash-
+    * bucketed on gh1, a compacted bucketed base plus per-epoch
+    * bucket-partitioned deltas). Per epoch:
+    *
+    *   1. probe — read ONLY the buckets the batch's grams land in
+    *      ([[probeIndex]]): O(batch + touched buckets' index slice)
+    *      per micro-batch, never O(index). A small steady-state batch
+    *      against a 100 TB index reads a few bucket files; the
+    *      pre-bucketing flat-LSM probe rescanned the index every epoch
+    *      (the round-7 scale-killer residue);
+    *   2. mine the batch's spans against the pruned index
+    *      ([[advanceOrdered]] — identical output, see [[probeIndex]])
+    *      and write them to `spansDir/epoch=<batchId>`;
+    *   3. append the O(batch new hashes) delta into its touched
+    *      buckets, committed by the epoch marker — spans land BEFORE
+    *      the marker, so a crash anywhere replays as a pure overwrite
+    *      (the probe reads committed state only, which a torn epoch
+    *      never changed).
+    *
+    * Every `compactEvery` epochs the accumulated deltas fold into a
+    * fresh bucketed base (a pure rewrite — delta key sets are disjoint
+    * by construction, and compaction preserves the bucket layout).
     */
   def materializer(spark: SparkSession, stateDir: String, spansDir: String,
-      compactEvery: Int = 8)(batch: DataFrame, batchId: Long): Unit = {
+      compactEvery: Int = 8, numBuckets: Int = DefaultBuckets)(
+      batch: DataFrame, batchId: Long): Unit = {
     import graft.operators.ExactlyOnce
-    ExactlyOnce.writeFenced(spark, s"$stateDir/_ledger", batchId) { () =>
-      val index = ExactlyOnce.appendedState(spark, stateDir)(emptyIndex(spark))
-      val (spans, delta) = advanceOrdered(index, batch)
-      spans.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$spansDir/epoch=$batchId")
-      delta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$stateDir/delta-$batchId")
+    if (!ExactlyOnce.isEpochCommitted(spark, stateDir, batchId)) {
+      // the epoch evaluates the batch several times (touched probe,
+      // span mine, delta) — pin it so a source-backed micro-batch is
+      // scanned once
+      batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val touched = touchedBuckets(batch, numBuckets)
+        val index = probeIndex(spark, stateDir, touched, numBuckets)
+        val (spans, delta) = advanceOrdered(index, batch)
+        spans.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$spansDir/epoch=$batchId")
+        ExactlyOnce.appendDeltaBucketed(spark, stateDir, batchId,
+          "gh1", numBuckets)(delta)
+      } finally batch.unpersist()
     }
     if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
       ExactlyOnce.compactAppended(spark, stateDir)(emptyIndex(spark))

@@ -72,6 +72,38 @@ class DupSpansStateSpec extends SparkSpec {
       .count()
     assert(idx.count() == expectedDistinct)
     assert(idx.select(col("gh1"), col("gh2")).distinct().count() == expectedDistinct)
+
+    // the per-epoch probe is bucket-pruned: a steady-state batch reads
+    // ONLY the buckets its grams land in, never the standing index. A
+    // single 8-token doc has exactly one gram -> one touched bucket,
+    // and every file the pruned probe scans must sit under that
+    // bucket's partition dirs (base + deltas alike).
+    import spark.implicits._
+    val tiny = Seq((999999L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val touched = StreamingDupSpans.touchedBuckets(
+      tiny, StreamingDupSpans.DefaultBuckets)
+    assert(touched.size == 1, s"one gram must touch one bucket: $touched")
+    val probe = StreamingDupSpans.probeIndex(spark, stateDir, touched)
+    val BucketLeaf = ".*/__bucket=(\\d+)/[^/]+$".r
+    val probeFiles = probe.inputFiles.toSeq
+    assert(probeFiles.nonEmpty, "pruned probe read no files")
+    probeFiles.foreach {
+      case f @ BucketLeaf(b) =>
+        assert(touched.contains(b.toInt),
+          s"probe read $f outside touched buckets $touched")
+      case f => fail(s"probe read a non-bucketed file: $f")
+    }
+    // and the pruned probe mines the same spans a full-index probe
+    // would (a gram's bucket is a function of gh1 — nothing outside
+    // the touched buckets can match)
+    val full = ExactlyOnce.appendedState(spark, stateDir)(
+      StreamingDupSpans.emptyIndex(spark))
+      .select(col("gh1"), col("gh2"), col("dmin"))
+    val (prunedSpans, _) = StreamingDupSpans.advanceOrdered(probe, tiny)
+    val (fullSpans, _) = StreamingDupSpans.advanceOrdered(full, tiny)
+    assert(prunedSpans.collect().toSeq.sortBy(_.toString) ==
+      fullSpans.collect().toSeq.sortBy(_.toString))
   }
 
   test("compaction crash windows: an unmarked base is invisible; a marked " +

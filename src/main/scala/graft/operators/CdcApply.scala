@@ -47,13 +47,23 @@ object CdcApply {
 
   /** Latest change per key for a MONGO change-stream batch
     * (`value` = mongo envelope JSON): op mapped from `operationType`
-    * (insert/replace → c, update → u, delete → d), the image from
-    * `fullDocument` (post-image only — mongo never ships a
-    * before-image, which is why the lookup changelog exists), and the
-    * order key (ts_ms, pos) with `pos` = the numeric tail of `_id`
-    * (mongo has no binlog position; real deployments order on
-    * clusterTime — the fixture's `_id` is the deterministic stand-in).
-    * Same output shape as [[lastChangePerKey]], so every downstream
+    * — insert/replace → c, update → u, delete → d, and anything else
+    * (drop / rename / invalidate — collection-level events with no
+    * row image) FAILS LOUDLY rather than upserting garbage. The image
+    * comes from `fullDocument` (post-image only — mongo never ships a
+    * before-image, which is why the lookup changelog exists); a
+    * NON-delete change carrying no `fullDocument` (the change-stream
+    * default for updates unless `fullDocument=updateLookup` is set)
+    * also fails loudly — silently upserting a null image would corrupt
+    * the replica. Per-key order: (ts_ms, clusterTime, pos, value) —
+    * clusterTime is the change stream's real total order when present;
+    * `pos` (the numeric tail of `_id`, the fixture's deterministic
+    * stand-in) and finally the raw envelope string break remaining
+    * ties so two changes to one key in the same millisecond can never
+    * pick a nondeterministic winner (real Mongo `_id` resume tokens
+    * are hex blobs the regex does NOT match — pos is null there, and
+    * clusterTime + the value tiebreak carry the order instead). Same
+    * output shape as [[lastChangePerKey]], so every downstream
     * (applyChanges, lookup deltas) is envelope-agnostic.
     */
   def lastChangePerKeyMongo(batch: DataFrame): DataFrame = {
@@ -61,19 +71,30 @@ object CdcApply {
       from_json(col("value"), graft.model.CdcEnvelope.mongoEnvelope))
     val op = when(col("env.operationType") === "delete", "d")
       .when(col("env.operationType") === "update", "u")
-      .otherwise("c")
-    val pos = regexp_extract(col("env._id"), "(\\d+)$", 1).cast("long")
+      .when(col("env.operationType").isin("insert", "replace"), "c")
+      .otherwise(raise_error(concat(
+        lit("unsupported mongo operationType '"),
+        coalesce(col("env.operationType"), lit("null")),
+        lit("' — only insert/replace/update/delete carry row images"))))
+    val pos = regexp_extract(col("env._id"), "(\\d+)", 1).cast("long")
     val w = Window.partitionBy(col("partitionKey"))
-      .orderBy(col("env.ts_ms").desc, pos.desc)
+      .orderBy(col("env.ts_ms").desc, col("env.clusterTime").desc,
+        pos.desc, col("value").desc)
+    val afterParsed = from_json(col("env.fullDocument"),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+    val after = when(op === "d", afterParsed)
+      .otherwise(coalesce(afterParsed, raise_error(concat(
+        lit("mongo non-delete change for key "), col("partitionKey"),
+        lit(" carries no fullDocument — run the change stream with" +
+          " fullDocument=updateLookup")))))
     env.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(
         col("partitionKey"),
         op.as("op"),
-        from_json(col("env.fullDocument"),
-          org.apache.spark.sql.types.MapType(
-            org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.StringType)).as("after"),
+        after.as("after"),
         col("env.ts_ms").as("ts_ms"),
         pos.as("pos"))
   }
@@ -195,8 +216,16 @@ object CdcApply {
       batch: DataFrame, batchId: Long): Unit = {
     val deltas = CdcDeltas.lookupDeltas(spark, stateDir, batch, batchId,
       numBuckets, retain)
-    materializer(spark, stateDir, numBuckets, retain)(batch, batchId)
-    downstream(deltas, batchId)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // materialize the deltas BEFORE handing them on: the downstream
+      // signed materializer evaluates its input several times, and
+      // without the pin each evaluation would re-derive the
+      // last-change-per-key window and re-read the pre-epoch buckets
+      deltas.count()
+      materializer(spark, stateDir, numBuckets, retain)(batch, batchId)
+      downstream(deltas, batchId)
+    } finally deltas.unpersist()
   }
 
   /** [[materializer]] for MONGO change-stream batches (op from
@@ -224,8 +253,12 @@ object CdcApply {
       batch: DataFrame, batchId: Long): Unit = {
     val deltas = CdcDeltas.lookupDeltasMongo(spark, stateDir, batch,
       batchId, numBuckets, retain)
-    materializerMongo(spark, stateDir, numBuckets, retain)(batch, batchId)
-    downstream(deltas, batchId)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      deltas.count() // pin — see materializerWithChangelog
+      materializerMongo(spark, stateDir, numBuckets, retain)(batch, batchId)
+      downstream(deltas, batchId)
+    } finally deltas.unpersist()
   }
 
   /** Streaming materializer (out-of-order arm): same fenced bucketed

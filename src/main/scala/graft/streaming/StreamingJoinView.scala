@@ -57,10 +57,10 @@ import graft.operators.ExactlyOnce
   * Debezium feed supplies.
   *
   * Contracts: the two sides' non-key column names must be disjoint
-  * (checked, loud error — rename before joining); join keys must be
-  * non-null (the packed-key caveat shared with StreamingRollup:
-  * `concat_ws` drops nulls, so null-keyed rows would collide — SQL
-  * joins drop null keys anyway, so filter them upstream).
+  * (checked, loud error — rename before joining). Null-keyed rows are
+  * DROPPED at ingestion (SQL equi-joins never match them) and the
+  * packed key length-prefixes each part, so no key value can collide
+  * with a different key tuple.
   */
 object StreamingJoinView {
 
@@ -73,18 +73,33 @@ object StreamingJoinView {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], p.schema)
 
+  /** The packed join key: each part LENGTH-PREFIXED (`len:value`), so
+    * no key value — whatever bytes it contains — can collide with a
+    * different key tuple (the naive separator-join idiom collides when
+    * a part contains the separator). Null-keyed rows never reach this
+    * (filtered in [[partials]] — SQL equi-joins drop them anyway).
+    */
+  private def packKey(keys: Seq[String]): org.apache.spark.sql.Column =
+    concat(keys.flatMap { k =>
+      val s = col(k).cast("string")
+      Seq(length(s).cast("string"), lit(":"), s)
+    }: _*)
+
   /** One side's epoch delta: one row per distinct value-tuple with the
     * packed join key, the signed multiplicity (`__m` = Σ sign, rows
     * netting zero inside one batch drop out), and the epoch tag.
+    * Null-keyed rows are dropped here — an equi-join can never match
+    * them, and packing them would make distinct null tuples collide.
     */
   private def partials(batch: DataFrame, keys: Seq[String],
       signCol: Option[String], batchId: Long): DataFrame = {
     val sign = signCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val valueCols = batch.columns.toSeq.filterNot(signCol.contains)
-    batch.groupBy(valueCols.map(col): _*)
+    batch.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(valueCols.map(col): _*)
       .agg(sum(sign).as("__m"))
       .filter(col("__m") =!= 0)
-      .withColumn("__jkey", concat_ws("\u0001", keys.map(col): _*))
+      .withColumn("__jkey", packKey(keys))
       .withColumn("__e", lit(batchId))
   }
 

@@ -71,14 +71,25 @@ object StreamingReservoir {
   /** One batch's partial: per stratum its k best (smallest-priority)
     * rows, every original column retained plus `__prio`. Rows are
     * deduplicated per (stratum, id) first — id re-occurrence inside a
-    * batch must not double-enter the candidate pool.
+    * batch must not double-enter the candidate pool — keeping the
+    * row with the smallest full-row hash, so the survivor is a pure
+    * function of the batch CONTENT (never of partition layout or
+    * arrival order). PRECONDITION, stated honestly: the id should
+    * determine the row. Re-ingesting the same (stratum, id) with
+    * DIFFERENT attribute values (a revised doc) keeps whichever
+    * version hashes smaller — deterministic across replays/splits,
+    * but not "latest wins"; a feed with row revisions belongs in the
+    * CDC replica materializer, not a reservoir.
     */
   def partials(batch: DataFrame, keyCols: Seq[String], idCol: String,
       priority: Column, k: Int): DataFrame = {
+    val dw = Window.partitionBy((keyCols :+ idCol).map(col): _*)
+      .orderBy(xxhash64(batch.columns.map(col).toSeq: _*))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__prio"), col(idCol))
-    batch.withColumn("__prio", priority)
-      .dropDuplicates(keyCols :+ idCol)
+    batch.withColumn("__dn", row_number().over(dw))
+      .filter(col("__dn") === 1).drop("__dn")
+      .withColumn("__prio", priority)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
       .withColumn("__gkey", concat_ws("\u0001", keyCols.map(col): _*))
@@ -102,9 +113,16 @@ object StreamingReservoir {
       // dedup per (stratum, id) BEFORE the top-k: a re-ingested row is
       // already in `current` with the same deterministic priority, and
       // two copies in the pool would evict a legitimate k-th row —
-      // dedup is what upgrades "fenced" to genuinely idempotent
-      current.unionByName(p)
-        .dropDuplicates(keyCols :+ idCol)
+      // dedup is what upgrades "fenced" to genuinely idempotent. The
+      // survivor is deterministic: the STANDING state row wins (so a
+      // replayed/revised ingestion can never flip already-sampled row
+      // content), full-row hash breaks any remaining tie.
+      val dw = Window.partitionBy((keyCols :+ idCol).map(col): _*)
+        .orderBy(col("__src"), xxhash64(p.columns.map(col).toSeq: _*))
+      current.withColumn("__src", lit(0))
+        .unionByName(p.withColumn("__src", lit(1)))
+        .withColumn("__dn", row_number().over(dw))
+        .filter(col("__dn") === 1).drop("__dn", "__src")
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= k).drop("__rn")
         .select(p.columns.map(col): _*)

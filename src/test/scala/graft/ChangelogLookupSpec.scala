@@ -203,4 +203,64 @@ class ChangelogLookupSpec extends SparkSpec {
     m(batch(e1), 1L)
     assert(rollupState(rollupDir) == replicaTruth(replicaDir))
   }
+
+  // ---- mongo envelope hardening (round-7 ADVICE items 1 + 2) ----
+
+  private def chain(t: Throwable): String = {
+    val sw = new java.io.StringWriter
+    t.printStackTrace(new java.io.PrintWriter(sw))
+    sw.toString
+  }
+
+  test("mongo same-millisecond changes to one key resolve " +
+      "deterministically by clusterTime, with realistic resume-token " +
+      "_ids the numeric-tail regex cannot order") {
+    import spark.implicits._
+    def env(id: String, full: String, ts: Long, ct: String) = {
+      val esc = full.replace("\"", "\\\"")
+      s"""{"_id":"$id","operationType":"update","fullDocument":"$esc",""" +
+        s""""ts_ms":$ts,"clusterTime":"$ct"}"""
+    }
+    // both _ids carry the SAME digit run (82...), so pos ties; ts_ms
+    // ties too — only clusterTime orders them
+    val rows = Seq(
+      ("k1", env("82AB0000", "{\"v\": \"old\"}", 100L,
+        "Timestamp(1700000001, 1)")),
+      ("k1", env("82AB0000", "{\"v\": \"new\"}", 100L,
+        "Timestamp(1700000001, 2)")))
+    def winner(input: Seq[(String, String)]): String =
+      CdcApply.lastChangePerKeyMongo(input.toDF("partitionKey", "value"))
+        .collect() match {
+          case Array(r) => r.getAs[Map[String, String]]("after")("v")
+        }
+    assert(winner(rows) == "new")
+    assert(winner(rows.reverse) == "new") // arrival order is irrelevant
+  }
+
+  test("a mongo non-delete change without fullDocument fails loudly " +
+      "instead of upserting a null image") {
+    import spark.implicits._
+    val rows = Seq(("k1",
+      """{"_id":"evt_1","operationType":"update","ts_ms":5}"""))
+      .toDF("partitionKey", "value")
+    val e = intercept[Throwable] {
+      CdcApply.lastChangePerKeyMongo(rows).collect()
+    }
+    assert(chain(e).contains("fullDocument"), chain(e).take(500))
+  }
+
+  test("collection-level mongo operationTypes (drop/rename/invalidate) " +
+      "are rejected, never mapped to an upsert") {
+    import spark.implicits._
+    Seq("drop", "rename", "invalidate").foreach { t =>
+      val rows = Seq(("k1",
+        s"""{"_id":"evt_1","operationType":"$t","ts_ms":5}"""))
+        .toDF("partitionKey", "value")
+      val e = intercept[Throwable] {
+        CdcApply.lastChangePerKeyMongo(rows).collect()
+      }
+      assert(chain(e).contains("unsupported mongo operationType"),
+        chain(e).take(500))
+    }
+  }
 }

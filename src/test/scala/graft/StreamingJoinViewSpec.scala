@@ -100,7 +100,10 @@ class StreamingJoinViewSpec extends SparkSpec {
     val pDelta = delta
       .groupBy(delta.columns.map(col).toIndexedSeq: _*)
       .agg(sum(lit(1L)).as("__m"))
-      .withColumn("__jkey", concat_ws("", col("o_custkey")))
+      // the materializer's packed-key format: length-prefixed parts
+      .withColumn("__jkey", concat(
+        length(col("o_custkey").cast("string")).cast("string"),
+        lit(":"), col("o_custkey").cast("string")))
       .withColumn("__e", lit(1L))
     ExactlyOnce.advanceStateBucketed(spark, s"$root/left", 1L, pDelta,
       "__jkey", StreamingJoinView.DefaultBuckets)(pDelta.limit(0)) {
@@ -296,5 +299,31 @@ class StreamingJoinViewSpec extends SparkSpec {
         l, r, 0L)
     }
     assert(e.getMessage.contains("rename"))
+  }
+
+  test("null join keys are dropped and separator-lookalike key tuples " +
+      "cannot collide (length-prefixed packed keys)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_jv_keys").toString
+    val sep = "\u0001"
+    // the classic packing collision: ("a<sep>b","c") vs ("a","b<sep>c")
+    // concatenate identically under a separator join — they must NOT
+    // join; null-keyed rows on either side must vanish, not match
+    val l = Seq((s"a${sep}b", "c", 10L), (null, "x", 11L))
+      .toDF("k1", "k2", "lv")
+    val r = Seq(("a", s"b${sep}c", 1.5), (null, "y", 9.9))
+      .toDF("rk1", "rk2", "rv")
+    StreamingJoinView.materializer(spark, root,
+      Seq("k1", "k2"), Seq("rk1", "rk2"))(l, r, 0L)
+    assert(StreamingJoinView.view(spark, root).count() == 0)
+
+    // the genuinely-equal tuple still joins
+    val l1 = Seq(("a", s"b${sep}c", 20L)).toDF("k1", "k2", "lv")
+    StreamingJoinView.materializer(spark, root,
+      Seq("k1", "k2"), Seq("rk1", "rk2"))(l1, r.limit(0), 1L)
+    val got = StreamingJoinView.view(spark, root)
+      .select(col("lv"), col("rv"), col("__m")).collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSet
+    assert(got == Set((20L, 1.5, 1L)))
   }
 }

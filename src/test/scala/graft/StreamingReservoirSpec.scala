@@ -105,4 +105,30 @@ class StreamingReservoirSpec extends SparkSpec {
     m(resampled, 1L)
     assert(collectSample(dir) == after0)
   }
+
+  test("a revised re-ingestion of a sampled id keeps the STANDING row " +
+      "(deterministic survivor, never replay-order-dependent)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_resv_rev").toString
+    val prio = StreamingReservoir.uniformPriority(col("doc_id"), "rev_")
+    val b0 = Seq(("g", 1L, "v1"), ("g", 2L, "v1"))
+      .toDF("lang", "doc_id", "payload")
+    StreamingReservoir.materializer(spark, dir, Seq("lang"), "doc_id",
+      prio, 2)(b0, 0L)
+    // id 1 arrives again with REVISED content: the reservoir keeps the
+    // row it already sampled (documented precondition: a feed with row
+    // revisions belongs in the CDC replica, not a reservoir — the
+    // contract here is only that the survivor can never flip)
+    val b1 = Seq(("g", 1L, "v2")).toDF("lang", "doc_id", "payload")
+    StreamingReservoir.materializer(spark, dir, Seq("lang"), "doc_id",
+      prio, 2)(b1, 1L)
+    def payloads() = StreamingReservoir.sample(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("payload"))).toSet
+    assert(payloads() == Set((1L, "v1"), (2L, "v1")))
+    // replaying the revised epoch is fenced — still nothing flips
+    StreamingReservoir.materializer(spark, dir, Seq("lang"), "doc_id",
+      prio, 2)(b1, 1L)
+    assert(payloads() == Set((1L, "v1"), (2L, "v1")))
+  }
 }

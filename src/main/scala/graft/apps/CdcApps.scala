@@ -148,6 +148,15 @@ object ReplayCdcExactlyOnceLocal {
   */
 object ReplayCdcApplyLocal {
   def main(args: Array[String]): Unit = {
+    // apply-side knobs flow from the CLI (verdict r7 item 6): the demo
+    // defaults retain to 4 so replicaAsOf time travel is exercised at
+    // depth > 2 — a deployment sets its own horizon/retention without
+    // touching code
+    val params = CdcParams.fromArgs(args) match {
+      case p if !args.map(_.stripPrefix("-")).contains("replica_retain") =>
+        p.copy(replicaRetain = 4)
+      case p => p
+    }
     val sfDir = args.sliding(2, 2).collectFirst {
       case Array("-sf_dir", v) => v }.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -166,14 +175,28 @@ object ReplayCdcApplyLocal {
       .createTempDirectory("graft_apply_demo").toString
     val censusDir = java.nio.file.Files
       .createTempDirectory("graft_census_demo").toString
-    val lines = graft.sources.CdcReplay.stream(spark, sfDir).as[String]
+    // re-chunk the fixture into one part file per desired epoch: the
+    // file-source replay paces one file per micro-batch, so the demo
+    // drives enough epochs to show time travel through the retained
+    // window (the versioned materializer is exact under any split)
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("graft_apply_feed").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .repartition(params.replicaRetain)
+      .write.mode("overwrite").parquet(s"$feedDir/events.parquet")
+    val lines = graft.sources.CdcReplay.stream(spark, feedDir).as[String]
     val config = CdcParams.fromArgs(Array("-table_pk",
       """[{"db":"test_db","table":"eve.*","primary_key":"event_id"}]"""))
       .tablePkConfig
     val enriched = CdcEnrichment.enrichMySql(lines, config).toDF()
+    var lastEpoch = -1L
     val q = enriched.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        CdcApply.materializerVersioned(spark, replicaDir)(batch, batchId)
+        CdcApply.materializerVersioned(spark, replicaDir,
+          numBuckets = params.replicaBuckets,
+          tombstoneHorizonMs = params.tombstoneHorizonMs,
+          retain = params.replicaRetain)(batch, batchId)
+        lastEpoch = batchId
         val env = batch.select(from_json(col("value"),
           graft.model.CdcEnvelope.mysqlEnvelope).as("env")).select("env.*")
         StreamingSchemaDrift.materializer(spark, censusDir)(
@@ -185,7 +208,17 @@ object ReplayCdcApplyLocal {
     val raw = graft.operators.ExactlyOnce.currentStateBucketed(
       spark, replicaDir)(CdcApply.emptyVersioned(spark))
     println(s"[apply-demo] replica live_keys=${live.count()} " +
-      s"tombstones=${raw.filter(col("deleted")).count()}")
+      s"tombstones=${raw.filter(col("deleted")).count()} " +
+      s"buckets=${params.replicaBuckets} retain=${params.replicaRetain} " +
+      s"tombstone_horizon_ms=${params.tombstoneHorizonMs}")
+    // time travel through the retained window (depth = retain - 1
+    // epochs back from the newest): the row census per version
+    (math.max(0L, lastEpoch - (params.replicaRetain - 1)) to lastEpoch)
+      .foreach { e =>
+        val n = CdcApply.replicaVersionedAsOf(spark, replicaDir, e,
+          params.replicaRetain).count()
+        println(s"[apply-demo] replicaAsOf epoch=$e live_keys=$n")
+      }
     StreamingSchemaDrift.census(spark, censusDir).show(false)
     spark.stop()
   }

@@ -170,7 +170,18 @@ final case class CdcParams(
     // Mongo-app flags (getMongoCDC2MSKParams: `copy_existing`,
     // `collection_list`) — the initial-load toggle and collection regex
     copyExisting: Boolean = false,
-    collectionList: String = ".*") {
+    collectionList: String = ".*",
+    // Apply-side (replica materializer) knobs — the lake consumer's
+    // operational levers, reachable from the CLI so a deployment can
+    // set them without code:
+    //   replica_buckets       hash buckets of the persisted replica
+    //   replica_retain        versions kept per bucket (>= 2; depth of
+    //                         replicaAsOf time travel)
+    //   tombstone_horizon_ms  lazy delete-tombstone GC horizon
+    //                         (event-time ms; unset = keep forever)
+    replicaBuckets: Int = 16,
+    replicaRetain: Int = 2,
+    tombstoneHorizonMs: Long = Long.MaxValue) {
   def tablePkConfig: TablePkConfig = TablePkConfig.parse(tablePk)
   def startupPosition: StartupPosition = StartupPosition.parse(position)
 
@@ -236,6 +247,10 @@ object CdcParams {
       projectEnv = kv.getOrElse("project_env", "local"),
       copyExisting = kv.getOrElse("copy_existing", "false") == "true",
       collectionList = kv.getOrElse("collection_list", ".*"),
+      replicaBuckets = kv.getOrElse("replica_buckets", "16").toInt,
+      replicaRetain = kv.getOrElse("replica_retain", "2").toInt,
+      tombstoneHorizonMs = kv.get("tombstone_horizon_ms").map(_.toLong)
+        .getOrElse(Long.MaxValue),
       kafkaProperties = kv.get("kafka_properties").map { props =>
         // "k=v,k=v" pass-through producer props (MySQLCDC2AWSMSK.scala:204-212)
         props.split(",").toIndexedSeq.flatMap { p =>

@@ -149,4 +149,17 @@ class ConfigSpec extends AnyFunSuite {
     assert(preds.head == "id < 50")
     assert(preds.last == "id >= 50")
   }
+
+  test("apply-side replica knobs parse and default sanely") {
+    val p = graft.config.CdcParams.fromArgs(Array(
+      "-replica_buckets", "256", "-replica_retain", "6",
+      "-tombstone_horizon_ms", "86400000"))
+    assert(p.replicaBuckets == 256)
+    assert(p.replicaRetain == 6)
+    assert(p.tombstoneHorizonMs == 86400000L)
+    val d = graft.config.CdcParams.fromArgs(Array.empty)
+    assert(d.replicaBuckets == 16)
+    assert(d.replicaRetain == 2)
+    assert(d.tombstoneHorizonMs == Long.MaxValue)
+  }
 }

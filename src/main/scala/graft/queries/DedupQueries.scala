@@ -415,17 +415,30 @@ object DedupQueries {
           .unionAll(pairs
             .select(col("doc_b").as("src"), col("doc_a").as("dst")))
           .localCheckpoint()
+        // degree folds into the edge table ONCE (r7 verdict item 3):
+        // the old per-round `join(deg, "src")` re-aggregated and
+        // re-shuffled degrees on every iteration; pre-joining makes
+        // each round a single join against the checkpointed
+        // (src, dst, dg) table
         val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        val edc = ed.join(deg, "src").localCheckpoint()
         var pr = nodes.withColumn("rank", lit(1000000L)).localCheckpoint()
         var converged = false
         for (i <- 1 to 10 if !converged) {
-          val sums = ed.join(pr, ed("src") === pr("id"))
-            .join(deg, "src")
+          // the rank vector is one row per node — the candidate-graph
+          // node set (docs), orders of magnitude smaller than its edge
+          // set — so BROADCASTING it keeps the big edge table
+          // unshuffled all 10 rounds; the only per-round exchange left
+          // is the map-side-combined contribution sum, keyed by dst
+          // (≤ |V| rows after partial agg). A graph whose rank vector
+          // outgrows broadcast would drop the hint and pre-partition
+          // edc by src instead — same plan shape, one exchange more.
+          val sums = edc.join(broadcast(pr), edc("src") === pr("id"))
             .select(col("dst"), expr("rank div dg").as("contrib"))
             .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
           // join the PREVIOUS iterate (same ids as nodes every round) so
           // the new frame carries prev_rank for the convergence probe
-          val next = pr.join(sums, pr("id") === sums("dst"), "left")
+          val next = pr.join(broadcast(sums), pr("id") === sums("dst"), "left")
             .select(col("id"), col("rank").as("prev_rank"),
               (lit(150000L) + expr("85 * coalesce(c, 0L) div 100"))
                 .as("rank"))

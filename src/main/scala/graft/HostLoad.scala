@@ -8,6 +8,14 @@ package graft
   */
 object HostLoad {
 
+  /** The current 1-minute load average (0.0 when unreadable). */
+  def current(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\\s+")(0).toDouble
+    catch { case _: Throwable => 0.0 }
+
   def awaitQuiet(threshold: Double, maxWaitSec: Int,
       tag: String = "bench"): Unit = {
     val deadline = System.nanoTime() + maxWaitSec * 1e9.toLong

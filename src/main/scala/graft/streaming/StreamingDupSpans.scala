@@ -131,8 +131,15 @@ object StreamingDupSpans {
     * periodically — compaction is a pure rewrite, never a merge, because
     * delta key sets are disjoint by construction.
     */
-  def advanceOrdered(index: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
-    val bg = gramRows(batch)
+  def advanceOrdered(index: DataFrame, batch: DataFrame): (DataFrame, DataFrame) =
+    minedFrom(gramRows(batch), index)
+
+  /** The ordered-feed epoch core over ALREADY-exploded gram rows — the
+    * materializer persists the explosion once and derives the probe
+    * set, the spans, and the delta from it (three downstream passes;
+    * re-exploding per pass tripled the per-epoch gram work).
+    */
+  private def minedFrom(bg: DataFrame, index: DataFrame): (DataFrame, DataFrame) = {
     val batchMin = bg.groupBy(col("gh1"), col("gh2"))
       .agg(min(col("doc_id")).as("bmin"))
     // probe the standing index for only the batch's grams; dmin ≤ every
@@ -212,19 +219,22 @@ object StreamingDupSpans {
       batch: DataFrame, batchId: Long): Unit = {
     import graft.operators.ExactlyOnce
     if (!ExactlyOnce.isEpochCommitted(spark, stateDir, batchId)) {
-      // the epoch evaluates the batch several times (touched probe,
-      // span mine, delta) — pin it so a source-backed micro-batch is
-      // scanned once
-      batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the epoch derives THREE passes from the exploded grams (probe
+      // set, spans, delta) — pin the explosion, not the raw batch, so
+      // the gram transform runs once per epoch
+      val bg = gramRows(batch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val touched = touchedBuckets(batch, numBuckets)
+        val touched = bg
+          .select(ExactlyOnce.bucketOf("gh1", numBuckets).as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSet
         val index = probeIndex(spark, stateDir, touched, numBuckets)
-        val (spans, delta) = advanceOrdered(index, batch)
+        val (spans, delta) = minedFrom(bg, index)
         spans.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$spansDir/epoch=$batchId")
         ExactlyOnce.appendDeltaBucketed(spark, stateDir, batchId,
           "gh1", numBuckets)(delta)
-      } finally batch.unpersist()
+      } finally bg.unpersist()
     }
     if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
       ExactlyOnce.compactAppended(spark, stateDir)(emptyIndex(spark))

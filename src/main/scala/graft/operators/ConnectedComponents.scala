@@ -44,8 +44,12 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // the label table is one row per NODE (≪ edges for candidate
+      // graphs) — broadcasting it keeps the checkpointed edge set
+      // unshuffled every round; a node set beyond broadcast drops the
+      // hint (or moves to runStar) and pays the per-round edge shuffle
       val propagated = biEdges
-        .join(labels, biEdges("src") === labels("id"))
+        .join(broadcast(labels), biEdges("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"),
           lit(null).cast("long").as("old"))
       // every vertex appears exactly once in `labels`, so max(old) per id
@@ -108,7 +112,11 @@ object ConnectedComponents {
       val minNbr = sym.groupBy(col("u"))
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      val large = sym.join(minNbr, "u")
+      // minNbr/minS are node-sized: the planner-time broadcast hint
+      // saves the big side's shuffle WRITE (AQE's runtime conversion
+      // only localizes the read — the map stage has already paid);
+      // beyond-broadcast node sets drop the hints for shuffled joins
+      val large = sym.join(broadcast(minNbr), "u")
         .where(col("v") > col("u"))
         // v > u >= m, so (v, m) is already canonically oriented
         .select(col("v").as("u"), col("m").as("v"))
@@ -116,7 +124,7 @@ object ConnectedComponents {
         .distinct()
       // ---- small-star (input already u > v, so min(Γ⁻(u) ∪ {u}) = min v) ----
       val minS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = large.join(minS, "u")
+      val small = large.join(broadcast(minS), "u")
         .select(col("v").as("a"), col("m").as("b"))
         .unionAll(minS.select(col("u").as("a"), col("m").as("b")))
         .select(greatest(col("a"), col("b")).as("u"),

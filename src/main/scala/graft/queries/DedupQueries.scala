@@ -498,9 +498,13 @@ object DedupQueries {
           .groupBy(col("id")).agg(count(lit(1)).as("dg"))
         val lowFirst = col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b"))
+        // the degree table is one row per NODE (≪ edges) — broadcast
+        // both orientation lookups so the edge set is never shuffled
+        // for them (the pagerank rank-vector trade; a graph whose node
+        // table outgrows broadcast drops the hints for two shuffles)
         val oriented = pairs
-          .join(deg.select(col("id").as("a"), col("dg").as("da")), "a")
-          .join(deg.select(col("id").as("b"), col("dg").as("db")), "b")
+          .join(broadcast(deg.select(col("id").as("a"), col("dg").as("da"))), "a")
+          .join(broadcast(deg.select(col("id").as("b"), col("dg").as("db"))), "b")
           .select(when(lowFirst, col("a")).otherwise(col("b")).as("src"),
             when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
         // wedges centered at the low-degree vertex; u < v by id so each

@@ -70,6 +70,84 @@ object MongoCdcToKafka {
   }
 }
 
+/** Runnable Mongo APPLY demo — copy-existing load, then the
+  * change-stream tail, folded into the version-guarded replica. The
+  * `-full_document` contract is enforced AT CONFIG TIME (reference
+  * MongoCDC2AWSMSK.scala:156-169 is the config surface being
+  * mirrored): run with `-full_document updateLookup` for the working
+  * end-to-end; run with the mongo server default (`-full_document
+  * default`, or omit the flag) and the app refuses at submit with the
+  * exact reason — without updateLookup, update events carry no row
+  * image and the apply path would otherwise fail at the FIRST
+  * production update.
+  */
+object ReplayMongoCdcApplyLocal {
+  def main(args: Array[String]): Unit = {
+    val params = CdcParams.fromArgs(args)
+    // the config-time contract: this deployment materializes a replica
+    params.requireFullDocumentForApply()
+    val sfDir = args.sliding(2, 2).collectFirst {
+      case Array("-sf_dir", v) => v }.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("Mongo copy-existing + change stream -> replica (local)")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    import graft.operators.{CdcApply, CdcEnrichment}
+    import org.apache.spark.sql.functions.col
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_mongo_pos").toString
+    val replicaDir = java.nio.file.Files
+      .createTempDirectory("graft_mongo_replica").toString
+    // stage the fixture as a live collection: the first half is "the
+    // collection at copy time", the rest lands after the copy so the
+    // change stream (fenced past the durable watermark) replays it
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_mongo_coll").toString
+    val all = graft.queries.Tables.events(spark, sfDir)
+    val mid = all.agg(org.apache.spark.sql.functions
+      .percentile_approx(col("event_id"), org.apache.spark.sql.functions
+        .lit(0.5), org.apache.spark.sql.functions.lit(100)))
+      .head().getLong(0)
+    all.filter(col("event_id") <= mid)
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+    // phase 1: copy-existing scan — a collection scan always carries
+    // the document, so the copy applies regardless of stream mode
+    val copy = graft.sources.MongoHandoff.copyExisting(spark, work, ckpt,
+      withFullDocument = true)
+    CdcApply.materializerMongo(spark, replicaDir)(
+      CdcEnrichment.enrichMongo(copy.envelopes.as[String]).toDF(), 0L)
+    println(s"[mongo-apply] copy-existing applied, watermark=" +
+      s"${copy.watermark}")
+    // the tail arrives after the copy
+    all.filter(col("event_id") > mid)
+      .coalesce(1).write.mode("append").parquet(s"$work/events.parquet")
+    // phase 2: the change-stream tail beyond the watermark, opened
+    // with the configured fullDocument mode — epochs 1..n
+    var epochs = 0L
+    val q = graft.sources.MongoHandoff.changeStream(spark, work, ckpt,
+      withFullDocument = params.fullDocumentLookup)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          epochs = batchId + 1
+          CdcApply.materializerMongo(spark, replicaDir)(
+            CdcEnrichment.enrichMongo(
+              batch.select(col("value")).as[String]).toDF(), epochs)
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val replica = graft.operators.ExactlyOnce.currentStateBucketed(
+      spark, replicaDir)(sys.error("no committed replica state"))
+    println(s"[mongo-apply] replica live_keys=${replica.count()} " +
+      s"tail_epochs=$epochs full_document=${params.fullDocument}")
+    spark.stop()
+  }
+}
+
 /** Local/file-replay variant — the whole pipeline against the parquet
   * fixtures with a console/memory sink; the in-repo runnable mirror of
   * the reference's commented-out local debug mode

@@ -171,6 +171,15 @@ final case class CdcParams(
     // `collection_list`) — the initial-load toggle and collection regex
     copyExisting: Boolean = false,
     collectionList: String = ".*",
+    // Mongo change-stream image mode (reference MongoCDC2AWSMSK.scala:
+    // 156-169 config surface): "default" ships NO row image on updates;
+    // "updateLookup" makes the server attach the post-image as
+    // `fullDocument`. Any deployment whose downstream APPLIES changes
+    // to a replica must run updateLookup — the apply path fails loudly
+    // on the first imageless update otherwise — so apps that
+    // materialize a replica enforce this AT CONFIG TIME via
+    // [[requireFullDocumentForApply]].
+    fullDocument: String = "default",
     // Apply-side (replica materializer) knobs — the lake consumer's
     // operational levers, reachable from the CLI so a deployment can
     // set them without code:
@@ -184,6 +193,21 @@ final case class CdcParams(
     tombstoneHorizonMs: Long = Long.MaxValue) {
   def tablePkConfig: TablePkConfig = TablePkConfig.parse(tablePk)
   def startupPosition: StartupPosition = StartupPosition.parse(position)
+
+  /** True when the change stream ships update post-images. */
+  def fullDocumentLookup: Boolean = fullDocument == "updateLookup"
+
+  /** The config-time contract for replica-applying deployments: an
+    * update with no `fullDocument` cannot be applied, so fail at
+    * submit, not at the first production update.
+    */
+  def requireFullDocumentForApply(): Unit =
+    require(fullDocumentLookup,
+      s"this deployment applies mongo changes to a replica, but " +
+        s"-full_document is '$fullDocument' — without updateLookup the " +
+        "change stream ships NO row image on updates and the apply " +
+        "path fails at the first update. Pass -full_document " +
+        "updateLookup.")
 
   /** Server-id range semantics (reference MySQLCDC2AWSMSK.scala:268-270,
     * README.md:39): `"5400-5412"` or a single `"5400"`; every parallel
@@ -247,6 +271,12 @@ object CdcParams {
       projectEnv = kv.getOrElse("project_env", "local"),
       copyExisting = kv.getOrElse("copy_existing", "false") == "true",
       collectionList = kv.getOrElse("collection_list", ".*"),
+      fullDocument = kv.getOrElse("full_document", "default") match {
+        case v @ ("default" | "updateLookup") => v
+        case other => throw new IllegalArgumentException(
+          s"-full_document must be 'default' or 'updateLookup', got " +
+            s"'$other'")
+      },
       replicaBuckets = kv.getOrElse("replica_buckets", "16").toInt,
       replicaRetain = kv.getOrElse("replica_retain", "2").toInt,
       tombstoneHorizonMs = kv.get("tombstone_horizon_ms").map(_.toLong)

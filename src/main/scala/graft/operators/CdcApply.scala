@@ -55,14 +55,20 @@ object CdcApply {
     * NON-delete change carrying no `fullDocument` (the change-stream
     * default for updates unless `fullDocument=updateLookup` is set)
     * also fails loudly — silently upserting a null image would corrupt
-    * the replica. Per-key order: (ts_ms, clusterTime, pos, value) —
-    * clusterTime is the change stream's real total order when present;
-    * `pos` (the numeric tail of `_id`, the fixture's deterministic
-    * stand-in) and finally the raw envelope string break remaining
-    * ties so two changes to one key in the same millisecond can never
-    * pick a nondeterministic winner (real Mongo `_id` resume tokens
-    * are hex blobs the regex does NOT match — pos is null there, and
-    * clusterTime + the value tiebreak carry the order instead). Same
+    * the replica. Per-key order: (ts_ms, clusterTime t, clusterTime i,
+    * raw clusterTime, pos, value) — clusterTime is the change stream's
+    * real total order when present, and it is compared NUMERICALLY:
+    * the (t, i) components are extracted as the first two digit runs
+    * (covers both the `Timestamp(1700000001, 10)` rendering and the
+    * extended-JSON `{"t":1700000001,"i":10}` form), because a
+    * lexicographic compare of the rendered string puts i=10 below i=9
+    * at every digit-boundary crossing — the exact wrong-winner bug
+    * this ordering exists to prevent. `pos` (the fixture's
+    * `evt_<n>` `_id`, anchored `^evt_(\d+)$` so real Mongo hex resume
+    * tokens genuinely yield null rather than a truncated leading digit
+    * run injecting pseudo-order) and finally the raw envelope string
+    * break remaining ties so two changes to one key in the same
+    * millisecond can never pick a nondeterministic winner. Same
     * output shape as [[lastChangePerKey]], so every downstream
     * (applyChanges, lookup deltas) is envelope-agnostic.
     */
@@ -76,10 +82,21 @@ object CdcApply {
         lit("unsupported mongo operationType '"),
         coalesce(col("env.operationType"), lit("null")),
         lit("' — only insert/replace/update/delete carry row images"))))
-    val pos = regexp_extract(col("env._id"), "(\\d+)", 1).cast("long")
+    // regexp_extract yields "" on no-match — nullif before the cast so
+    // ANSI mode maps "no match" to null rather than CAST_INVALID_INPUT
+    def digitsToLong(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      nullif(c, lit("")).cast("long")
+    val pos = digitsToLong(regexp_extract(col("env._id"), "^evt_(\\d+)$", 1))
+    // numeric (t, i) of clusterTime — null when the form carries fewer
+    // than two digit runs; the raw string stays in the chain as a
+    // last-resort total order for unparseable forms
+    val ctT = digitsToLong(regexp_extract(col("env.clusterTime"),
+      "(\\d+)\\D+(\\d+)", 1))
+    val ctI = digitsToLong(regexp_extract(col("env.clusterTime"),
+      "(\\d+)\\D+(\\d+)", 2))
     val w = Window.partitionBy(col("partitionKey"))
-      .orderBy(col("env.ts_ms").desc, col("env.clusterTime").desc,
-        pos.desc, col("value").desc)
+      .orderBy(col("env.ts_ms").desc, ctT.desc, ctI.desc,
+        col("env.clusterTime").desc, pos.desc, col("value").desc)
     val afterParsed = from_json(col("env.fullDocument"),
       org.apache.spark.sql.types.MapType(
         org.apache.spark.sql.types.StringType,

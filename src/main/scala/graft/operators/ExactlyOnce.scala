@@ -340,7 +340,7 @@ object ExactlyOnce {
     */
   def advanceStateBucketed(spark: SparkSession, stateDir: String,
       batchId: Long, batch: DataFrame, keyCol: String, numBuckets: Int,
-      retain: Int = 2)(
+      retain: Int = 2, clusterByBucket: Boolean = true)(
       empty: => DataFrame)(advance: DataFrame => DataFrame): Boolean = {
     require(numBuckets > 0, "numBuckets must be positive")
     require(retain >= 2, "retain must keep at least current + one grace" +
@@ -364,12 +364,16 @@ object ExactlyOnce {
             .map(e => s"$stateDir/state-$e/__bucket=$b"))
           .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
         val current = if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
-        advance(current)
-          .withColumn("__bucket", bExpr)
-          // cluster by bucket so each bucket lands in O(1) files, not
-          // (tasks x buckets) fragments (at cluster scale drop this and
-          // let every task write its bucket slice in parallel)
-          .repartition(numBuckets, col("__bucket"))
+        val next = advance(current).withColumn("__bucket", bExpr)
+        // clusterByBucket=true (local default): one extra exchange so
+        // each bucket lands in O(1) files, not (tasks x buckets)
+        // fragments. At cluster scale pass false and let every task
+        // write its bucket slice in parallel — correctness is
+        // unaffected (readers list all files under a bucket dir), only
+        // the file count per bucket grows.
+        val clustered = if (clusterByBucket)
+          next.repartition(numBuckets, col("__bucket")) else next
+        clustered
           .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
           .parquet(s"$stateDir/state-$batchId")
       }
@@ -641,7 +645,8 @@ object ExactlyOnce {
     * rescanning the index every micro-batch.
     */
   def appendDeltaBucketed(spark: SparkSession, stateDir: String,
-      batchId: Long, keyCol: String, numBuckets: Int)(
+      batchId: Long, keyCol: String, numBuckets: Int,
+      clusterByBucket: Boolean = true)(
       delta: => DataFrame): Boolean = {
     require(numBuckets > 0, "numBuckets must be positive")
     val fs = stateFs(spark, stateDir)
@@ -649,10 +654,14 @@ object ExactlyOnce {
     if (epochFenced(fs, ledger, batchId)) false
     else {
       pinBucketCount(fs, ledger, numBuckets)
-      delta.withColumn("__bucket", bucketExpr(keyCol, numBuckets))
-        // cluster by bucket: O(1) files per touched bucket (same
-        // trade as advanceStateBucketed — drop at cluster scale)
-        .repartition(numBuckets, col("__bucket"))
+      val tagged = delta.withColumn("__bucket",
+        bucketExpr(keyCol, numBuckets))
+      // cluster by bucket: O(1) files per touched bucket (same trade
+      // as advanceStateBucketed — pass clusterByBucket=false at
+      // cluster scale to skip the exchange)
+      val clustered = if (clusterByBucket)
+        tagged.repartition(numBuckets, col("__bucket")) else tagged
+      clustered
         .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
         .parquet(s"$stateDir/delta-$batchId")
       fs.create(new org.apache.hadoop.fs.Path(
@@ -665,20 +674,57 @@ object ExactlyOnce {
     * committed delta, restricted to `buckets` — the probe side of the
     * per-bucket LSM. Missing `__bucket=<b>` children are buckets that
     * component never touched (partitioned writes emit no dir for an
-    * empty slice) and contribute nothing.
+    * empty slice) and contribute nothing. Two loud-failure guards —
+    * both are silent-data-loss bugs if allowed through: a component
+    * holding data files but no `__bucket=` dirs is a FLAT
+    * ([[appendDelta]]-written) legacy state a pruned probe would read
+    * as empty, and `expectedBuckets` (when given) is checked against
+    * the ledger's pinned fan-out so a caller bucketing its probe keys
+    * a different number of ways cannot silently probe the wrong
+    * buckets.
     */
   def appendedStateBuckets(spark: SparkSession, stateDir: String,
-      buckets: Set[Int])(empty: => DataFrame): DataFrame = {
+      buckets: Set[Int], expectedBuckets: Option[Int] = None)(
+      empty: => DataFrame): DataFrame = {
+    expectedBuckets.foreach { nb =>
+      pinnedBucketCount(spark, stateDir).foreach { pinned =>
+        if (pinned != nb) sys.error(
+          s"appended state at $stateDir is bucketed $pinned ways but " +
+            s"the probe computed its touched buckets mod $nb — the " +
+            "pruned read would probe the wrong buckets")
+      }
+    }
     val fs = stateFs(spark, stateDir)
     val BucketDirRe = "^__bucket=(\\d+)$".r
     val paths = appendedComponentDirs(spark, stateDir).flatMap { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
-        case n @ BucketDirRe(b) if buckets.contains(b.toInt) => s"$d/$n"
+      else {
+        val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
+        val hits = names.collect {
+          case n @ BucketDirRe(b) if buckets.contains(b.toInt) => s"$d/$n"
+        }
+        if (!names.exists(BucketDirRe.matches) &&
+            names.exists(_.startsWith("part-"))) sys.error(
+          s"appended state component $d is FLAT (part-* files, no " +
+            "__bucket= dirs — written by appendDelta, not " +
+            "appendDeltaBucketed); a bucket-pruned probe would miss " +
+            "every standing key in it. Rebuild the state bucketed, or " +
+            "read it with appendedState.")
+        hits
       }
     }
     if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
+  }
+
+  /** The ledger's pinned bucket fan-out, if any epoch has committed. */
+  def pinnedBucketCount(spark: SparkSession, stateDir: String): Option[Int] = {
+    val fs = stateFs(spark, stateDir)
+    val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
+    if (!fs.exists(ledger)) None
+    else fs.listStatus(ledger).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("buckets-") =>
+        s.stripPrefix("buckets-").toInt }.headOption
   }
 
   /** The live component dirs of an appended state, oldest first:

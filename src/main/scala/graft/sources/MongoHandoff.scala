@@ -29,7 +29,7 @@ object MongoHandoff {
     * overlap with the tail).
     */
   def copyExisting(spark: SparkSession, sfDir: String,
-      checkpointDir: String): Copy = {
+      checkpointDir: String, withFullDocument: Boolean = false): Copy = {
     val all = graft.queries.Tables.events(spark, sfDir)
     val wm = SnapshotHandoff.PositionStore.load(spark, checkpointDir)
       .getOrElse {
@@ -38,16 +38,24 @@ object MongoHandoff {
         fresh
       }
     Copy(CdcReplay.mongoEnvelopeJson(
-      all.filter(col("event_id") <= wm), copyExisting = true), wm)
+      all.filter(col("event_id") <= wm), copyExisting = true,
+      withFullDocument = withFullDocument), wm)
   }
 
-  /** Phase 2: the change-stream tail beyond the persisted watermark. */
+  /** Phase 2: the change-stream tail beyond the persisted watermark.
+    * `withFullDocument` is the stream-open `fullDocument=updateLookup`
+    * option (CdcParams.fullDocumentLookup): without it update events
+    * carry no row image, which a replica-applying consumer rejects
+    * loudly at the first update — enforce the mode at config time via
+    * `CdcParams.requireFullDocumentForApply()`.
+    */
   def changeStream(spark: SparkSession, sfDir: String,
-      checkpointDir: String): DataFrame = {
+      checkpointDir: String, withFullDocument: Boolean = false): DataFrame = {
     val wm = SnapshotHandoff.PositionStore.load(spark, checkpointDir)
       .getOrElse(throw new IllegalStateException(
         s"no persisted copy-existing position under $checkpointDir — " +
           "run copyExisting first"))
-    CdcReplay.mongoStream(spark, sfDir, afterId = wm)
+    CdcReplay.mongoStream(spark, sfDir, afterId = wm,
+      withFullDocument = withFullDocument)
   }
 }

@@ -184,8 +184,8 @@ object StreamingDupSpans {
   def probeIndex(spark: SparkSession, stateDir: String,
       buckets: Set[Int], numBuckets: Int = DefaultBuckets): DataFrame = {
     import graft.operators.ExactlyOnce
-    ExactlyOnce.appendedStateBuckets(spark, stateDir, buckets)(
-      emptyIndex(spark))
+    ExactlyOnce.appendedStateBuckets(spark, stateDir, buckets,
+      expectedBuckets = Some(numBuckets))(emptyIndex(spark))
       .select(col("gh1"), col("gh2"), col("dmin"))
   }
 

@@ -62,7 +62,7 @@ object StreamingGroupedKmv {
       .filter(col("__rn") <= k)
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(col("__h"))).as("ks"))
-      .withColumn("__gkey", concat_ws("\u0001", keyCols.map(col): _*))
+      .withColumn("__gkey", StateKeys.packKey(keyCols))
   }
 
   /** foreachBatch body: fold one batch's partial sketches into the

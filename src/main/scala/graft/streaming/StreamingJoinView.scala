@@ -73,17 +73,14 @@ object StreamingJoinView {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], p.schema)
 
-  /** The packed join key: each part LENGTH-PREFIXED (`len:value`), so
-    * no key value — whatever bytes it contains — can collide with a
-    * different key tuple (the naive separator-join idiom collides when
-    * a part contains the separator). Null-keyed rows never reach this
-    * (filtered in [[partials]] — SQL equi-joins drop them anyway).
+  /** The packed join key — the shared [[StateKeys.packKey]]
+    * length-prefixed encoding, so no key value — whatever bytes it
+    * contains — can collide with a different key tuple. Null-keyed
+    * rows never reach this (filtered in [[partials]] — SQL equi-joins
+    * drop them anyway), so the encoding's null marker is inert here.
     */
   private def packKey(keys: Seq[String]): org.apache.spark.sql.Column =
-    concat(keys.flatMap { k =>
-      val s = col(k).cast("string")
-      Seq(length(s).cast("string"), lit(":"), s)
-    }: _*)
+    StateKeys.packKey(keys)
 
   /** One side's epoch delta: one row per distinct value-tuple with the
     * packed join key, the signed multiplicity (`__m` = Σ sign, rows

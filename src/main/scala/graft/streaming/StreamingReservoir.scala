@@ -92,7 +92,7 @@ object StreamingReservoir {
       .withColumn("__prio", priority)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
-      .withColumn("__gkey", concat_ws("\u0001", keyCols.map(col): _*))
+      .withColumn("__gkey", StateKeys.packKey(keyCols))
   }
 
   /** foreachBatch body: fold one batch into the standing per-stratum

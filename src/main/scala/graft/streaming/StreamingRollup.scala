@@ -48,7 +48,7 @@ object StreamingRollup {
       .agg(count(lit(1)).as("n"),
         sums.map { case (out, in) =>
           sum(expr(in).cast("decimal(18,2)")).as(out) }: _*)
-      .withColumn("__gkey", concat_ws("\u0001", keyCols.map(col): _*))
+      .withColumn("__gkey", StateKeys.packKey(keyCols))
 
   private def emptyLike(spark: SparkSession, p: DataFrame): DataFrame =
     spark.createDataFrame(
@@ -92,7 +92,7 @@ object StreamingRollup {
         sums.map { case (out, in) =>
           sum(col(signCol).cast("decimal(18,2)") *
             expr(in).cast("decimal(18,2)")).as(out) }: _*)
-      .withColumn("__gkey", concat_ws("\u0001", keyCols.map(col): _*))
+      .withColumn("__gkey", StateKeys.packKey(keyCols))
 
   /** [[materializer]] with retractions: rows where `signCol` = −1
     * subtract from their group, and a group whose live count reaches

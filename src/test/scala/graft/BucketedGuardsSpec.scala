@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+import graft.operators.ExactlyOnce
+
+/** The round-9 protocol guards: the `clusterByBucket` knob (the
+  * cluster-scale path that skips the per-epoch bucket-clustering
+  * exchange) must not change any read-back state, and the two
+  * silent-data-loss windows on the pruned probe — a FLAT legacy
+  * component and a mismatched probe fan-out — must fail loudly
+  * instead of returning an empty/wrong slice.
+  */
+class BucketedGuardsSpec extends SparkSpec {
+
+  private val Buckets = 8
+
+  private def emptyKV = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("k", LongType), StructField("v", LongType))))
+  }
+
+  private def upsert(batch: org.apache.spark.sql.DataFrame)(
+      cur: org.apache.spark.sql.DataFrame) =
+    cur.join(batch.select(col("k")), Seq("k"), "left_anti")
+      .unionByName(batch)
+
+  test("advanceStateBucketed with clusterByBucket=false (cluster-scale " +
+      "parallel write) reads back identically, even interleaved with " +
+      "clustered epochs") {
+    import spark.implicits._
+    val a = Files.createTempDirectory("graft_cb_on").toString
+    val b = Files.createTempDirectory("graft_cb_off").toString
+    val epochs = Seq(
+      (0L, Seq(1L -> 10L, 2L -> 20L, 40L -> 400L)),
+      (1L, Seq(2L -> 21L, 3L -> 30L)),
+      (2L, Seq(1L -> 12L, 41L -> 410L, 7L -> 70L)))
+    epochs.foreach { case (e, kvs) =>
+      val batch = kvs.toDF("k", "v")
+      ExactlyOnce.advanceStateBucketed(spark, a, e, batch, "k", Buckets)(
+        emptyKV)(upsert(batch))
+      // alternate the knob on the second dir — mixed layouts per epoch
+      ExactlyOnce.advanceStateBucketed(spark, b, e, batch, "k", Buckets,
+        clusterByBucket = e % 2 == 0)(emptyKV)(upsert(batch))
+    }
+    def read(d: String) = ExactlyOnce.currentStateBucketed(spark, d)(emptyKV)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(read(a) == read(b))
+    assert(read(b) == Map(1L -> 12L, 2L -> 21L, 3L -> 30L, 7L -> 70L,
+      40L -> 400L, 41L -> 410L))
+  }
+
+  test("appendDeltaBucketed with clusterByBucket=false yields the same " +
+      "pruned-probe content") {
+    import spark.implicits._
+    val a = Files.createTempDirectory("graft_ad_on").toString
+    val b = Files.createTempDirectory("graft_ad_off").toString
+    Seq(a -> true, b -> false).foreach { case (d, knob) =>
+      Seq((0L, Seq(1L -> 10L, 9L -> 90L)), (1L, Seq(2L -> 20L, 1L -> 11L)))
+        .foreach { case (e, kvs) =>
+          ExactlyOnce.appendDeltaBucketed(spark, d, e, "k", Buckets,
+            clusterByBucket = knob)(kvs.toDF("k", "v"))
+        }
+    }
+    val all = (0 until Buckets).toSet
+    def read(d: String) = ExactlyOnce.appendedStateBuckets(
+      spark, d, all, Some(Buckets))(emptyKV)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(read(a) == read(b))
+    assert(read(a) == Set((1L, 10L), (9L, 90L), (2L, 20L), (1L, 11L)))
+  }
+
+  test("a pruned probe over a FLAT (appendDelta) component fails " +
+      "loudly instead of silently missing every standing key") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_flat").toString
+    ExactlyOnce.appendDelta(spark, d, 0L)(Seq(1L -> 10L).toDF("k", "v"))
+    val e = intercept[RuntimeException] {
+      ExactlyOnce.appendedStateBuckets(spark, d, Set(0, 1))(emptyKV)
+        .collect()
+    }
+    assert(e.getMessage.contains("FLAT"), e.getMessage)
+  }
+
+  test("a probe whose fan-out disagrees with the pinned ledger bucket " +
+      "count fails loudly instead of probing the wrong buckets") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_fanout").toString
+    ExactlyOnce.appendDeltaBucketed(spark, d, 0L, "k", Buckets)(
+      Seq(1L -> 10L).toDF("k", "v"))
+    assert(ExactlyOnce.pinnedBucketCount(spark, d).contains(Buckets))
+    val e = intercept[RuntimeException] {
+      ExactlyOnce.appendedStateBuckets(spark, d, Set(0), Some(Buckets * 2))(
+        emptyKV).collect()
+    }
+    assert(e.getMessage.contains("bucketed"), e.getMessage)
+  }
+}

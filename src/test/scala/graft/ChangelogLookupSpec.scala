@@ -235,6 +235,45 @@ class ChangelogLookupSpec extends SparkSpec {
         }
     assert(winner(rows) == "new")
     assert(winner(rows.reverse) == "new") // arrival order is irrelevant
+
+    // digit-boundary crossing: i=10 > i=9 numerically but "10" < "9"
+    // lexicographically — a string compare of the rendered clusterTime
+    // would deterministically pick the OLDER image here
+    val boundary = Seq(
+      ("k1", env("82AB0000", "{\"v\": \"old\"}", 100L,
+        "Timestamp(1700000001, 9)")),
+      ("k1", env("82AB0000", "{\"v\": \"new\"}", 100L,
+        "Timestamp(1700000001, 10)")))
+    assert(winner(boundary) == "new")
+    assert(winner(boundary.reverse) == "new")
+    // same crossing in the extended-JSON rendering, and on t itself
+    val extJson = Seq(
+      ("k1", env("82AB0000", "{\"v\": \"old\"}", 100L,
+        "{\\\"t\\\":99,\\\"i\\\":1}")),
+      ("k1", env("82AB0000", "{\"v\": \"new\"}", 100L,
+        "{\\\"t\\\":100,\\\"i\\\":1}")))
+    assert(winner(extJson) == "new")
+    assert(winner(extJson.reverse) == "new")
+  }
+
+  test("a real hex resume-token _id yields a null pos — its leading " +
+      "digit run injects no pseudo-order into the tiebreak chain") {
+    import spark.implicits._
+    // _id "82AB10" vs "9XY2": an UNANCHORED first-digit-run regex
+    // would give pos 82 vs 9 and pick the first; anchored ^evt_(\d+)$
+    // leaves pos null for both and clusterTime decides
+    def env(id: String, v: String, ct: String) = {
+      val esc = s"""{"v": "$v"}""".replace("\"", "\\\"")
+      s"""{"_id":"$id","operationType":"update","fullDocument":"$esc",""" +
+        s""""ts_ms":100,"clusterTime":"$ct"}"""
+    }
+    val rows = Seq(
+      ("k1", env("82AB10", "loser", "Timestamp(1, 1)")),
+      ("k1", env("9XY2", "winner", "Timestamp(1, 2)")))
+    val out = CdcApply.lastChangePerKeyMongo(
+      rows.toDF("partitionKey", "value")).collect()
+    assert(out.head.getAs[Map[String, String]]("after")("v") == "winner")
+    assert(out.head.isNullAt(out.head.fieldIndex("pos")))
   }
 
   test("a mongo non-delete change without fullDocument fails loudly " +

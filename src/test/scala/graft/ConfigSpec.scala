@@ -119,6 +119,26 @@ class ConfigSpec extends AnyFunSuite {
     assert(!d.copyExisting && d.collectionList == ".*" && d.projectEnv == "local")
   }
 
+  test("full_document parses both modes, rejects anything else, and the " +
+      "replica-apply contract fails at CONFIG time without updateLookup") {
+    val lk = CdcParams.fromArgs(Array("-full_document", "updateLookup"))
+    assert(lk.fullDocumentLookup)
+    lk.requireFullDocumentForApply() // no throw: contract satisfied
+    // mongo server default: legal for a forwarder...
+    val dflt = CdcParams.fromArgs(Array("-topic", "t"))
+    assert(dflt.fullDocument == "default" && !dflt.fullDocumentLookup)
+    // ...but a replica-applying deployment must refuse at submit
+    val e = intercept[IllegalArgumentException] {
+      dflt.requireFullDocumentForApply()
+    }
+    assert(e.getMessage.contains("updateLookup"), e.getMessage)
+    // unknown mode: fail at parse, not at first use
+    val bad = intercept[IllegalArgumentException] {
+      CdcParams.fromArgs(Array("-full_document", "whenAvailable"))
+    }
+    assert(bad.getMessage.contains("full_document"), bad.getMessage)
+  }
+
   test("kafka_broker is the reference's flag name; broker_list stays an alias") {
     // ParameterToolUtils.scala:30 — the reference reads `kafka_broker`
     val ref = CdcParams.fromArgs(Array("-kafka_broker", "b-1:9092"))

@@ -27,6 +27,21 @@ object ConnectedComponents {
     * @param edges two columns `a`, `b` (long pairs, either orientation)
     * @return `id`, `cluster_id` = min id in the component
     */
+  /** Per-node tables (labels / min-neighbor) are broadcast only while
+    * the node count stays at or below this; beyond it the hints are
+    * DROPPED automatically for shuffled joins. The gate exists because
+    * an explicit `broadcast()` hint bypasses
+    * `autoBroadcastJoinThreshold` entirely — beyond Spark's 8 GB /
+    * 512M-row broadcast ceiling the job FAILS or OOMs the driver
+    * rather than degrading, so "drop the hint at scale" must be a
+    * runtime decision, not a comment. 50M rows of (id, comp) longs is
+    * ~1–2 GB broadcast — conservative against both ceilings.
+    */
+  val BroadcastNodeLimit = 50000000L
+
+  private def hintIf(smallEnough: Boolean): DataFrame => DataFrame =
+    if (smallEnough) (df: DataFrame) => broadcast(df) else identity
+
   def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame =
     runCounted(vertices, edges, maxIter)._1
 
@@ -34,22 +49,25 @@ object ConnectedComponents {
     * rounds to converge + one round that observes zero changes).
     */
   def runCounted(vertices: DataFrame, edges: DataFrame,
-      maxIter: Int = 20): (DataFrame, Int) = {
+      maxIter: Int = 20,
+      broadcastNodeLimit: Long = BroadcastNodeLimit): (DataFrame, Int) = {
     val biEdges = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
 
     var labels = vertices.select(col("id"), col("id").as("comp"))
       .localCheckpoint()
+    // the label table is one row per NODE (≪ edges for candidate
+    // graphs) — broadcasting it keeps the checkpointed edge set
+    // unshuffled every round. The hint is GATED on the node count
+    // (see BroadcastNodeLimit): past the gate each round pays the
+    // edge shuffle instead of failing on an over-ceiling broadcast.
+    val bh = hintIf(labels.count() <= broadcastNodeLimit)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // the label table is one row per NODE (≪ edges for candidate
-      // graphs) — broadcasting it keeps the checkpointed edge set
-      // unshuffled every round; a node set beyond broadcast drops the
-      // hint (or moves to runStar) and pays the per-round edge shuffle
       val propagated = biEdges
-        .join(broadcast(labels), biEdges("src") === labels("id"))
+        .join(bh(labels), biEdges("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"),
           lit(null).cast("long").as("old"))
       // every vertex appears exactly once in `labels`, so max(old) per id
@@ -93,7 +111,8 @@ object ConnectedComponents {
 
   /** [[runStar]] plus the number of large+small alternations executed. */
   def runStarCounted(vertices: DataFrame, edges: DataFrame,
-      maxIter: Int = 35): (DataFrame, Int) = {
+      maxIter: Int = 35,
+      broadcastNodeLimit: Long = BroadcastNodeLimit): (DataFrame, Int) = {
     // canonical orientation: u > v, self-loops dropped
     var e = edges
       .select(greatest(col("a"), col("b")).as("u"),
@@ -101,6 +120,10 @@ object ConnectedComponents {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    // minNbr/minS are bounded by the (shrinking) node set — gate their
+    // broadcast hints on the initial vertex count (BroadcastNodeLimit:
+    // an over-ceiling hint fails, it does not degrade)
+    val bh = hintIf(vertices.count() <= broadcastNodeLimit)
     var iter = 0
     var converged = e.isEmpty
     var prevCount = -1L
@@ -112,11 +135,10 @@ object ConnectedComponents {
       val minNbr = sym.groupBy(col("u"))
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      // minNbr/minS are node-sized: the planner-time broadcast hint
-      // saves the big side's shuffle WRITE (AQE's runtime conversion
-      // only localizes the read — the map stage has already paid);
-      // beyond-broadcast node sets drop the hints for shuffled joins
-      val large = sym.join(broadcast(minNbr), "u")
+      // node-sized: the planner-time broadcast hint saves the big
+      // side's shuffle WRITE (AQE's runtime conversion only localizes
+      // the read — the map stage has already paid)
+      val large = sym.join(bh(minNbr), "u")
         .where(col("v") > col("u"))
         // v > u >= m, so (v, m) is already canonically oriented
         .select(col("v").as("u"), col("m").as("v"))
@@ -124,7 +146,7 @@ object ConnectedComponents {
         .distinct()
       // ---- small-star (input already u > v, so min(Γ⁻(u) ∪ {u}) = min v) ----
       val minS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = large.join(broadcast(minS), "u")
+      val small = large.join(bh(minS), "u")
         .select(col("v").as("a"), col("m").as("b"))
         .unionAll(minS.select(col("u").as("a"), col("m").as("b")))
         .select(greatest(col("a"), col("b")).as("u"),

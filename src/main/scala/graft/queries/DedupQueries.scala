@@ -407,6 +407,15 @@ object DedupQueries {
       (s, dir) => {
         val nodes = Tables.documents(s, dir)
           .select(col("doc_id").as("id"))
+        // gate the per-round node-table broadcasts on the node count
+        // (parquet metadata count — cheap): an over-ceiling broadcast
+        // hint FAILS the job, it does not fall back, so the fallback
+        // (drop the hint, pay a per-round shuffle) must be runtime
+        val bh: DataFrame => DataFrame =
+          if (nodes.count() <=
+            graft.operators.ConnectedComponents.BroadcastNodeLimit)
+            (df: DataFrame) => broadcast(df)
+          else identity
         // one minhashPairs instance: its observed bucket-cap metric may
         // appear only once per plan (DUPLICATED_METRICS_NAME otherwise)
         val pairs = minhashPairs(s, dir)
@@ -430,15 +439,15 @@ object DedupQueries {
           // set — so BROADCASTING it keeps the big edge table
           // unshuffled all 10 rounds; the only per-round exchange left
           // is the map-side-combined contribution sum, keyed by dst
-          // (≤ |V| rows after partial agg). A graph whose rank vector
-          // outgrows broadcast would drop the hint and pre-partition
-          // edc by src instead — same plan shape, one exchange more.
-          val sums = edc.join(broadcast(pr), edc("src") === pr("id"))
+          // (≤ |V| rows after partial agg). Past the broadcast gate
+          // the hint is dropped (runtime, via bh) — same plan shape,
+          // one exchange more per round.
+          val sums = edc.join(bh(pr), edc("src") === pr("id"))
             .select(col("dst"), expr("rank div dg").as("contrib"))
             .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
           // join the PREVIOUS iterate (same ids as nodes every round) so
           // the new frame carries prev_rank for the convergence probe
-          val next = pr.join(broadcast(sums), pr("id") === sums("dst"), "left")
+          val next = pr.join(bh(sums), pr("id") === sums("dst"), "left")
             .select(col("id"), col("rank").as("prev_rank"),
               (lit(150000L) + expr("85 * coalesce(c, 0L) div 100"))
                 .as("rank"))
@@ -500,11 +509,17 @@ object DedupQueries {
           (col("da") === col("db") && col("a") < col("b"))
         // the degree table is one row per NODE (≪ edges) — broadcast
         // both orientation lookups so the edge set is never shuffled
-        // for them (the pagerank rank-vector trade; a graph whose node
-        // table outgrows broadcast drops the hints for two shuffles)
+        // for them (the pagerank rank-vector trade). Gated on the doc
+        // count (an upper bound on graph nodes): past the gate the
+        // hints drop for two shuffles instead of failing the job.
+        val bh: DataFrame => DataFrame =
+          if (Tables.documents(s, dir).count() <=
+            graft.operators.ConnectedComponents.BroadcastNodeLimit)
+            (df: DataFrame) => broadcast(df)
+          else identity
         val oriented = pairs
-          .join(broadcast(deg.select(col("id").as("a"), col("dg").as("da"))), "a")
-          .join(broadcast(deg.select(col("id").as("b"), col("dg").as("db"))), "b")
+          .join(bh(deg.select(col("id").as("a"), col("dg").as("da"))), "a")
+          .join(bh(deg.select(col("id").as("b"), col("dg").as("db"))), "b")
           .select(when(lowFirst, col("a")).otherwise(col("b")).as("src"),
             when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
         // wedges centered at the low-degree vertex; u < v by id so each

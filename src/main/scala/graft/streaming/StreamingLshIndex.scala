@@ -60,6 +60,11 @@ object StreamingLshIndex {
     */
   def bandKeys(docs: DataFrame): DataFrame =
     StreamingDedup.bandRows(docs)
+      // separator-join is collision-free HERE by construction: `band`
+      // is an int whose rendering can never contain '|', so the two
+      // fields decode uniquely (unlike free-string key tuples, which
+      // use StateKeys.packKey); the readable form is load-bearing —
+      // the event emitter splits band back out of the key
       .select(concat_ws("|", col("band"), col("sig")).as("bucket_key"),
         col("doc_id"))
 

@@ -62,7 +62,11 @@ object StreamingSchemaDrift {
       .agg(count(lit(1)).as("n"),
         min(col("pos")).as("first_pos"),
         max(col("pos")).as("last_pos"))
-      .select(concat_ws("|", col("tbl"), col("cols")).as("k"),
+      // the persisted bucket key uses the shared collision-free codec
+      // (a table name containing '|' must not merge two signatures);
+      // `cols` itself stays the readable comma-joined canonical form —
+      // it is the census PAYLOAD, not a key encoding
+      .select(StateKeys.packKeyCols(Seq(col("tbl"), col("cols"))).as("k"),
         col("tbl"), col("cols"), col("n"), col("first_pos"), col("last_pos"))
 
   private def merge(current: DataFrame, epoch: DataFrame): DataFrame =

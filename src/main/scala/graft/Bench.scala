@@ -194,7 +194,7 @@ object Bench {
     // record the load the capture actually ran at (verdict r7 item 4):
     // the artifact self-describes its window instead of silently
     // becoming the next round's comparison base after a hot capture
-    val loadAtStart = HostLoad.current()
+    var loadAtStart = HostLoad.current()
     // one DISCARDED interleaved pass first: rep 1 otherwise absorbs the
     // post-GC / cold-page-cache cost of whatever ran before it, which
     // showed up as per-query spreads in the hundreds of percent while
@@ -221,9 +221,16 @@ object Bench {
       System.err.println(
         f"[bench] ${hotFraction * 100}%.0f%% of queries show > 50%% " +
           "spread — hot capture window, discarding samples and restarting")
-      samples.keys.foreach(k => samples(k) = Nil)
       System.gc(); Thread.sleep(500)
       awaitQuietWindow(maxWaitSec = 300)
+      // the restart is a fresh capture window: re-sample the load the
+      // REPORTED samples actually ran at, and re-pay the discarded
+      // warm-up pass — rep 1 would otherwise absorb the post-GC /
+      // cold-page-cache cost, re-inflate the spread, and burn the
+      // second restart on warm-up, not contention
+      loadAtStart = HostLoad.current()
+      timedPass()
+      samples.keys.foreach(k => samples(k) = Nil)
       (1 to reps).foreach(_ => timedPass())
       restarts += 1
     }

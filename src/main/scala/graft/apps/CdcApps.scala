@@ -71,7 +71,13 @@ object MongoCdcToKafka {
 }
 
 /** Runnable Mongo APPLY demo — copy-existing load, then the
-  * change-stream tail, folded into the version-guarded replica. The
+  * change-stream tail, folded into the fenced bucketed replica via
+  * [[graft.operators.CdcApply.materializerMongo]]. That materializer
+  * is exact for IN-ORDER feeds (which this file-paced replay is, and
+  * which a single resumed change stream guarantees); a feed that can
+  * REORDER across epochs belongs in the versioned out-of-order arm
+  * (`materializerVersioned`, demonstrated by ReplayCdcApplyLocal)
+  * instead. The
   * `-full_document` contract is enforced AT CONFIG TIME (reference
   * MongoCDC2AWSMSK.scala:156-169 is the config surface being
   * mirrored): run with `-full_document updateLookup` for the working

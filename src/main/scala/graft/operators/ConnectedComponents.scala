@@ -39,7 +39,11 @@ object ConnectedComponents {
     */
   val BroadcastNodeLimit = 50000000L
 
-  private def hintIf(smallEnough: Boolean): DataFrame => DataFrame =
+  /** The broadcast gate as a plan transform: `hintIf(n <= limit)` is
+    * `broadcast` below the gate and `identity` past it. Shared by the
+    * pagerank / triangle-census node-table hints in DedupQueries.
+    */
+  def hintIf(smallEnough: Boolean): DataFrame => DataFrame =
     if (smallEnough) (df: DataFrame) => broadcast(df) else identity
 
   def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame =

@@ -307,14 +307,31 @@ object ExactlyOnce {
     * epoch records it and later epochs fail fast on a mismatch instead
     * of silently splitting keys across incompatible layouts.
     */
+  /** The cluster-scale write lever: per-epoch bucket-clustering
+    * exchange ON by default (locally: O(1) files per bucket). A
+    * cluster deployment sets `spark.graft.state.clusterByBucket=false`
+    * once on the session and every materializer entry point — CDC
+    * replica, SCD2, rollup, join view, sketches, reservoir, schema
+    * census, dup-spans LSM — inherits it; an explicit parameter at the
+    * protocol layer overrides the conf (specs exercise both).
+    */
+  val ClusterByBucketConf = "spark.graft.state.clusterByBucket"
+
+  private def resolveClusterByBucket(spark: SparkSession,
+      explicit: Option[Boolean]): Boolean =
+    explicit.getOrElse(
+      spark.conf.getOption(ClusterByBucketConf).forall(_.toBoolean))
+
+  private def readPinnedBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      ledger: org.apache.hadoop.fs.Path): Option[Int] =
+    if (!fs.exists(ledger)) None
+    else fs.listStatus(ledger).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("buckets-") =>
+        s.stripPrefix("buckets-").toInt }.headOption
+
   private def pinBucketCount(fs: org.apache.hadoop.fs.FileSystem,
       ledger: org.apache.hadoop.fs.Path, numBuckets: Int): Unit = {
-    val pinned =
-      if (!fs.exists(ledger)) None
-      else fs.listStatus(ledger).toSeq.map(_.getPath.getName)
-        .collect { case s if s.startsWith("buckets-") =>
-          s.stripPrefix("buckets-").toInt }.headOption
-    pinned match {
+    readPinnedBuckets(fs, ledger) match {
       case Some(b) if b != numBuckets => sys.error(
         s"state at ${ledger.getParent} is bucketed $b ways; refusing " +
           s"to advance it $numBuckets ways (keys would change buckets)")
@@ -340,7 +357,7 @@ object ExactlyOnce {
     */
   def advanceStateBucketed(spark: SparkSession, stateDir: String,
       batchId: Long, batch: DataFrame, keyCol: String, numBuckets: Int,
-      retain: Int = 2, clusterByBucket: Boolean = true)(
+      retain: Int = 2, clusterByBucket: Option[Boolean] = None)(
       empty: => DataFrame)(advance: DataFrame => DataFrame): Boolean = {
     require(numBuckets > 0, "numBuckets must be positive")
     require(retain >= 2, "retain must keep at least current + one grace" +
@@ -365,13 +382,16 @@ object ExactlyOnce {
           .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
         val current = if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
         val next = advance(current).withColumn("__bucket", bExpr)
-        // clusterByBucket=true (local default): one extra exchange so
+        // cluster-by-bucket (local default ON): one extra exchange so
         // each bucket lands in O(1) files, not (tasks x buckets)
-        // fragments. At cluster scale pass false and let every task
+        // fragments. At cluster scale turn it OFF and let every task
         // write its bucket slice in parallel — correctness is
         // unaffected (readers list all files under a bucket dir), only
-        // the file count per bucket grows.
-        val clustered = if (clusterByBucket)
+        // the file count per bucket grows. The lever is reachable from
+        // EVERY materializer entry point without a signature: set
+        // `spark.graft.state.clusterByBucket=false` on the session;
+        // the explicit parameter (tests) overrides the conf.
+        val clustered = if (resolveClusterByBucket(spark, clusterByBucket))
           next.repartition(numBuckets, col("__bucket")) else next
         clustered
           .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
@@ -646,7 +666,7 @@ object ExactlyOnce {
     */
   def appendDeltaBucketed(spark: SparkSession, stateDir: String,
       batchId: Long, keyCol: String, numBuckets: Int,
-      clusterByBucket: Boolean = true)(
+      clusterByBucket: Option[Boolean] = None)(
       delta: => DataFrame): Boolean = {
     require(numBuckets > 0, "numBuckets must be positive")
     val fs = stateFs(spark, stateDir)
@@ -657,9 +677,8 @@ object ExactlyOnce {
       val tagged = delta.withColumn("__bucket",
         bucketExpr(keyCol, numBuckets))
       // cluster by bucket: O(1) files per touched bucket (same trade
-      // as advanceStateBucketed — pass clusterByBucket=false at
-      // cluster scale to skip the exchange)
-      val clustered = if (clusterByBucket)
+      // and same conf-driven lever as advanceStateBucketed)
+      val clustered = if (resolveClusterByBucket(spark, clusterByBucket))
         tagged.repartition(numBuckets, col("__bucket")) else tagged
       clustered
         .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
@@ -718,14 +737,9 @@ object ExactlyOnce {
   }
 
   /** The ledger's pinned bucket fan-out, if any epoch has committed. */
-  def pinnedBucketCount(spark: SparkSession, stateDir: String): Option[Int] = {
-    val fs = stateFs(spark, stateDir)
-    val ledger = new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")
-    if (!fs.exists(ledger)) None
-    else fs.listStatus(ledger).toSeq.map(_.getPath.getName)
-      .collect { case s if s.startsWith("buckets-") =>
-        s.stripPrefix("buckets-").toInt }.headOption
-  }
+  def pinnedBucketCount(spark: SparkSession, stateDir: String): Option[Int] =
+    readPinnedBuckets(stateFs(spark, stateDir),
+      new org.apache.hadoop.fs.Path(s"$stateDir/_ledger"))
 
   /** The live component dirs of an appended state, oldest first:
     * newest committed base (if any) + every committed, unretired

@@ -411,11 +411,9 @@ object DedupQueries {
         // (parquet metadata count — cheap): an over-ceiling broadcast
         // hint FAILS the job, it does not fall back, so the fallback
         // (drop the hint, pay a per-round shuffle) must be runtime
-        val bh: DataFrame => DataFrame =
-          if (nodes.count() <=
+        val bh = graft.operators.ConnectedComponents.hintIf(
+          nodes.count() <=
             graft.operators.ConnectedComponents.BroadcastNodeLimit)
-            (df: DataFrame) => broadcast(df)
-          else identity
         // one minhashPairs instance: its observed bucket-cap metric may
         // appear only once per plan (DUPLICATED_METRICS_NAME otherwise)
         val pairs = minhashPairs(s, dir)
@@ -512,11 +510,9 @@ object DedupQueries {
         // for them (the pagerank rank-vector trade). Gated on the doc
         // count (an upper bound on graph nodes): past the gate the
         // hints drop for two shuffles instead of failing the job.
-        val bh: DataFrame => DataFrame =
-          if (Tables.documents(s, dir).count() <=
+        val bh = graft.operators.ConnectedComponents.hintIf(
+          Tables.documents(s, dir).count() <=
             graft.operators.ConnectedComponents.BroadcastNodeLimit)
-            (df: DataFrame) => broadcast(df)
-          else identity
         val oriented = pairs
           .join(bh(deg.select(col("id").as("a"), col("dg").as("da"))), "a")
           .join(bh(deg.select(col("id").as("b"), col("dg").as("db"))), "b")

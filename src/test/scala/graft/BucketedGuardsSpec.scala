@@ -45,7 +45,7 @@ class BucketedGuardsSpec extends SparkSpec {
         emptyKV)(upsert(batch))
       // alternate the knob on the second dir — mixed layouts per epoch
       ExactlyOnce.advanceStateBucketed(spark, b, e, batch, "k", Buckets,
-        clusterByBucket = e % 2 == 0)(emptyKV)(upsert(batch))
+        clusterByBucket = Some(e % 2 == 0))(emptyKV)(upsert(batch))
     }
     def read(d: String) = ExactlyOnce.currentStateBucketed(spark, d)(emptyKV)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -63,7 +63,7 @@ class BucketedGuardsSpec extends SparkSpec {
       Seq((0L, Seq(1L -> 10L, 9L -> 90L)), (1L, Seq(2L -> 20L, 1L -> 11L)))
         .foreach { case (e, kvs) =>
           ExactlyOnce.appendDeltaBucketed(spark, d, e, "k", Buckets,
-            clusterByBucket = knob)(kvs.toDF("k", "v"))
+            clusterByBucket = Some(knob))(kvs.toDF("k", "v"))
         }
     }
     val all = (0 until Buckets).toSet
@@ -72,6 +72,29 @@ class BucketedGuardsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(read(a) == read(b))
     assert(read(a) == Set((1L, 10L), (9L, 90L), (2L, 20L), (1L, 11L)))
+  }
+
+  test("the session conf spark.graft.state.clusterByBucket=false reaches " +
+      "a materializer entry point that never exposes the parameter, and " +
+      "the state reads back identically") {
+    import spark.implicits._
+    val confed = Files.createTempDirectory("graft_cb_conf").toString
+    val control = Files.createTempDirectory("graft_cb_ctrl").toString
+    val kvs = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+    def run(d: String): Unit =
+      graft.streaming.StreamingRollup.materializer(spark, d, Seq("g"),
+        Seq("v_sum" -> "v"))(kvs.toDF("id", "g", "v"), 0L)
+    spark.conf.set(ExactlyOnce.ClusterByBucketConf, "false")
+    try run(confed) finally
+      spark.conf.unset(ExactlyOnce.ClusterByBucketConf)
+    run(control)
+    def read(d: String) = graft.streaming.StreamingRollup
+      .rollup(spark, d, Seq("g"))
+      .select(col("g"), col("n"), col("v_sum").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(read(confed) == read(control))
+    assert(read(confed) == Set(("a", 2L, 40.0), ("b", 1L, 20.0)))
   }
 
   test("a pruned probe over a FLAT (appendDelta) component fails " +

@@ -508,6 +508,75 @@ object ExactlyOnce {
       ledgerHwm(fs, new org.apache.hadoop.fs.Path(s"$stateDir/_ledger")).nonEmpty
   }
 
+  /** Operational introspection of any graft state directory — the
+    * report a deployment watches instead of `du`-ing a 100 TB state:
+    * one row per (component, bucket) slice with its file count and
+    * bytes, the component kind (`versioned` = `state-<e>` under the
+    * versioned protocol, `base`/`delta` = the append-only LSM,
+    * `flat` = a non-bucketed component), and whether the slice is LIVE
+    * (the newest committed owner of its bucket / a live LSM component)
+    * or awaiting retirement. Metadata-only: a filesystem listing, no
+    * parquet data is read — cost is O(files), which the protocols keep
+    * at O(buckets x retain + live deltas).
+    */
+  def stateReport(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fs = stateFs(spark, stateDir)
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val ComponentRe = "^(state|base|delta)-(\\d+)$".r
+    val BucketDirRe = "^__bucket=(\\d+)$".r
+    val owners = bucketOwners(spark, stateDir)
+    val liveAppended = appendedComponentDirs(spark, stateDir)
+      .map(d => new org.apache.hadoop.fs.Path(d).getName).toSet
+    def slice(p: org.apache.hadoop.fs.Path): (Long, Long) = {
+      val files = fs.listStatus(p).toSeq.filterNot(_.getPath.getName
+        .startsWith("_"))
+      (files.size.toLong, files.map(_.getLen).sum)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.sql.Row]
+    if (fs.exists(root)) fs.listStatus(root).toSeq
+      .filter(_.isDirectory).map(_.getPath).foreach { comp =>
+        comp.getName match {
+          case ComponentRe(kindRaw, eStr) =>
+            val e = eStr.toLong
+            val kind = if (kindRaw == "state") "versioned" else kindRaw
+            val children = fs.listStatus(comp).toSeq
+            val bucketDirs = children.filter(c =>
+              BucketDirRe.matches(c.getPath.getName))
+            if (bucketDirs.isEmpty) {
+              val (nf, nb) = slice(comp)
+              val live = kindRaw != "state" && liveAppended(comp.getName)
+              rows += org.apache.spark.sql.Row(
+                comp.getName, "flat", e, null, nf, nb, live)
+            } else bucketDirs.foreach { bd =>
+              val b = BucketDirRe.findFirstMatchIn(bd.getPath.getName)
+                .get.group(1).toInt
+              val (nf, nb) = slice(bd.getPath)
+              val live =
+                if (kindRaw == "state")
+                  owners.get(b).flatMap(_.headOption).contains(e)
+                else liveAppended(comp.getName)
+              rows += org.apache.spark.sql.Row(
+                comp.getName, kind, e, b, nf, nb, live)
+            }
+          case _ => () // _ledger, spans dirs, foreign content
+        }
+      }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+      StructType(Seq(
+        StructField("component", StringType),
+        StructField("kind", StringType),
+        StructField("epoch", LongType),
+        StructField("bucket", IntegerType),
+        StructField("files", LongType),
+        StructField("bytes", LongType),
+        StructField("live", BooleanType))))
+      .orderBy(col("epoch"), col("component"), col("bucket"))
+  }
+
   /** The current state under [[advanceStateBucketed]]'s protocol: per
     * bucket, the newest committed epoch's version (a bucket whose owner
     * epoch wrote it empty contributes nothing). `empty` is returned

@@ -97,6 +97,36 @@ class BucketedGuardsSpec extends SparkSpec {
     assert(read(confed) == Set(("a", 2L, 40.0), ("b", 1L, 20.0)))
   }
 
+  test("stateReport: one live slice per owned bucket, retiring " +
+      "versions flagged dead, LSM deltas live, flat components named") {
+    import spark.implicits._
+    val vs = Files.createTempDirectory("graft_rep_v").toString
+    (0L to 2L).foreach { e =>
+      val batch = Seq((1L + e, 10L * e)).toDF("k", "v")
+      ExactlyOnce.advanceStateBucketed(spark, vs, e, batch, "k", Buckets,
+        retain = 3)(emptyKV)(upsert(batch))
+    }
+    val rep = ExactlyOnce.stateReport(spark, vs).collect()
+    assert(rep.nonEmpty)
+    assert(rep.forall(_.getString(1) == "versioned"))
+    // per bucket: exactly ONE live slice, and it is the newest epoch
+    // owning that bucket
+    rep.groupBy(_.getInt(3)).foreach { case (_, slices) =>
+      val live = slices.filter(_.getBoolean(6))
+      assert(live.length == 1)
+      assert(live.head.getLong(2) == slices.map(_.getLong(2)).max)
+    }
+    assert(rep.forall(r => r.getLong(4) > 0 && r.getLong(5) > 0))
+
+    val ap = Files.createTempDirectory("graft_rep_a").toString
+    ExactlyOnce.appendDeltaBucketed(spark, ap, 0L, "k", Buckets)(
+      Seq((1L, 1L)).toDF("k", "v"))
+    ExactlyOnce.appendDelta(spark, ap, 1L)(Seq((2L, 2L)).toDF("k", "v"))
+    val rep2 = ExactlyOnce.stateReport(spark, ap).collect()
+    assert(rep2.exists(r => r.getString(1) == "delta" && r.getBoolean(6)))
+    assert(rep2.exists(r => r.getString(1) == "flat"))
+  }
+
   test("a pruned probe over a FLAT (appendDelta) component fails " +
       "loudly instead of silently missing every standing key") {
     import spark.implicits._

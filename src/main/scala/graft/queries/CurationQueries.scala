@@ -777,6 +777,60 @@ object CurationQueries {
         FROM p GROUP BY phrase HAVING COUNT(*) >= 3
         ORDER BY df DESC, phrase""")),
 
+    // ------------------------------------- per-document novelty score
+    // The inverse of the boilerplate census, per document: what
+    // fraction of a doc's distinct 5-grams appear in NO other document
+    // (df == 1). Curation pipelines weight dedup-priority / mixing by
+    // novelty — a doc whose grams are all shared is template mass, a
+    // high-novelty doc carries unique content. Scale shape: grams are
+    // carried as the (gh1, gh2) double hash (two independent xxhash64
+    // seeds — the txt_dup_spans exactness contract: a false merge
+    // needs a simultaneous 128-bit collision, ~never at 10^12 grams),
+    // so no exchange carries a gram string; df is a map-side-combined
+    // count on 16-byte keys and the per-doc fold is O(doc grams). The
+    // DuckDB oracle stays string-exact.
+    "txt_novelty" -> QueryDef(
+      (s, dir) => {
+        val grams = Tables.rebalance(Tables.documents(s, dir))
+          .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"), explode(array_distinct(
+            expr("""transform(sequence(0, size(toks) - 5),
+                    i -> concat_ws(' ', slice(toks, i + 1, 5)))""")))
+            .as("phrase"))
+          .select(col("doc_id"),
+            xxhash64(col("phrase")).as("gh1"),
+            xxhash64(lit(0x9e3779b9L), col("phrase")).as("gh2"))
+        val dfc = grams.groupBy(col("gh1"), col("gh2"))
+          .agg(count(lit(1)).as("dfc"))
+        grams.join(dfc, Seq("gh1", "gh2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("dfc") === 1, 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty",
+            col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS toks
+          FROM documents
+          WHERE len(string_split(trim(text), ' ')) >= 5),
+        p AS (
+          SELECT DISTINCT doc_id, phrase FROM (
+            SELECT doc_id, unnest(list_transform(
+              range(0, len(toks) - 4),
+              i -> array_to_string(toks[CAST(i + 1 AS INTEGER):CAST(i + 5 AS INTEGER)], ' '))) AS phrase
+            FROM t)),
+        d AS (SELECT phrase, COUNT(*) AS dfc FROM p GROUP BY phrase)
+        SELECT p.doc_id,
+               COUNT(*) AS n_grams,
+               COUNT(*) FILTER (WHERE d.dfc = 1) AS n_novel,
+               CAST(COUNT(*) FILTER (WHERE d.dfc = 1) AS DOUBLE)
+                 / COUNT(*) AS novelty
+        FROM p JOIN d USING (phrase)
+        GROUP BY p.doc_id
+        ORDER BY p.doc_id""")),
+
     // ------------------------- sliding-window chunking (size/stride)
     // The context-window chunker that feeds packing: each document is
     // cut into 128-token chunks on a 96-token stride (32-token overlap

@@ -107,7 +107,7 @@ object CdcDeltas {
         if (!ExactlyOnce.hasCommittedState(spark, stateDir) ||
           touched.isEmpty) emptyPre
         else ExactlyOnce.stateBucketsBefore(spark, stateDir, batchId,
-          touched, retain)(emptyPre)
+          touched, retain, expectedBuckets = Some(numBuckets))(emptyPre)
       val retractions = pre.join(
           changes.select(col("partitionKey")), Seq("partitionKey"))
         .select(col("after").as("image"), lit(-1).as("sign"),

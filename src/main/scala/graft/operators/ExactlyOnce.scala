@@ -600,7 +600,9 @@ object ExactlyOnce {
     * between probing a few state files and rescanning the table.
     */
   def currentStateBuckets(spark: SparkSession, stateDir: String,
-      buckets: Set[Int])(empty: => DataFrame): DataFrame = {
+      buckets: Set[Int], expectedBuckets: Option[Int] = None)(
+      empty: => DataFrame): DataFrame = {
+    validateProbeFanout(spark, stateDir, expectedBuckets)
     val fs = stateFs(spark, stateDir)
     val paths = bucketOwners(spark, stateDir).toSeq.sortBy(_._1)
       .collect { case (b, es) if buckets.contains(b) =>
@@ -684,10 +686,30 @@ object ExactlyOnce {
     * [[currentStateBucketedAsOf]].
     */
   def stateBucketsBefore(spark: SparkSession, stateDir: String,
-      batchId: Long, buckets: Set[Int], retain: Int = 2)(
-      empty: => DataFrame): DataFrame =
+      batchId: Long, buckets: Set[Int], retain: Int = 2,
+      expectedBuckets: Option[Int] = None)(
+      empty: => DataFrame): DataFrame = {
+    validateProbeFanout(spark, stateDir, expectedBuckets)
     resolveVersioned(spark, stateDir, retain, Some(buckets),
       _ < batchId, s"below epoch $batchId")(empty)
+  }
+
+  /** The versioned twin of the appended-state fan-out guard: a caller
+    * that computed its touched-bucket set mod N must probe a state
+    * pinned N ways — a mismatch silently reads the wrong buckets
+    * (for the changelog-lookup producer that means missed retractions,
+    * a correctness bug, not a perf one), so it fails loudly instead.
+    */
+  private def validateProbeFanout(spark: SparkSession, stateDir: String,
+      expected: Option[Int]): Unit =
+    expected.foreach { nb =>
+      pinnedBucketCount(spark, stateDir).foreach { pinned =>
+        if (pinned != nb) sys.error(
+          s"state at $stateDir is bucketed $pinned ways but the probe" +
+            s" computed its touched buckets mod $nb — the pruned read" +
+            " would probe the wrong buckets")
+      }
+    }
 
   /** APPEND-ONLY epoch-fenced state — the durable form of a standing
     * index whose per-epoch update is a disjoint DELTA (the
@@ -774,14 +796,7 @@ object ExactlyOnce {
   def appendedStateBuckets(spark: SparkSession, stateDir: String,
       buckets: Set[Int], expectedBuckets: Option[Int] = None)(
       empty: => DataFrame): DataFrame = {
-    expectedBuckets.foreach { nb =>
-      pinnedBucketCount(spark, stateDir).foreach { pinned =>
-        if (pinned != nb) sys.error(
-          s"appended state at $stateDir is bucketed $pinned ways but " +
-            s"the probe computed its touched buckets mod $nb — the " +
-            "pruned read would probe the wrong buckets")
-      }
-    }
+    validateProbeFanout(spark, stateDir, expectedBuckets)
     val fs = stateFs(spark, stateDir)
     val BucketDirRe = "^__bucket=(\\d+)$".r
     val paths = appendedComponentDirs(spark, stateDir).flatMap { d =>

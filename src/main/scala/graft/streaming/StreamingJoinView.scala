@@ -186,9 +186,9 @@ object StreamingJoinView {
       val touched = pL.select(bexpr).unionByName(pR.select(bexpr))
         .distinct().collect().map(_.getInt(0)).toSet
       val lt = ExactlyOnce.currentStateBuckets(spark, s"$root/left",
-        touched)(emptyLike(spark, pL))
+        touched, Some(numBuckets))(emptyLike(spark, pL))
       val rt = ExactlyOnce.currentStateBuckets(spark, s"$root/right",
-        touched)(emptyLike(spark, pR))
+        touched, Some(numBuckets))(emptyLike(spark, pR))
       val tagL = lt.filter(col("__e") === batchId)
       val oldL = lt.filter(col("__e") < batchId)
       val tagR = rt.filter(col("__e") === batchId)

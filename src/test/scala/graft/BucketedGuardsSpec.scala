@@ -139,6 +139,28 @@ class BucketedGuardsSpec extends SparkSpec {
     assert(e.getMessage.contains("FLAT"), e.getMessage)
   }
 
+  test("the VERSIONED subset reads (currentStateBuckets / " +
+      "stateBucketsBefore) also reject a mismatched probe fan-out") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_fanout_v").toString
+    val batch = Seq(1L -> 10L).toDF("k", "v")
+    ExactlyOnce.advanceStateBucketed(spark, d, 0L, batch, "k", Buckets)(
+      emptyKV)(upsert(batch))
+    val e1 = intercept[RuntimeException] {
+      ExactlyOnce.currentStateBuckets(spark, d, Set(0), Some(Buckets * 2))(
+        emptyKV).collect()
+    }
+    assert(e1.getMessage.contains("bucketed"), e1.getMessage)
+    val e2 = intercept[RuntimeException] {
+      ExactlyOnce.stateBucketsBefore(spark, d, 1L, Set(0),
+        expectedBuckets = Some(Buckets + 1))(emptyKV).collect()
+    }
+    assert(e2.getMessage.contains("bucketed"), e2.getMessage)
+    // the matching fan-out still reads
+    assert(ExactlyOnce.currentStateBuckets(spark, d,
+      (0 until Buckets).toSet, Some(Buckets))(emptyKV).count() == 1)
+  }
+
   test("a probe whose fan-out disagrees with the pinned ledger bucket " +
       "count fails loudly instead of probing the wrong buckets") {
     import spark.implicits._

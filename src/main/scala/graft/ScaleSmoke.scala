@@ -657,7 +657,17 @@ object ScaleSmoke {
       rows.toDF("cat2", "boost").withColumn("s", lit(s))
     }
     val ivmEpochs = scala.collection.mutable.ArrayBuffer.empty[String]
+    // (epoch, sec, rows) — the near-empty epochs' mean is the pipeline's
+    // measured steady overhead (r9 verdict item 1's "done" metric)
+    val ivmEpochSecs =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
     var rippleNegRows = -1L
+    // r10 (r9 verdict item 1): the chained pipeline's fixed per-epoch
+    // overhead is paid fork/join — replica, rollup, and the view
+    // cascade are independent states over the same cached inputs, and
+    // the cascade itself is staged (jv1's advances commit while jv2
+    // prepares from jv1's pre-commit-derived increment), so a steady
+    // epoch pays max(branches), not the sum of eight serial advances
     val ivmBody = (batch: org.apache.spark.sql.DataFrame, id: Long) => {
       val t0 = System.nanoTime()
       implicit val ss: SparkSession = spark
@@ -667,16 +677,12 @@ object ScaleSmoke {
         .toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val n = enr.count()
-        graft.operators.CdcApply.materializerVersioned(
-          spark, ivmRep, IvmBuckets)(enr, id)
         val deltas = graft.operators.CdcDeltas.signedDeltas(enr)
           .select(col("image").getItem("event_type").as("event_type"),
             col("image").getItem("value").as("value"), col("sign"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          graft.streaming.StreamingRollup.materializerSigned(spark, ivmRoll,
-            Seq("event_type"), Seq("v_sum" -> "value"), "sign", IvmBuckets)(
-            deltas, id)
+          deltas.count() // materialize once before the parallel consumers
           val (d1, d2) = id match {
             case 0 => (dim1Df(dim1Rows, 1), dim2Df(dim2Rows, 1))
             case 4 => (dim1Df(dim1Rows.filter(_._2 == retCat), -1),
@@ -685,16 +691,31 @@ object ScaleSmoke {
               dim2Df(Nil, 1))
             case _ => (dim1Df(Nil, 1), dim2Df(Nil, 1))
           }
-          val inc1 = graft.streaming.StreamingJoinView.materializerSigned(
-            spark, ivmV1, Seq("event_type"), Seq("d_et"),
-            Some("sign"), Some("s"), IvmBuckets)(deltas, d1, id)
-          val inc2 = graft.streaming.StreamingJoinView.materializerSigned(
-            spark, ivmV2, Seq("category"), Seq("cat2"),
-            Some("__m"), Some("s"), IvmBuckets)(inc1, d2, id)
-          if (id == 4) // the retraction rippled: negative cascade rows
-            rippleNegRows = inc2.filter(col("__m") < 0).count()
+          graft.operators.Concurrent.all[Any](spark)(
+            () => graft.operators.CdcApply.materializerVersioned(
+              spark, ivmRep, IvmBuckets)(enr, id),
+            () => graft.streaming.StreamingRollup.materializerSigned(
+              spark, ivmRoll, Seq("event_type"), Seq("v_sum" -> "value"),
+              "sign", IvmBuckets)(deltas, id),
+            () => {
+              val (inc1, commit1) = graft.streaming.StreamingJoinView
+                .materializerSignedStaged(spark, ivmV1, Seq("event_type"),
+                  Seq("d_et"), Some("sign"), Some("s"), IvmBuckets)(
+                  deltas, d1, id)
+              graft.operators.Concurrent.both(spark)(
+                commit1(),
+                {
+                  val inc2 = graft.streaming.StreamingJoinView
+                    .materializerSigned(spark, ivmV2, Seq("category"),
+                      Seq("cat2"), Some("__m"), Some("s"), IvmBuckets)(
+                      inc1, d2, id)
+                  if (id == 4) // the retraction rippled: negative rows
+                    rippleNegRows = inc2.filter(col("__m") < 0).count()
+                })
+            })
           val sec = (System.nanoTime() - t0) / 1e9
           ivmEpochs += s"""{"epoch":$id,"sec":${math.round(sec * 1000) / 1000.0},"rows":$n,"rows_per_sec":${math.round(n / sec)}}"""
+          ivmEpochSecs += ((id, sec, n))
           println(f"[scale] ivm-e2e epoch $id: $sec%.1f s, $n rows " +
             f"(${n / sec}%.0f rows/s)")
         } finally deltas.unpersist()
@@ -753,12 +774,16 @@ object ScaleSmoke {
     val cascadeGot = graft.streaming.StreamingJoinView.view(spark, ivmV2)
       .agg(coalesce(sum(col("__m")), lit(0L))).head().getLong(0)
     enrAll.unpersist()
+    val ivmSteady = ivmEpochSecs.filter(_._3 <= 16)
+    val ivmSteadyOverheadSec =
+      if (ivmSteady.isEmpty) -1.0
+      else ivmSteady.map(_._2).sum / ivmSteady.size
     val ivmPass = repGot == repWant && rollGot == rollWant &&
       cascadeGot == cascadeWant && rippleNegRows > 0
     println(s"[scale] ivm-e2e parity: replica $repGot/$repWant rollup " +
       s"${rollGot.size}/${rollWant.size} groups (match=${rollGot == rollWant}) " +
       s"cascade mass $cascadeGot/$cascadeWant ripple_neg_rows=$rippleNegRows " +
-      s"pass=$ivmPass")
+      f"steady_overhead_sec=$ivmSteadyOverheadSec%.2f pass=$ivmPass")
     if (!ivmPass) failed += "cdc_ivm_e2e"
 
     // ---- artifact ----
@@ -780,7 +805,7 @@ object ScaleSmoke {
           .mkString("[", ",", "]")},"index_rows":$lshIndexRows,"dup_events":$lshEvents,"steady_epoch_rows":$lshSteadyRows,"steady_epoch_shards":$lshSteadyTouched,"slice_bound_rows":${math.round(lshSliceBound)},"o_touched_pass":$lshPass},"join_view":{"buckets":$JvBuckets,"epochs":${jvEpochs
           .mkString("[", ",", "]")},"view_rows":$jvViewRows,"view_mass":$jvMass,"batch_join_rows":$jvTruth,"steady_epoch_rows":$jvSteadyRows,"parity_pass":$jvParity,"o_touched_pass":$jvPass},"sketch_reservoir":{"epochs":${sketchEpochs
           .mkString("[", ",", "]")},"strata":$gkGroups,"reservoir_rows":$rsRows,"state_bound_pass":$sketchPass},"cdc_ivm_e2e":{"buckets":$IvmBuckets,"epochs":${ivmEpochs
-          .mkString("[", ",", "]")},"replica_live_rows":$repGot,"replica_batch_restatement":$repWant,"rollup_groups":${rollGot.size},"rollup_parity":${rollGot == rollWant},"cascade_mass":$cascadeGot,"cascade_batch_restatement":$cascadeWant,"ripple_neg_rows":$rippleNegRows,"parity_pass":$ivmPass}},"failed":${failed
+          .mkString("[", ",", "]")},"replica_live_rows":$repGot,"replica_batch_restatement":$repWant,"rollup_groups":${rollGot.size},"rollup_parity":${rollGot == rollWant},"cascade_mass":$cascadeGot,"cascade_batch_restatement":$cascadeWant,"ripple_neg_rows":$rippleNegRows,"steady_overhead_sec":${math.round(ivmSteadyOverheadSec * 1000) / 1000.0},"parity_pass":$ivmPass}},"failed":${failed
           .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"single timed noop-sink pass per op (cold plans; 30x scale: 90% of texts cloned 30x, 10% stratum singleton + one-token near-dup variant), untimed count for cardinality"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

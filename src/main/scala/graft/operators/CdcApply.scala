@@ -58,12 +58,15 @@ object CdcApply {
     * the replica. Per-key order: (ts_ms, clusterTime t, clusterTime i,
     * raw clusterTime, pos, value) — clusterTime is the change stream's
     * real total order when present, and it is compared NUMERICALLY:
-    * the (t, i) components are extracted as the first two digit runs
-    * (covers both the `Timestamp(1700000001, 10)` rendering and the
-    * extended-JSON `{"t":1700000001,"i":10}` form), because a
-    * lexicographic compare of the rendered string puts i=10 below i=9
-    * at every digit-boundary crossing — the exact wrong-winner bug
-    * this ordering exists to prevent. `pos` (the fixture's
+    * an extended-JSON rendering is parsed by KEY (`"t": <n>` /
+    * `"i": <n>` — key order in the serialized object is not
+    * significant in JSON, so a serializer emitting `{"i":10,"t":…}`
+    * must not swap the components), and the `Timestamp(t, i)`
+    * rendering falls back to the first two digit runs positionally.
+    * Numeric compare matters because a lexicographic compare of the
+    * rendered string puts i=10 below i=9 at every digit-boundary
+    * crossing — the exact wrong-winner bug this ordering exists to
+    * prevent. `pos` (the fixture's
     * `evt_<n>` `_id`, anchored `^evt_(\d+)$` so real Mongo hex resume
     * tokens genuinely yield null rather than a truncated leading digit
     * run injecting pseudo-order) and finally the raw envelope string
@@ -87,13 +90,21 @@ object CdcApply {
     def digitsToLong(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       nullif(c, lit("")).cast("long")
     val pos = digitsToLong(regexp_extract(col("env._id"), "^evt_(\\d+)$", 1))
-    // numeric (t, i) of clusterTime — null when the form carries fewer
-    // than two digit runs; the raw string stays in the chain as a
+    // numeric (t, i) of clusterTime — keyed extended-JSON forms parse
+    // by KEY (JSON key order is serializer-dependent; positional digit
+    // runs would swap t and i under {"i":…,"t":…}), the Timestamp(t, i)
+    // rendering falls back to positional runs; null when the form
+    // carries neither, and the raw string stays in the chain as a
     // last-resort total order for unparseable forms
-    val ctT = digitsToLong(regexp_extract(col("env.clusterTime"),
-      "(\\d+)\\D+(\\d+)", 1))
-    val ctI = digitsToLong(regexp_extract(col("env.clusterTime"),
-      "(\\d+)\\D+(\\d+)", 2))
+    val ctRaw = col("env.clusterTime")
+    val hasKeyedT = ctRaw.rlike("\"t\"\\s*:\\s*\\d+")
+    def ctPart(key: String, run: Int) = when(hasKeyedT,
+      digitsToLong(regexp_extract(ctRaw,
+        "\"" + key + "\"\\s*:\\s*(\\d+)", 1)))
+      .otherwise(digitsToLong(regexp_extract(ctRaw,
+        "(\\d+)\\D+(\\d+)", run)))
+    val ctT = ctPart("t", 1)
+    val ctI = ctPart("i", 2)
     val w = Window.partitionBy(col("partitionKey"))
       .orderBy(col("env.ts_ms").desc, ctT.desc, ctI.desc,
         col("env.clusterTime").desc, pos.desc, col("value").desc)

@@ -31,9 +31,20 @@ import org.apache.spark.sql.functions._
   * must be rebuilt from source (replay the feed into a fresh state
   * dir) before resuming under this encoding. Mixing encodings in one
   * state dir would duplicate groups, never corrupt silently-merged
-  * ones — the failure mode is visible, but rebuild anyway.
+  * ones — the failure mode is visible, but rebuild anyway. The note
+  * is ENFORCED at runtime, not left to docs: every packKey-keyed
+  * materializer stamps [[CodecTag]] into its ledger on first write
+  * (`ExactlyOnce.ensureLedgerTag`), and resuming a state dir that
+  * carries committed epochs WITHOUT the stamp fails loudly instead of
+  * silently splitting every group.
   */
 object StateKeys {
+
+  /** Ledger stamp naming this encoding (v2 = length-prefixed packKey;
+    * v1 was the unstamped concat_ws era). Bump on any change to
+    * [[packKeyCols]]'s byte format.
+    */
+  val CodecTag = "keycodec-2"
 
   /** Pack the named key columns (see object doc for the encoding). */
   def packKey(keys: Seq[String]): Column = packKeyCols(keys.map(col))

@@ -72,6 +72,7 @@ object StreamingGroupedKmv {
       keyCols: Seq[String], idCol: String, k: Int = 128,
       hashSeed: Long = 987654321L, numBuckets: Int = DefaultBuckets,
       retain: Int = 2)(batch: DataFrame, batchId: Long): Unit = {
+    ExactlyOnce.ensureLedgerTag(spark, stateDir, StateKeys.CodecTag)
     val p = partials(batch, keyCols, idCol, k, hashSeed)
     ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, p,
       "__gkey", numBuckets, retain)(emptyLike(spark, p)) { current =>

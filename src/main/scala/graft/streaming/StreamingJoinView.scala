@@ -12,9 +12,14 @@ import graft.operators.ExactlyOnce
   *
   *   Δ(L ⋈ R)  =  ΔL ⋈ R_old  +  L_old ⋈ ΔR  +  ΔL ⋈ ΔR
   *
-  * kept exact under crash/replay by computing it from POST-commit
-  * state only (see below), so the increment is a pure function of
-  * (committed state, batchId) and replays regenerate it bit-for-bit.
+  * kept exact under crash/replay by computing it from PRE-commit
+  * state ([[graft.operators.ExactlyOnce.stateBucketsBefore]], which
+  * resolves versions strictly below the epoch identically whether the
+  * epoch's own advances have committed or not), so the increment is a
+  * pure function of (prior committed state, batch, batchId) and
+  * replays regenerate it exactly — and the two side folds, the view
+  * fold, and the increment computation are mutually independent,
+  * letting one epoch advance all three states fork/join.
   *
   * Three bucketed states live under one root, all hash-bucketed on the
   * SAME packed join key (`ExactlyOnce.bucketOf`, so matching rows of
@@ -23,13 +28,14 @@ import graft.operators.ExactlyOnce
   *   `root/left`, `root/right` — per-side multiplicity logs: one row
   *     per distinct value-tuple per epoch that touched it, carrying
   *     `__m` (signed multiplicity delta) and `__e` (the epoch that
-  *     ingested it). Each epoch's advance compacts the PRIOR rows of
-  *     the buckets it touches to one row per value-tuple (`max(__e)`
-  *     keeps the tag strictly below the current epoch) and appends its
-  *     own delta still tagged `__e = batchId` — which is what makes
-  *     the increment replay-stable: after a torn epoch the replay
-  *     finds the delta already in state, still distinguishable from
-  *     older rows by its tag, and recomputes the identical increment.
+  *     ingested it — provenance, and the compaction watermark). Each
+  *     epoch's advance compacts the PRIOR rows of the buckets it
+  *     touches to one row per value-tuple (`max(__e)` keeps the tag
+  *     strictly below the current epoch) and appends its own delta
+  *     tagged `__e = batchId`. The increment itself never reads these
+  *     tags: it reads the pre-epoch VERSIONS of the touched buckets,
+  *     which the protocol's keep-2 retirement grace guarantees are
+  *     resolvable for exactly the torn-epoch replay window.
   *   `root/view` — the join result as (left cols, right cols, `__m`),
   *     `__m` = Σ products of side multiplicities; a row whose
   *     multiplicity reaches zero vanishes from state.
@@ -106,10 +112,15 @@ object StreamingJoinView {
     * tagged with THIS epoch.
     */
   private def advanceSide(spark: SparkSession, dir: String, p: DataFrame,
-      batchId: Long, numBuckets: Int, retain: Int): Unit = {
+      batchId: Long, numBuckets: Int, retain: Int,
+      touched: Set[Int]): Unit = {
     val valueCols = p.columns.toSeq.filterNot(Set("__m", "__e"))
+    // `touched` was probed once by the materializer (p is persisted
+    // there) and is shared with the increment read — the advance skips
+    // its own probe job and persist
     ExactlyOnce.advanceStateBucketed(spark, dir, batchId, p,
-      "__jkey", numBuckets, retain)(emptyLike(spark, p)) { current =>
+      "__jkey", numBuckets, retain,
+      knownTouched = Some(touched))(emptyLike(spark, p)) { current =>
       current
         .groupBy(valueCols.map(col): _*)
         .agg(sum(col("__m")).as("__m"), max(col("__e")).as("__e"))
@@ -151,16 +162,44 @@ object StreamingJoinView {
     * cascade hook: feeding the increment into ANOTHER view's side with
     * `signCol = "__m"` maintains a multi-way join ((L⋈R)⋈S and deeper)
     * incrementally, each stage O(its delta + touched buckets). The
-    * increment is a pure function of post-commit state and `batchId`,
-    * so a replayed epoch returns the identical frame (the downstream
-    * view fences itself) — consume it within the epoch (it reads state
-    * versions the NEXT epoch's retirement may sweep).
+    * increment is a pure function of PRE-commit state, the batch, and
+    * `batchId`, so a replayed epoch returns the identical frame (the
+    * downstream view fences itself) — consume it within the epoch (it
+    * reads state versions the NEXT epoch's retirement may sweep).
     */
   def materializerSigned(spark: SparkSession, root: String,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftSign: Option[String], rightSign: Option[String],
       numBuckets: Int = DefaultBuckets, retain: Int = 2)(
       leftBatch: DataFrame, rightBatch: DataFrame, batchId: Long): DataFrame = {
+    val (inc, commit) = materializerSignedStaged(spark, root, leftKeys,
+      rightKeys, leftSign, rightSign, numBuckets, retain)(
+      leftBatch, rightBatch, batchId)
+    commit()
+    inc
+  }
+
+  /** [[materializerSigned]] split into PREPARE (partials, probes, the
+    * increment — everything a cascaded next stage needs) and COMMIT
+    * (the three state advances, fork/join): a cascade forks stage N's
+    * `commit()` while stage N+1 prepares from stage N's increment, so
+    * a K-stage cascade's steady epoch pays roughly one stage's commit
+    * latency, not K of them. Sound because the increment is computed
+    * from PRE-commit state (see the class doc): nothing stage N+1
+    * reads depends on stage N's advances having landed.
+    *
+    * Contract: invoke `commit()` exactly once, within the epoch, and
+    * let it finish before the foreachBatch body returns — it performs
+    * the fenced state advances AND releases the caches (the returned
+    * increment stays valid afterwards; consumers re-derive it from
+    * retained pre-epoch state versions).
+    */
+  def materializerSignedStaged(spark: SparkSession, root: String,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftSign: Option[String], rightSign: Option[String],
+      numBuckets: Int = DefaultBuckets, retain: Int = 2)(
+      leftBatch: DataFrame, rightBatch: DataFrame,
+      batchId: Long): (DataFrame, () => Unit) = {
     val lVals = leftBatch.columns.toSet -- leftSign
     val rVals = rightBatch.columns.toSet -- rightSign
     val clash = lVals & rVals
@@ -168,45 +207,88 @@ object StreamingJoinView {
       s"join-view sides share non-key column names ${clash.mkString(", ")}" +
         " — rename one side's columns before materializing (the view" +
         " carries both sides' columns side by side)")
+    Seq("left", "right", "view").foreach(s => ExactlyOnce.ensureLedgerTag(
+      spark, s"$root/$s", StateKeys.CodecTag))
 
     val pL = partials(leftBatch, leftKeys, leftSign, batchId)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pR = partials(rightBatch, rightKeys, rightSign, batchId)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var incCached: Option[DataFrame] = None
+    def release(): Unit = {
+      pL.unpersist(); pR.unpersist(); incCached.foreach(_.unpersist())
+    }
     try {
-      advanceSide(spark, s"$root/left", pL, batchId, numBuckets, retain)
-      advanceSide(spark, s"$root/right", pR, batchId, numBuckets, retain)
-
-      // the increment reads POST-commit state (identical on replay —
-      // a fenced side advance leaves exactly what the pre-crash run
-      // committed), restricted to the buckets this epoch's keys land
-      // in: matching rows of the OTHER side share those buckets by
-      // co-bucketing, so nothing outside them can join
+      // ONE probe per side (collect_set: a partial-aggregate job with
+      // no wide exchange), shared by that side's advance AND the
+      // increment read below
       val bexpr = ExactlyOnce.bucketOf("__jkey", numBuckets).as("__b")
-      val touched = pL.select(bexpr).unionByName(pR.select(bexpr))
-        .distinct().collect().map(_.getInt(0)).toSet
-      val lt = ExactlyOnce.currentStateBuckets(spark, s"$root/left",
-        touched, Some(numBuckets))(emptyLike(spark, pL))
-      val rt = ExactlyOnce.currentStateBuckets(spark, s"$root/right",
-        touched, Some(numBuckets))(emptyLike(spark, pR))
-      val tagL = lt.filter(col("__e") === batchId)
-      val oldL = lt.filter(col("__e") < batchId)
-      val tagR = rt.filter(col("__e") === batchId)
+      def bucketsOf(p: DataFrame): Set[Int] =
+        p.select(bexpr).agg(collect_set(col("__b"))).head()
+          .getSeq[Int](0).toSet
+      val (bL, bR) = graft.operators.Concurrent.both(spark)(
+        bucketsOf(pL), bucketsOf(pR))
+      val touched = bL ++ bR
 
-      //   ΔL ⋈ R_new  +  L_old ⋈ ΔR
-      // = ΔL ⋈ R_old  +  ΔL ⋈ ΔR  +  L_old ⋈ ΔR  — the exact Δ(L⋈R)
-      val inc = half(tagL, rt).unionByName(half(oldL, tagR))
+      // the increment reads PRE-commit state
+      // ([[ExactlyOnce.stateBucketsBefore]] — versions strictly below
+      // this epoch, resolved identically whether this epoch's side
+      // advances have committed or not, which keeps the increment
+      // replay-stable across every torn-epoch window), restricted to
+      // the buckets this epoch's keys land in: matching rows of the
+      // OTHER side share those buckets by co-bucketing, so nothing
+      // outside them can join. Reading BEFORE-state instead of
+      // after-state makes the increment independent of the side
+      // advances, so side folds, view fold, and increment all overlap
+      // (fork/join below): a steady epoch pays max(advances), not
+      // their sum. The reads pin the schema the materializer itself
+      // writes (advanceSide output == partials shape, types exact:
+      // sum over long stays long) and skip footer inference.
+      val ltOld = ExactlyOnce.stateBucketsBefore(spark, s"$root/left",
+        batchId, touched, retain, Some(numBuckets), Some(pL.schema))(
+        emptyLike(spark, pL))
+      val rtOld = ExactlyOnce.stateBucketsBefore(spark, s"$root/right",
+        batchId, touched, retain, Some(numBuckets), Some(pR.schema))(
+        emptyLike(spark, pR))
 
-      ExactlyOnce.advanceStateBucketed(spark, s"$root/view", batchId,
-        inc, "__jkey", numBuckets, retain)(emptyLike(spark, inc)) { current =>
-        current.unionByName(inc)
-          .groupBy(inc.columns.filterNot(_ == "__m").map(col).toSeq: _*)
-          .agg(sum(col("__m")).as("__m"))
-          .filter(col("__m") =!= 0)
-          .select(inc.columns.map(col): _*)
-      }
-      inc.drop("__jkey")
-    } finally { pL.unpersist(); pR.unpersist() }
+      //   Δ(L⋈R)  =  ΔL ⋈ (R_old ⊎ ΔR)  +  L_old ⋈ ΔR
+      //           =  ΔL ⋈ R_old  +  ΔL ⋈ ΔR  +  L_old ⋈ ΔR
+      // (bag semantics: pre-state rows may carry a key tuple in more
+      // than one row — their multiplicities sum identically wherever
+      // the increment is aggregated: the view advance, a cascaded
+      // stage's partials)
+      val inc = half(pL, rtOld.unionByName(pR))
+        .unionByName(half(ltOld, pR))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      incCached = Some(inc)
+
+      // three independent states, one fork/join inside commit().
+      // `touched` is a superset of the increment's buckets (inc keys
+      // come from side rows in those buckets), so the view advance
+      // reuses it instead of probing: extra buckets read their current
+      // content and write it back unchanged through the merge — same
+      // content, ownership moves to this epoch.
+      val commit = () =>
+        try {
+          graft.operators.Concurrent.all[Any](spark)(
+            () => advanceSide(spark, s"$root/left", pL, batchId,
+              numBuckets, retain, bL),
+            () => advanceSide(spark, s"$root/right", pR, batchId,
+              numBuckets, retain, bR),
+            () => ExactlyOnce.advanceStateBucketed(spark, s"$root/view",
+              batchId, inc, "__jkey", numBuckets, retain,
+              knownTouched = Some(touched))(emptyLike(spark, inc)) { current =>
+              current.unionByName(inc)
+                .groupBy(inc.columns.filterNot(_ == "__m").map(col)
+                  .toSeq: _*)
+                .agg(sum(col("__m")).as("__m"))
+                .filter(col("__m") =!= 0)
+                .select(inc.columns.map(col): _*)
+            })
+          ()
+        } finally release()
+      (inc.drop("__jkey"), commit)
+    } catch { case e: Throwable => release(); throw e }
   }
 
   /** The standing join view: both sides' columns plus `__m`, the exact

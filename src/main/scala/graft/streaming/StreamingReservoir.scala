@@ -105,6 +105,7 @@ object StreamingReservoir {
       keyCols: Seq[String], idCol: String, priority: Column, k: Int,
       numBuckets: Int = DefaultBuckets, retain: Int = 2)(
       batch: DataFrame, batchId: Long): Unit = {
+    ExactlyOnce.ensureLedgerTag(spark, stateDir, StateKeys.CodecTag)
     val p = partials(batch, keyCols, idCol, priority, k)
     val w = Window.partitionBy(col("__gkey"))
       .orderBy(col("__prio"), col(idCol))

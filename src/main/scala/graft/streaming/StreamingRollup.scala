@@ -61,6 +61,7 @@ object StreamingRollup {
       keyCols: Seq[String], sums: Seq[(String, String)],
       numBuckets: Int = DefaultBuckets, retain: Int = 2)(
       batch: DataFrame, batchId: Long): Unit = {
+    ExactlyOnce.ensureLedgerTag(spark, stateDir, StateKeys.CodecTag)
     val p = partials(batch, keyCols, sums)
     val sumCols = "n" +: sums.map(_._1)
     ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, p,
@@ -109,6 +110,7 @@ object StreamingRollup {
       keyCols: Seq[String], sums: Seq[(String, String)], signCol: String,
       numBuckets: Int = DefaultBuckets, retain: Int = 2)(
       batch: DataFrame, batchId: Long): Unit = {
+    ExactlyOnce.ensureLedgerTag(spark, stateDir, StateKeys.CodecTag)
     val p = signedPartials(batch, keyCols, sums, signCol)
     val sumCols = "n" +: sums.map(_._1)
     ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, p,

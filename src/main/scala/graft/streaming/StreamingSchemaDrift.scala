@@ -82,6 +82,8 @@ object StreamingSchemaDrift {
   def materializer(spark: SparkSession, stateDir: String,
       numBuckets: Int = DefaultBuckets)(
       batch: DataFrame, batchId: Long): Unit = {
+    graft.operators.ExactlyOnce.ensureLedgerTag(
+      spark, stateDir, StateKeys.CodecTag)
     val ec = epochCensus(batch)
     graft.operators.ExactlyOnce.advanceStateBucketed(
       spark, stateDir, batchId, ec, "k", numBuckets)(

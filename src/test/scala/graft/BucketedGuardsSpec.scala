@@ -174,4 +174,37 @@ class BucketedGuardsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("bucketed"), e.getMessage)
   }
+
+  test("a packKey-keyed materializer refuses to resume a state dir " +
+      "that carries committed epochs without the codec stamp, and " +
+      "stamps fresh dirs before the first commit") {
+    import spark.implicits._
+    val batch = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+
+    // a dir with committed epochs but NO stamp is pre-round-9 content
+    // (the concat_ws encoding) — advancing it must fail loudly, never
+    // silently split groups between two encodings
+    val legacy = Files.createTempDirectory("graft_codec_legacy").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(legacy), spark.sparkContext.hadoopConfiguration)
+    val ledger = new org.apache.hadoop.fs.Path(s"$legacy/_ledger")
+    fs.mkdirs(ledger)
+    fs.create(new org.apache.hadoop.fs.Path(ledger, "epoch-0"), true).close()
+    val e = intercept[RuntimeException] {
+      graft.streaming.StreamingRollup.materializer(spark, legacy,
+        Seq("k"), Seq("v_sum" -> "v"), Buckets)(batch, 1L)
+    }
+    assert(e.getMessage.contains("codec stamp"), e.getMessage)
+
+    // a fresh dir stamps itself on first write and resumes cleanly
+    val fresh = Files.createTempDirectory("graft_codec_fresh").toString
+    graft.streaming.StreamingRollup.materializer(spark, fresh,
+      Seq("k"), Seq("v_sum" -> "v"), Buckets)(batch, 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$fresh/_ledger/${graft.streaming.StateKeys.CodecTag}")))
+    graft.streaming.StreamingRollup.materializer(spark, fresh,
+      Seq("k"), Seq("v_sum" -> "v"), Buckets)(batch, 1L)
+    assert(graft.streaming.StreamingRollup.rollup(spark, fresh, Seq("k"))
+      .count() == 2)
+  }
 }

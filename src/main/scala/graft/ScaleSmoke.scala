@@ -609,6 +609,61 @@ object ScaleSmoke {
       s"rows (k=16), pass=$sketchPass")
     if (!sketchPass) failed += "sketch_reservoir_state_bound"
 
+    // ---- streaming novelty at 30x: bulk epoch folds the whole
+    // dup-saturated corpus into the standing gram census, steady
+    // epochs ingest 8 cloned docs — every clone gram hits the census,
+    // so the epoch exercises the RETRACTION path (owners of
+    // still-novel grams lose them) at O(batch grams + touched
+    // buckets), and the standing table must equal the batch
+    // txt_novelty restatement over everything ingested.
+    val nvRoot = s"$dir/novelty_state"
+    hfs.delete(new org.apache.hadoop.fs.Path(nvRoot), true)
+    val docsForNovelty = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val maxNvId = docsForNovelty.agg(max(col("doc_id"))).head().getLong(0)
+    def noveltySteady(e: Int) = docsForNovelty.orderBy(col("doc_id"))
+      .limit(8).withColumn("doc_id", col("doc_id") + lit(maxNvId + e * 1000L))
+    val nvEpochs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var nvSteadySecMax = 0.0
+    (0 to 2).foreach { e =>
+      val batch = if (e == 0) docsForNovelty else noveltySteady(e)
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingNovelty.materializer(spark, nvRoot, 64)(
+        batch, e.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (e > 0) nvSteadySecMax = math.max(nvSteadySecMax, sec)
+      nvEpochs += s"""{"epoch":$e,"sec":${math.round(sec * 1000) / 1000.0}}"""
+      println(f"[scale] novelty epoch $e: $sec%.1f s")
+    }
+    val nvIngested = docsForNovelty
+      .unionByName(noveltySteady(1)).unionByName(noveltySteady(2))
+    val nvTruth = {
+      val grams = nvIngested
+        .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(
+          expr("""transform(sequence(0, size(toks) - 5),
+                  i -> concat_ws(' ', slice(toks, i + 1, 5)))""")))
+          .as("phrase"))
+        .select(col("doc_id"), xxhash64(col("phrase")).as("gh1"),
+          xxhash64(lit(0x9e3779b9L), col("phrase")).as("gh2"))
+      val dfc = grams.groupBy(col("gh1"), col("gh2"))
+        .agg(count(lit(1)).as("dfc"))
+      grams.join(dfc, Seq("gh1", "gh2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("dfc") === 1, 1L).otherwise(0L)).as("n_novel"))
+    }
+    val nvGot = graft.streaming.StreamingNovelty.novelty(spark, nvRoot)
+      .select(col("doc_id"), col("n_grams"), col("n_novel"))
+    val nvDiff = nvGot.unionByName(nvTruth).distinct().count() * 2 -
+      nvGot.count() - nvTruth.count()
+    val nvParity = nvDiff == 0
+    val nvPass = nvParity && nvSteadySecMax > 0
+    println(f"[scale] novelty parity: symmetric-diff $nvDiff rows, " +
+      f"steady_epoch_sec_max $nvSteadySecMax%.2f, pass=$nvPass")
+    if (!nvPass) failed += "streaming_novelty"
+
     // ---- CDC → IVM end-to-end at 30x (r7 verdict item 2): ONE real
     // readStream drives replay → enrich → versioned replica → signed
     // retraction deltas → signed rollup AND a 3-way join-view cascade
@@ -804,7 +859,8 @@ object ScaleSmoke {
           .mkString("[", ",", "]")},"delta_rows_total":$deltaTotal,"corpus_distinct_pairs":$distinctPairs,"o_batch_write_pass":${deltaTotal == distinctPairs},"steady_probe_buckets_max":$dupSteadyTouchedMax,"steady_probe_confined":$dupSteadyConfined,"steady_epoch_sec_max":${math.round(dupSteadySecMax * 1000) / 1000.0},"o_touched_probe_pass":$dupPass},"lsh_index":{"shards":$LshShards,"epochs":${lshEpochs
           .mkString("[", ",", "]")},"index_rows":$lshIndexRows,"dup_events":$lshEvents,"steady_epoch_rows":$lshSteadyRows,"steady_epoch_shards":$lshSteadyTouched,"slice_bound_rows":${math.round(lshSliceBound)},"o_touched_pass":$lshPass},"join_view":{"buckets":$JvBuckets,"epochs":${jvEpochs
           .mkString("[", ",", "]")},"view_rows":$jvViewRows,"view_mass":$jvMass,"batch_join_rows":$jvTruth,"steady_epoch_rows":$jvSteadyRows,"parity_pass":$jvParity,"o_touched_pass":$jvPass},"sketch_reservoir":{"epochs":${sketchEpochs
-          .mkString("[", ",", "]")},"strata":$gkGroups,"reservoir_rows":$rsRows,"state_bound_pass":$sketchPass},"cdc_ivm_e2e":{"buckets":$IvmBuckets,"epochs":${ivmEpochs
+          .mkString("[", ",", "]")},"strata":$gkGroups,"reservoir_rows":$rsRows,"state_bound_pass":$sketchPass},"novelty":{"buckets":64,"epochs":${nvEpochs
+          .mkString("[", ",", "]")},"steady_epoch_sec_max":${math.round(nvSteadySecMax * 1000) / 1000.0},"parity_pass":$nvParity},"cdc_ivm_e2e":{"buckets":$IvmBuckets,"epochs":${ivmEpochs
           .mkString("[", ",", "]")},"replica_live_rows":$repGot,"replica_batch_restatement":$repWant,"rollup_groups":${rollGot.size},"rollup_parity":${rollGot == rollWant},"cascade_mass":$cascadeGot,"cascade_batch_restatement":$cascadeWant,"ripple_neg_rows":$rippleNegRows,"steady_overhead_sec":${math.round(ivmSteadyOverheadSec * 1000) / 1000.0},"parity_pass":$ivmPass}},"failed":${failed
           .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"single timed noop-sink pass per op (cold plans; 30x scale: 90% of texts cloned 30x, 10% stratum singleton + one-token near-dup variant), untimed count for cardinality"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -30,6 +30,17 @@ object StateReport {
     println(s"[state-report] pinned_buckets=" +
       s"${ExactlyOnce.pinnedBucketCount(spark, dir).getOrElse(-1)} " +
       s"has_committed=${ExactlyOnce.hasCommittedState(spark, dir)}")
+    // as-of reachability: which committed epochs time travel can still
+    // reconstruct — versioned states list their retained owner epochs
+    // (per-bucket retention applies at read time), appended LSMs the
+    // newest base + the deltas above it
+    val vEpochs = ExactlyOnce.versionedOwnerEpochs(spark, dir)
+    if (vEpochs.nonEmpty) println(
+      s"[state-report] versioned_asof_owner_epochs=" +
+        vEpochs.mkString(","))
+    val aEpochs = ExactlyOnce.appendedAsOfEpochs(spark, dir)
+    if (aEpochs.nonEmpty) println(
+      s"[state-report] appended_asof_epochs=" + aEpochs.mkString(","))
     spark.stop()
   }
 }

@@ -1073,6 +1073,69 @@ object ExactlyOnce {
     if (parts.isEmpty) empty else parts.reduce(_ unionByName _)
   }
 
+  /** TIME TRAVEL over the append-only LSM: the standing state exactly
+    * as it stood when epoch `asOf` committed — the appended twin of
+    * [[currentStateBucketedAsOf]], so every durable graft state
+    * (replica, rollup, join view, LSH index, dup-spans gram index)
+    * answers "as of epoch N" the same way. Reconstruction = newest
+    * base at or below `asOf` plus every committed delta in between;
+    * depth is bounded by COMPACTION, not a retain count: compaction at
+    * epoch E folds all deltas ≤ E into `base-E` and retires them, so
+    * an `asOf` strictly below the newest base is no longer
+    * reconstructable and FAILS LOUDLY (compact less often — e.g. the
+    * dup-spans materializer's `compactEvery` — to keep deeper
+    * history). A committed delta whose directory is absent committed
+    * empty and contributes nothing.
+    */
+  def appendedStateAsOf(spark: SparkSession, stateDir: String,
+      asOf: Long)(empty: => DataFrame): DataFrame = {
+    require(isEpochCommitted(spark, stateDir, asOf),
+      s"epoch $asOf never committed at $stateDir — as-of reads name a" +
+        " committed epoch")
+    val newestBase = committedCompacts(spark, stateDir).maxOption
+    newestBase.filter(_ > asOf).foreach(b => sys.error(
+      s"appended state at $stateDir was compacted at epoch $b: every" +
+        s" delta at or below $b is folded into base-$b and retired," +
+        s" so the state as of epoch $asOf is no longer" +
+        " reconstructable — compact less often to keep deeper as-of" +
+        " history"))
+    val fs = stateFs(spark, stateDir)
+    val dirs = newestBase.map(b => s"$stateDir/base-$b").toSeq ++
+      committedEpochs(spark, stateDir)
+        .filter(e => newestBase.forall(_ < e) && e <= asOf).sorted
+        .map(e => s"$stateDir/delta-$e")
+    val parts = dirs
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+      .filter { d =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(d)).exists { s =>
+          val n = s.getPath.getName
+          n.startsWith("__bucket=") || n.startsWith("part-")
+        }
+      }
+      .map(d => spark.read.parquet(d))
+    if (parts.isEmpty) empty else parts.reduce(_ unionByName _)
+  }
+
+  /** The as-of-reachable committed epochs of an APPENDED state: the
+    * newest base (if any) and every committed delta after it — exactly
+    * the epochs [[appendedStateAsOf]] can reconstruct. Operational
+    * introspection (surfaced by `graft.StateReport`).
+    */
+  def appendedAsOfEpochs(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val base = committedCompacts(spark, stateDir).maxOption
+    (base.toSeq ++ committedEpochs(spark, stateDir)
+      .filter(e => base.forall(_ < e))).sorted
+  }
+
+  /** The distinct owner epochs of a VERSIONED state's retained bucket
+    * versions — the candidate as-of points [[currentStateBucketedAsOf]]
+    * resolves from (per-bucket retention still applies at read time).
+    * Operational introspection (surfaced by `graft.StateReport`).
+    */
+  def versionedOwnerEpochs(spark: SparkSession,
+      stateDir: String): Seq[Long] =
+    bucketOwners(spark, stateDir).values.flatten.toSeq.distinct.sorted
+
   /** Fold the current base + committed deltas into one `base-<epoch>`
     * directory and retire the inputs. Returns the new base epoch, or
     * None when there is nothing to compact.

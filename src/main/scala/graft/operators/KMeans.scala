@@ -37,7 +37,8 @@ object KMeans {
   def seed(vecs: DataFrame, k: Int): DataFrame =
     vecs.orderBy(col("vec_id")).limit(k)
       .withColumn("cluster",
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+        (row_number().over(graft.queries.Tables.tinyGlobalWindow(
+          col("vec_id"))) - 1).cast("long"))
       .select(col("cluster"), col("v").as("c"))
 
   /** Nearest-centroid assignment: vec_id → cluster. */

@@ -502,7 +502,7 @@ object AnalyticsQueries {
           .withColumn("next_id", lead(col("event_id"), 1).over(wIn))
           .filter(col("next_id").isNotNull)
           .select(col("event_id"), col("next_id"))
-        val wB = Window.orderBy(col("bkt"))
+        val wB = Tables.tinyGlobalWindow(col("bkt"))
         val stitched = clicks.groupBy(col("bkt"))
           .agg(min(col("event_id")).as("bmin"), max(col("event_id")).as("bmax"))
           .withColumn("next_min", lead(col("bmin"), 1).over(wB))
@@ -657,7 +657,7 @@ object AnalyticsQueries {
         val wIn = Window.partitionBy(col("hour")).orderBy(col("sec"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val withinRun = perSec.withColumn("in_run", sum(col("nd")).over(wIn))
-        val wHours = Window.orderBy(col("hour"))
+        val wHours = Tables.tinyGlobalWindow(col("hour"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val offsets = perSec.groupBy(col("hour")).agg(sum(col("nd")).as("h_nd"))
           .withColumn("carry_in", coalesce(sum(col("h_nd")).over(wHours), lit(0L)))
@@ -706,7 +706,7 @@ object AnalyticsQueries {
     // curve at any event volume.
     "evt_user_growth" -> QueryDef(
       (s, dir) => {
-        val w = Window.orderBy(col("day"))
+        val w = Tables.tinyGlobalWindow(col("day"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.events(s, dir)
           .groupBy(col("user_id"))

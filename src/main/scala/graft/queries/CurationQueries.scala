@@ -344,7 +344,7 @@ object CurationQueries {
         // runs over just 20 rows
         scored.orderBy(col("bm25").desc, col("doc_id")).limit(20)
           .withColumn("rk", row_number().over(
-            Window.orderBy(col("bm25").desc, col("doc_id"))))
+            Tables.tinyGlobalWindow(col("bm25").desc, col("doc_id"))))
           .select(col("rk"), col("doc_id"), col("bm25"))
           .orderBy(col("rk"))
       },
@@ -1061,8 +1061,9 @@ object CurationQueries {
         val offsets = docs.groupBy(col("bucket"))
           .agg(count(lit(1)).as("n"))
           .withColumn("offset",
-            coalesce(sum(col("n")).over(Window.orderBy(col("bucket"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            coalesce(sum(col("n")).over(
+              Tables.tinyGlobalWindow(col("bucket"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
           .select(col("bucket"), col("offset"))
         val total = docs.agg(count(lit(1)).as("total"))
         docs.withColumn("rk", row_number().over(

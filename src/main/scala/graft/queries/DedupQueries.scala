@@ -407,13 +407,6 @@ object DedupQueries {
       (s, dir) => {
         val nodes = Tables.documents(s, dir)
           .select(col("doc_id").as("id"))
-        // gate the per-round node-table broadcasts on the node count
-        // (parquet metadata count — cheap): an over-ceiling broadcast
-        // hint FAILS the job, it does not fall back, so the fallback
-        // (drop the hint, pay a per-round shuffle) must be runtime
-        val bh = graft.operators.ConnectedComponents.hintIf(
-          nodes.count() <=
-            graft.operators.ConnectedComponents.BroadcastNodeLimit)
         // one minhashPairs instance: its observed bucket-cap metric may
         // appear only once per plan (DUPLICATED_METRICS_NAME otherwise)
         val pairs = minhashPairs(s, dir)
@@ -421,44 +414,12 @@ object DedupQueries {
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionAll(pairs
             .select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .localCheckpoint()
-        // degree folds into the edge table ONCE (r7 verdict item 3):
-        // the old per-round `join(deg, "src")` re-aggregated and
-        // re-shuffled degrees on every iteration; pre-joining makes
-        // each round a single join against the checkpointed
-        // (src, dst, dg) table
-        val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("dg"))
-        val edc = ed.join(deg, "src").localCheckpoint()
-        var pr = nodes.withColumn("rank", lit(1000000L)).localCheckpoint()
-        var converged = false
-        for (i <- 1 to 10 if !converged) {
-          // the rank vector is one row per node — the candidate-graph
-          // node set (docs), orders of magnitude smaller than its edge
-          // set — so BROADCASTING it keeps the big edge table
-          // unshuffled all 10 rounds; the only per-round exchange left
-          // is the map-side-combined contribution sum, keyed by dst
-          // (≤ |V| rows after partial agg). Past the broadcast gate
-          // the hint is dropped (runtime, via bh) — same plan shape,
-          // one exchange more per round.
-          val sums = edc.join(bh(pr), edc("src") === pr("id"))
-            .select(col("dst"), expr("rank div dg").as("contrib"))
-            .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
-          // join the PREVIOUS iterate (same ids as nodes every round) so
-          // the new frame carries prev_rank for the convergence probe
-          val next = pr.join(bh(sums), pr("id") === sums("dst"), "left")
-            .select(col("id"), col("rank").as("prev_rank"),
-              (lit(150000L) + expr("85 * coalesce(c, 0L) div 100"))
-                .as("rank"))
-          // truncate lineage every OTHER round: two join+agg rounds of
-          // lineage stay re-plannable, and halving the materialization
-          // barriers cuts the per-round fixed cost (~2× fewer jobs)
-          pr = if (i % 2 == 0 || i == 10) {
-            val ck = next.localCheckpoint()
-            converged = ck.filter(col("rank") =!= col("prev_rank")).isEmpty
-            ck.select(col("id"), col("rank"))
-          } else next.select(col("id"), col("rank"))
-        }
-        pr.select(col("id").as("doc_id"), col("rank").as("rank_micro"))
+        // the operator picks the physical regime at runtime (node
+        // count vs BroadcastNodeLimit): broadcast rank under the gate,
+        // co-partitioned edges+rank past it — either way the edge
+        // table is never re-exchanged per round (PageRank scaladoc)
+        graft.operators.PageRank.run(nodes, ed, rounds = 10)
+          .select(col("id").as("doc_id"), col("rank").as("rank_micro"))
           .orderBy(col("doc_id"))
       },
       Some {

@@ -541,8 +541,9 @@ object ExtendedQueries {
         val offsets = docs.groupBy(col("lang"))
           .agg(count(lit(1)).as("n"))
           .withColumn("offset",
-            coalesce(sum(col("n")).over(Window.orderBy(col("lang"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            coalesce(sum(col("n")).over(
+              Tables.tinyGlobalWindow(col("lang"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
           .select(col("lang"), col("offset"))
         docs.withColumn("rk", row_number().over(
             Window.partitionBy(col("lang")).orderBy(col("doc_id"))))

@@ -19,6 +19,35 @@ object Tables {
     */
   def rebalance(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  // one-time, targeted: WindowExec's "No Partition Defined" warning
+  // demotes to ERROR the first time a DELIBERATE tiny global window is
+  // declared. A constant partition key cannot carry the intent — the
+  // optimizer folds `partitionBy(lit(0))` away and the physical plan
+  // is Exchange SinglePartition either way (verified on Spark 4.1) —
+  // so the honest mechanism is the logger. Accidental BIG global
+  // windows stay gated where it matters: PlanSweepSpec fails any
+  // declared query whose plan grows an unexplained global window.
+  private lazy val silenceDeliberateGlobalWindowWarn: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // non-log4j2 deployments: keep the noise
+
+  /** A DELIBERATELY single-partition window over a provably TINY
+    * frame — O(groups) rows: a language-offset table, a 256-row
+    * vocab, an hour/day series, a top-20 rank. Semantically exactly
+    * `Window.orderBy(...)`; the point of the helper is (a) marking
+    * the intent at the call site and (b) demoting WindowExec's
+    * "No Partition Defined" warning (see above) so it keeps meaning
+    * "someone accidentally windowed a BIG frame globally". Never use
+    * over an input that grows with the corpus.
+    */
+  def tinyGlobalWindow(order: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.expressions.WindowSpec = {
+    silenceDeliberateGlobalWindowWarn
+    org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+  }
   def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/lineitem.parquet")
   def orders(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/orders.parquet")
   def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/customer.parquet")

@@ -207,7 +207,7 @@ object TextQueries {
           .agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("tok").asc).limit(VocabSize)
           .withColumn("tid", row_number()
-            .over(Window.orderBy(col("cnt").desc, col("tok").asc))
+            .over(Tables.tinyGlobalWindow(col("cnt").desc, col("tok").asc))
             .cast("long"))
           .select(col("tok"), col("tid"))
         toks.join(broadcast(vocab), Seq("tok"), "left")

@@ -189,6 +189,21 @@ object StreamingDupSpans {
       .select(col("gh1"), col("gh2"), col("dmin"))
   }
 
+  /** TIME TRAVEL: the standing gram index exactly as it stood when
+    * epoch `asOf` committed — "the dedup index as of epoch N" for
+    * reproducible historical reruns. The LSM reconstructs base +
+    * committed deltas up to `asOf`
+    * ([[graft.operators.ExactlyOnce.appendedStateAsOf]]); depth is
+    * bounded by compaction — an `asOf` below the newest base fails
+    * loudly (raise the materializer's `compactEvery` to keep deeper
+    * history).
+    */
+  def indexAsOf(spark: SparkSession, stateDir: String,
+      asOf: Long): DataFrame =
+    graft.operators.ExactlyOnce.appendedStateAsOf(spark, stateDir, asOf)(
+      emptyIndex(spark))
+      .select(col("gh1"), col("gh2"), col("dmin"))
+
   /** Durable ordered-feed materializer: foreachBatch body over a
     * standing gram index persisted as a PER-BUCKET LSM
     * ([[graft.operators.ExactlyOnce.appendDeltaBucketed]] — hash-

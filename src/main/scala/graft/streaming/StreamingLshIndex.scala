@@ -73,11 +73,12 @@ object StreamingLshIndex {
     * `eventsDir/epoch=<batchId>` under the same epoch marker.
     */
   def materializer(spark: SparkSession, stateDir: String, eventsDir: String,
-      numBuckets: Int = DefaultBuckets)(
+      numBuckets: Int = DefaultBuckets, retain: Int = 2)(
       batch: DataFrame, batchId: Long): Unit = {
     val keys = bandKeys(batch)
+    // retain > 2 keeps deeper version history for [[indexAsOf]]
     ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, keys,
-      "bucket_key", numBuckets)(emptyIndex(spark)) { current =>
+      "bucket_key", numBuckets, retain)(emptyIndex(spark)) { current =>
       // one claimant per bucket this batch (lowest doc_id — the same
       // within-batch determinism as the state-store twin)
       val claims = keys.groupBy(col("bucket_key"))
@@ -115,6 +116,19 @@ object StreamingLshIndex {
       s"no committed index state under $stateDir")
     ExactlyOnce.currentStateBucketed(spark, stateDir)(emptyIndex(spark))
   }
+
+  /** TIME TRAVEL: the standing index exactly as it stood when epoch
+    * `asOf` committed — "the dedup index as of epoch N", the handle a
+    * curation pipeline needs to re-run a historical pass
+    * reproducibly. Depth = the materializer's `retain` (default 2);
+    * pass the same value (see
+    * [[graft.operators.ExactlyOnce.currentStateBucketedAsOf]] — every
+    * retained epoch reconstructs, retired ones fail loudly).
+    */
+  def indexAsOf(spark: SparkSession, stateDir: String, asOf: Long,
+      retain: Int = 2): DataFrame =
+    ExactlyOnce.currentStateBucketedAsOf(spark, stateDir, asOf, retain)(
+      emptyIndex(spark))
 
   private val EventsEpochRe = "^epoch=(\\d+)$".r
 

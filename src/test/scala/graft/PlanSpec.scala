@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Plan-shape assertions (the 100 TB design contract): filters and
   * column pruning reach the parquet scan, small dims broadcast, the
   * sink projection stays inside whole-stage codegen, and partial
@@ -143,5 +145,70 @@ class PlanSpec extends SparkSpec {
     // the argmin min_by runs map-side (partial) before the vec_id
     // exchange — the earlier Lloyd rounds sit behind localCheckpoints
     assert(p.contains("partial_min_by"), p)
+  }
+
+  test("pagerank past the broadcast gate: co-partitioned edges+rank " +
+      "make each round's join zero-exchange — the edge table is " +
+      "never re-exchanged per iteration") {
+    import spark.implicits._
+    val nodes = (1L to 200L).toDF("id")
+    val edges = (1L until 200L).map(i => (i, i + 1))
+      .toDF("src", "dst")
+    // limit 0 forces the past-gate regime on a tiny graph; the
+    // AUTO-broadcast threshold must also be off — at real past-gate
+    // scale (> 50 M nodes) the rank table's size estimate disables it
+    // by itself, but a 200-row fixture would still auto-broadcast and
+    // hide the co-partitioned shape under test
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE off so executedPlan is the concrete tree (an
+    // AdaptiveSparkPlanExec is a leaf to collect); the cached-plan
+    // partitioning contract itself is AQE-safe — the default
+    // canChangeCachedPlanOutputPartitioning=false exists precisely to
+    // preserve a cached relation's partitioning under AQE
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (edc, pr0, bh, underGate) = operators.PageRank.prepare(nodes,
+        edges, broadcastNodeLimit = 0L)
+      assert(!underGate)
+      val (sums, next) = operators.PageRank.round(edc, pr0, bh)
+      // tree-collect, not string-matching: the printed plan includes
+      // the InMemoryRelation's INTERNAL (one-time) exchange, which is
+      // exactly the exchange the per-round path must not repeat
+      def shuffles(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+        }.size
+      def bcasts(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .BroadcastExchangeExec => e
+        }.size
+      val pSums = sums.queryExecution.executedPlan.toString
+      // the edge⋈rank join consumes the cache-preserved
+      // co-partitioning: the ONLY exchange in the contribution sum is
+      // the groupBy(dst) shuffle itself — no BroadcastExchange (the
+      // gate dropped the hint) and no re-exchange of either join side
+      assert(bcasts(sums) == 0, pSums)
+      assert(shuffles(sums) == 1, pSums)
+      // the edge side is the cached pre-partitioned pre-sorted scan —
+      // no Sort above it either (ordering rides the cache)
+      assert(pSums.contains("InMemoryTableScan"), pSums)
+      // the rank-update join likewise adds NO exchange beyond the
+      // contribution sum's: pr(id) and sums(dst) are both pre-hashed
+      assert(shuffles(next) == 1,
+        next.queryExecution.executedPlan.toString)
+      // and the regime is numerically identical to the broadcast path
+      val past = operators.PageRank.run(nodes, edges, rounds = 4,
+        broadcastNodeLimit = 0L)
+      val under = operators.PageRank.run(nodes, edges, rounds = 4)
+      assert(past.orderBy(col("id")).collect().toSeq ==
+        under.orderBy(col("id")).collect().toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
   }
 }

@@ -11,123 +11,175 @@ import org.apache.spark.storage.StorageLevel
   * float-sum order dependence anywhere. The DuckDB oracle unrolls the
   * identical rounds as chained CTEs (see `graph_pagerank`).
   *
-  * Convergence early-exit: the update is a deterministic function
-  * next = f(prev) of the whole rank vector, so the integer formulation
-  * has an EXACT fixed point — if round k produces bit-identical ranks
-  * to round k−1, every later round reproduces them, and stopping at k
-  * emits the same bits the full run would. The probe rides the rounds
-  * that already materialize.
+  * The rank vector is SPLIT ONCE into its static and dynamic parts,
+  * which removes the per-round rank-update join entirely:
+  *
+  *   - nodes with no in-edges (isolated, or source-only in a directed
+  *     feed) hold rank 150000 from round 1 forever — computed once,
+  *     unioned into the result (and, for source-only nodes, into the
+  *     contribution input) as constants;
+  *   - every other node receives ≥ 1 contribution EVERY round (the
+  *     edge set is static), so the contribution sum's key set is
+  *     exactly the dynamic node set and the next iterate is a pure
+  *     projection of the sum — no join, no coalesce.
+  *
+  * Per round that leaves ONE broadcast (the rank vector — orders of
+  * magnitude smaller than the edge set) + ONE map-side-combined
+  * shuffle (the contribution sum). Convergence early-exit compares
+  * consecutive CHECKPOINTS (round i vs i−2): the update is
+  * deterministic, so x_i = x_{i−2} makes the tail periodic with
+  * period dividing 2, and the exit fires only when the REMAINING
+  * round count is even — the emitted bits are identical to running
+  * every round (and to the unrolled oracle).
   *
   * Two physical regimes, chosen at runtime by the node count (an
   * over-ceiling broadcast hint FAILS the job rather than falling
   * back, so the fallback must be runtime — see
   * [[ConnectedComponents.BroadcastNodeLimit]]):
   *
-  *   - UNDER the gate: the rank vector (one row per node, orders of
-  *     magnitude smaller than the edge set) is broadcast each round,
-  *     so the big edge table is never exchanged and the only per-round
-  *     shuffle is the map-side-combined contribution sum (≤ |V| rows
-  *     after partial aggregation). Iterates truncate lineage via
-  *     localCheckpoint.
+  *   - UNDER the gate: rank broadcasts each round; iterates truncate
+  *     lineage via localCheckpoint.
   *   - PAST the gate (> 50 M nodes): the degree-annotated edge table
-  *     is hash-partitioned on `src`, SORTED within partitions, and
-  *     PERSISTED once — an InMemoryRelation preserves both the
-  *     partitioning and the ordering, so every round's edge⋈rank
-  *     sort-merge join consumes the cache with ZERO exchange and ZERO
-  *     sort on the edge side. The rank iterates persist (cache, not
-  *     localCheckpoint, which drops partitioning under AQE) so the
-  *     update join's id-partitioned output carries into the next
-  *     round. Per-iteration network cost is O(|V|) — the contribution
-  *     shuffle — never O(|E|): at 100 TB edge scale the edge table is
-  *     exchanged exactly once for the whole run, which is the
-  *     difference between an iteration and a re-load.
+  *     is hash-partitioned on `src`, sorted, and PERSISTED once — an
+  *     InMemoryRelation preserves both partitioning and ordering, so
+  *     every round's edge⋈rank join is a zero-exchange zero-sort
+  *     merge on the edge side (localCheckpoint would drop the layout
+  *     under AQE, hence cache). The rank iterates persist
+  *     id-partitioned. Per-iteration network cost is O(|V|) — the
+  *     contribution shuffle — never O(|E|): the edge table is
+  *     exchanged exactly once for the whole run.
   */
 object PageRank {
 
   /** The iteration-invariant inputs, exposed so plan specs can assert
-    * the physical shape of one round: the degree-annotated edge table
+    * one round's physical shape: the degree-annotated edge table
     * (`src`, `dst`, `dg` — cached co-partitioned+sorted on `src` past
-    * the gate), the initial rank vector (`id`, `rank`), the broadcast
-    * hint (identity past the gate), and the regime flag.
+    * the gate), the initial rank vector over the CONTRIBUTING (src)
+    * nodes, the broadcast hint (identity past the gate), the regime
+    * flag, and the two static rank parts (source-only nodes, joined
+    * into every post-first-round iterate; no-in-edge nodes, unioned
+    * into the final result).
     */
   def prepare(nodes: DataFrame, edges: DataFrame,
       broadcastNodeLimit: Long = ConnectedComponents.BroadcastNodeLimit)
-      : (DataFrame, DataFrame, DataFrame => DataFrame, Boolean) = {
+      : (DataFrame, DataFrame, DataFrame => DataFrame, Boolean,
+        DataFrame, DataFrame) = {
     val underGate = nodes.count() <= broadcastNodeLimit
     val bh = ConnectedComponents.hintIf(underGate)
+    // degree folds into the edge table ONCE (hash-agg + join; an
+    // all-rows window sort over |E| measured ~30% slower, a chunked
+    // adjacency-list layout ~15% slower — the per-round cost is stage
+    // barriers, not join width — and reading `edges` lazily in both
+    // branches ~20% slower than checkpointing: exchange reuse does
+    // not cover the upstream pair generation)
     val ed = edges.localCheckpoint()
-    // degree folds into the edge table ONCE: a per-round join(deg)
-    // would re-aggregate and re-shuffle degrees every iteration
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      .localCheckpoint()
     val edc0 = ed.join(deg, "src")
-    if (underGate) {
-      val edc = edc0.localCheckpoint()
-      val pr0 = nodes.withColumn("rank", lit(1000000L)).localCheckpoint()
-      (edc, pr0, bh, true)
-    } else {
+    // the static split: src nodes at the initial rank feed round 1;
+    // source-only nodes (∉ dst) freeze at 150000 after round 1 but
+    // keep contributing; nodes with no edges at all freeze likewise
+    // and only appear in the result
+    val dstIds = ed.select(col("dst").as("id")).distinct()
+      .localCheckpoint()
+    val srcOnlyConst = deg.select(col("src").as("id"))
+      .join(dstIds, Seq("id"), "left_anti")
+      .withColumn("rank", lit(150000L))
+      .localCheckpoint()
+    val isolatedConst = nodes
+      .join(dstIds, Seq("id"), "left_anti")
+      .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+      .withColumn("rank", lit(150000L))
+    val init = deg.select(col("src").as("id"))
+      .withColumn("rank", lit(1000000L))
+    if (underGate)
+      (edc0.localCheckpoint(), init.localCheckpoint(), bh, true,
+        srcOnlyConst, isolatedConst)
+    else {
       val edc = edc0.repartition(col("src"))
         .sortWithinPartitions("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
       edc.count() // pay the one-time edge exchange + sort NOW
-      val pr0 = nodes.withColumn("rank", lit(1000000L))
-        .repartition(col("id"))
+      val pr0 = init.repartition(col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       pr0.count()
-      (edc, pr0, bh, false)
+      (edc, pr0, bh, false, srcOnlyConst, isolatedConst)
     }
   }
 
-  /** One power-iteration round: the contribution sum and the updated
-    * rank vector (carrying `prev_rank` for the convergence probe).
+  /** One power-iteration round: the contribution sum and the next
+    * DYNAMIC iterate (a pure projection of the sum — every dynamic
+    * node receives contributions every round, see the object doc).
     */
   def round(edc: DataFrame, pr: DataFrame,
       bh: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     val sums = edc.join(bh(pr), edc("src") === pr("id"))
       .select(col("dst"), expr("rank div dg").as("contrib"))
       .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
-    val next = pr.join(bh(sums), pr("id") === sums("dst"), "left")
-      .select(col("id"), col("rank").as("prev_rank"),
-        (lit(150000L) + expr("85 * coalesce(c, 0L) div 100"))
-          .as("rank"))
+    val next = sums.select(col("dst").as("id"),
+      (lit(150000L) + expr("85 * c div 100")).as("rank"))
     (sums, next)
   }
 
-  /** Run up to `rounds` iterations over `nodes` (`id`) and directed
-    * `edges` (`src`, `dst` — symmetrize first for an undirected
-    * graph). Returns (`id`, `rank`) in rank-micros.
+  /** Run `rounds` iterations over `nodes` (`id`) and directed `edges`
+    * (`src`, `dst` — symmetrize first for an undirected graph).
+    * Returns (`id`, `rank`) in rank-micros for every node.
     */
   def run(nodes: DataFrame, edges: DataFrame, rounds: Int = 10,
       broadcastNodeLimit: Long =
         ConnectedComponents.BroadcastNodeLimit): DataFrame = {
-    val (edc, pr0, bh, underGate) =
+    require(rounds >= 1, "pagerank needs at least one round")
+    val (edc, pr0, bh, underGate, srcOnlyConst, isolatedConst) =
       prepare(nodes, edges, broadcastNodeLimit)
+    val timing = nodes.sparkSession.conf
+      .getOption("spark.graft.graph.timing").contains("true")
+    var tRound = System.nanoTime()
     var pr = pr0
-    // the most recent persisted iterate (past-gate regime) — released
-    // once the next one has materialized
-    var lastCached: Option[DataFrame] = if (underGate) None else Some(pr0)
+    // a symmetrized graph has NO source-only nodes — skip the union
+    // entirely then, which (past the gate) also preserves the
+    // contribution sum's id-partitioning into the next round's join
+    val hasSrcOnly = !srcOnlyConst.isEmpty
+    // the previous two persisted iterates (probe base + past-gate
+    // cache bookkeeping): the convergence probe compares against the
+    // one-checkpoint-back materialized frame, never a lazy plan
+    var prevCk: Option[DataFrame] = None
+    var grandCk: Option[DataFrame] = None
     var converged = false
     for (i <- 1 to rounds if !converged) {
-      val (_, next) = round(edc, pr, bh)
-      // materialize every OTHER round: two join+agg rounds of lineage
-      // stay re-plannable, and halving the materialization barriers
-      // cuts the per-round fixed cost (~2x fewer jobs)
+      val (_, next0) = round(edc, pr, bh)
+      // post-round-1 contribution input: dynamic iterate + the frozen
+      // source-only constants (empty for a symmetrized graph)
+      val next =
+        if (hasSrcOnly) next0.unionByName(srcOnlyConst) else next0
+      // materialize every OTHER round: two rounds of lineage stay
+      // re-plannable, and halving the barriers cuts fixed cost
       pr = if (i % 2 == 0 || i == rounds) {
-        if (underGate) {
-          val ck = next.localCheckpoint()
-          converged = ck.filter(col("rank") =!= col("prev_rank")).isEmpty
-          ck.select(col("id"), col("rank"))
-        } else {
-          // persist, not localCheckpoint: the cache keeps the update
-          // join's id-partitioning alive into the next round, so the
-          // rank iterate is never re-exchanged either
-          val ck = next.persist(StorageLevel.MEMORY_AND_DISK)
-          converged = ck.filter(col("rank") =!= col("prev_rank")).isEmpty
-          lastCached.foreach(_.unpersist())
-          lastCached = Some(ck)
-          ck.select(col("id"), col("rank"))
+        val ck =
+          if (underGate) next.localCheckpoint()
+          else {
+            val c = next.persist(StorageLevel.MEMORY_AND_DISK)
+            c.count()
+            c
+          }
+        // exact early exit: x_i == x_{i-2} makes the tail periodic
+        // with period | 2, so stopping is bit-identical IFF the
+        // remaining round count is even
+        converged = (rounds - i) % 2 == 0 && prevCk.exists(p =>
+          ck.join(p.withColumnRenamed("rank", "prev_rank"), "id")
+            .filter(col("rank") =!= col("prev_rank")).isEmpty)
+        if (!underGate) {
+          if (prevCk.isEmpty) pr0.unpersist() // superseded by first ck
+          grandCk.foreach(_.unpersist())
         }
-      } else next.select(col("id"), col("rank"))
+        grandCk = prevCk
+        prevCk = Some(ck)
+        ck
+      } else next
+      if (timing) {
+        println(f"[pagerank] round $i ${(System.nanoTime() - tRound) / 1e9}%.2f s converged=$converged")
+        tRound = System.nanoTime()
+      }
     }
-    pr
+    pr.unionByName(isolatedConst)
   }
 }

@@ -169,8 +169,8 @@ class PlanSpec extends SparkSpec {
     // preserve a cached relation's partitioning under AQE
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val (edc, pr0, bh, underGate) = operators.PageRank.prepare(nodes,
-        edges, broadcastNodeLimit = 0L)
+      val (edc, pr0, bh, underGate, _, _) = operators.PageRank.prepare(
+        nodes, edges, broadcastNodeLimit = 0L)
       assert(!underGate)
       val (sums, next) = operators.PageRank.round(edc, pr0, bh)
       // tree-collect, not string-matching: the printed plan includes

@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   *
   *   sbt "runMain graft.IvmProfile"          (3 steady epochs)
   *   sbt "runMain graft.IvmProfile 5"        (5 steady epochs)
+  *   sbt "runMain graft.IvmProfile 3 /tmp/graft_scale/events.parquet"
+  *     (attribute at the 30x scale a prior ScaleSmoke left behind)
   */
 object IvmProfile {
 
   def main(args: Array[String]): Unit = {
     val steadyEpochs = args.headOption.map(_.toInt).getOrElse(3)
+    val eventsSrc = args.lift(1)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
@@ -45,7 +48,8 @@ object IvmProfile {
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     hfs.delete(new org.apache.hadoop.fs.Path(dir), true)
 
-    val evAll = queries.Tables.events(spark, "/root/testdata/sf0.001")
+    val evAll = eventsSrc.map(spark.read.parquet(_))
+      .getOrElse(queries.Tables.events(spark, "/root/testdata/sf0.001"))
     evAll.repartition(1).write.mode("overwrite")
       .parquet(s"$feed/events.parquet")
     val maxEvId = evAll.agg(max(col("event_id"))).head().getLong(0)

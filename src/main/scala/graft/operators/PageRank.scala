@@ -56,15 +56,26 @@ object PageRank {
     * (`src`, `dst`, `dg` — cached co-partitioned+sorted on `src` past
     * the gate), the initial rank vector over the CONTRIBUTING (src)
     * nodes, the broadcast hint (identity past the gate), the regime
-    * flag, and the two static rank parts (source-only nodes, joined
-    * into every post-first-round iterate; no-in-edge nodes, unioned
-    * into the final result).
+    * flag, and the two static rank parts (source-only nodes — `None`
+    * for a caller-declared symmetric graph, where every src is also a
+    * dst by construction — joined into every post-first-round
+    * iterate; no-edge nodes, unioned into the final result).
     */
   def prepare(nodes: DataFrame, edges: DataFrame,
-      broadcastNodeLimit: Long = ConnectedComponents.BroadcastNodeLimit)
+      broadcastNodeLimit: Long = ConnectedComponents.BroadcastNodeLimit,
+      symmetric: Boolean = false)
       : (DataFrame, DataFrame, DataFrame => DataFrame, Boolean,
-        DataFrame, DataFrame) = {
-    val underGate = nodes.count() <= broadcastNodeLimit
+        Option[DataFrame], DataFrame) = {
+    val timing = nodes.sparkSession.conf
+      .getOption("spark.graft.graph.timing").contains("true")
+    def t[T](tag: String)(f: => T): T = {
+      val s0 = System.nanoTime()
+      val r = f
+      if (timing) println(
+        f"[pagerank] prepare $tag ${(System.nanoTime() - s0) / 1e9}%.2f s")
+      r
+    }
+    val underGate = t("node-count")(nodes.count() <= broadcastNodeLimit)
     val bh = ConnectedComponents.hintIf(underGate)
     // degree folds into the edge table ONCE (hash-agg + join; an
     // all-rows window sort over |E| measured ~30% slower, a chunked
@@ -72,28 +83,44 @@ object PageRank {
     // barriers, not join width — and reading `edges` lazily in both
     // branches ~20% slower than checkpointing: exchange reuse does
     // not cover the upstream pair generation)
-    val ed = edges.localCheckpoint()
-    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("dg"))
-      .localCheckpoint()
+    val ed = t("edges-ckpt")(edges.localCheckpoint())
+    val deg = t("degree-ckpt")(
+      ed.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .localCheckpoint())
     val edc0 = ed.join(deg, "src")
     // the static split: src nodes at the initial rank feed round 1;
     // source-only nodes (∉ dst) freeze at 150000 after round 1 but
     // keep contributing; nodes with no edges at all freeze likewise
-    // and only appear in the result
-    val dstIds = ed.select(col("dst").as("id")).distinct()
-      .localCheckpoint()
-    val srcOnlyConst = deg.select(col("src").as("id"))
-      .join(dstIds, Seq("id"), "left_anti")
-      .withColumn("rank", lit(150000L))
-      .localCheckpoint()
-    val isolatedConst = nodes
-      .join(dstIds, Seq("id"), "left_anti")
-      .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
-      .withColumn("rank", lit(150000L))
+    // and only appear in the result. A symmetric graph (every edge
+    // present in both directions) has src set == dst set, so the
+    // source-only part is empty BY CONSTRUCTION and the no-edge part
+    // is a single anti-join against the degree keys — the dst-distinct
+    // materialization and the runtime emptiness probe both disappear.
+    val (srcOnlyConst, isolatedConst) =
+      if (symmetric)
+        (None,
+          nodes.join(deg.select(col("src").as("id")), Seq("id"),
+            "left_anti").withColumn("rank", lit(150000L)))
+      else {
+        val dstIds = ed.select(col("dst").as("id")).distinct()
+          .localCheckpoint()
+        val so = deg.select(col("src").as("id"))
+          .join(dstIds, Seq("id"), "left_anti")
+          .withColumn("rank", lit(150000L))
+          .localCheckpoint()
+        (if (so.isEmpty) None else Some(so),
+          nodes
+            .join(dstIds, Seq("id"), "left_anti")
+            .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+            .withColumn("rank", lit(150000L)))
+      }
     val init = deg.select(col("src").as("id"))
       .withColumn("rank", lit(1000000L))
     if (underGate)
-      (edc0.localCheckpoint(), init.localCheckpoint(), bh, true,
+      // init is a projection of the already-checkpointed degree table:
+      // round 1's broadcast collects it straight off the cached scan,
+      // so its own checkpoint would only add a barrier
+      (t("edge-deg-ckpt")(edc0.localCheckpoint()), init, bh, true,
         srcOnlyConst, isolatedConst)
     else {
       val edc = edc0.repartition(col("src"))
@@ -127,18 +154,15 @@ object PageRank {
     */
   def run(nodes: DataFrame, edges: DataFrame, rounds: Int = 10,
       broadcastNodeLimit: Long =
-        ConnectedComponents.BroadcastNodeLimit): DataFrame = {
+        ConnectedComponents.BroadcastNodeLimit,
+      symmetric: Boolean = false): DataFrame = {
     require(rounds >= 1, "pagerank needs at least one round")
     val (edc, pr0, bh, underGate, srcOnlyConst, isolatedConst) =
-      prepare(nodes, edges, broadcastNodeLimit)
+      prepare(nodes, edges, broadcastNodeLimit, symmetric)
     val timing = nodes.sparkSession.conf
       .getOption("spark.graft.graph.timing").contains("true")
     var tRound = System.nanoTime()
     var pr = pr0
-    // a symmetrized graph has NO source-only nodes — skip the union
-    // entirely then, which (past the gate) also preserves the
-    // contribution sum's id-partitioning into the next round's join
-    val hasSrcOnly = !srcOnlyConst.isEmpty
     // the previous two persisted iterates (probe base + past-gate
     // cache bookkeeping): the convergence probe compares against the
     // one-checkpoint-back materialized frame, never a lazy plan
@@ -148,9 +172,10 @@ object PageRank {
     for (i <- 1 to rounds if !converged) {
       val (_, next0) = round(edc, pr, bh)
       // post-round-1 contribution input: dynamic iterate + the frozen
-      // source-only constants (empty for a symmetrized graph)
-      val next =
-        if (hasSrcOnly) next0.unionByName(srcOnlyConst) else next0
+      // source-only constants (None for a symmetric graph — skipping
+      // the union also preserves, past the gate, the contribution
+      // sum's id-partitioning into the next round's join)
+      val next = srcOnlyConst.fold(next0)(next0.unionByName(_))
       // materialize every OTHER round: two rounds of lineage stay
       // re-plannable, and halving the barriers cuts fixed cost
       pr = if (i % 2 == 0 || i == rounds) {
@@ -163,8 +188,9 @@ object PageRank {
           }
         // exact early exit: x_i == x_{i-2} makes the tail periodic
         // with period | 2, so stopping is bit-identical IFF the
-        // remaining round count is even
-        converged = (rounds - i) % 2 == 0 && prevCk.exists(p =>
+        // remaining round count is even. At i == rounds the loop ends
+        // either way — probing there would be a pure wasted join job.
+        converged = i < rounds && (rounds - i) % 2 == 0 && prevCk.exists(p =>
           ck.join(p.withColumnRenamed("rank", "prev_rank"), "id")
             .filter(col("rank") =!= col("prev_rank")).isEmpty)
         if (!underGate) {

@@ -408,7 +408,10 @@ object DedupQueries {
         val nodes = Tables.documents(s, dir)
           .select(col("doc_id").as("id"))
         // one minhashPairs instance: its observed bucket-cap metric may
-        // appear only once per plan (DUPLICATED_METRICS_NAME otherwise)
+        // appear only once per plan (DUPLICATED_METRICS_NAME otherwise).
+        // (A localCheckpoint here measured ~6 s SLOWER at 30x — the
+        // union's twin subtrees already share work via exchange reuse,
+        // so the explicit barrier only adds a materialization.)
         val pairs = minhashPairs(s, dir)
         val ed = pairs
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -418,7 +421,11 @@ object DedupQueries {
         // count vs BroadcastNodeLimit): broadcast rank under the gate,
         // co-partitioned edges+rank past it — either way the edge
         // table is never re-exchanged per round (PageRank scaladoc)
-        graft.operators.PageRank.run(nodes, ed, rounds = 10)
+        // `symmetric = true`: `ed` is the explicit both-directions
+        // union just above, so the operator skips the source-only
+        // split machinery (dst-distinct, anti-join, emptiness probe)
+        graft.operators.PageRank.run(nodes, ed, rounds = 10,
+          symmetric = true)
           .select(col("id").as("doc_id"), col("rank").as("rank_micro"))
           .orderBy(col("doc_id"))
       },

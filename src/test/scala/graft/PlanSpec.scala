@@ -211,4 +211,19 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
     }
   }
+
+  test("pagerank symmetric fast path: on a both-directions edge set " +
+      "the source-only machinery can be skipped with identical bits") {
+    import spark.implicits._
+    val nodes = (1L to 60L).toDF("id") // 50..60 isolated
+    val fwd = (1L until 50L).map(i => (i, i + 1))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val fast = operators.PageRank.run(nodes, edges, rounds = 5,
+      symmetric = true)
+    val general = operators.PageRank.run(nodes, edges, rounds = 5)
+    assert(fast.orderBy(col("id")).collect().toSeq ==
+      general.orderBy(col("id")).collect().toSeq)
+    // isolated nodes sit at the damping floor in both
+    assert(fast.filter(col("id") === 55L).head().getLong(1) == 150000L)
+  }
 }

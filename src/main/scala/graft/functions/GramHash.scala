@@ -81,7 +81,11 @@ object WordGramHashes {
     * shingleHashes` semantics) — 3-grams at 1-based positions
     * `1 .. max(len-2, 1)` with out-of-range indices clamped to the
     * last token (`least(i+k, size)`), so every document (even a 1- or
-    * 2-token one) yields at least one shingle.
+    * 2-token one) yields at least one shingle. This variant emits one
+    * hash PER WINDOW POSITION (duplicates retained, no distinct set):
+    * its consumers are min aggregations, for which the retained
+    * duplicates are invisible — and dropping the distinct set lets
+    * the whole pass run allocation-free off composed token hashes.
     */
   def compute(text: UTF8String, n: Int, prefix: UTF8String,
       clamp: Boolean = false): ArrayData = {
@@ -93,6 +97,49 @@ object WordGramHashes {
     val count = if (clamp) math.max(len - 2, 1) else len - n + 1
     if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
     val pref = prefix.toString
+    if (clamp) {
+      // MinHash-shingle fast path: every consumer is a MIN aggregation
+      // over the hashes (duplicate- and order-insensitive), so neither
+      // the distinct set nor the gram STRINGS need materializing — the
+      // 31-polynomial string hash composes exactly over concatenation,
+      //   H(s1 ++ s2) = H(s1)·31^|s2| + H(s2)   (UTF-16 code units),
+      // so each window's hash derives from per-token hashes with zero
+      // allocations. Emits ONE hash per window position (duplicates
+      // retained); the minima — and therefore the band signatures —
+      // are bit-identical to the distinct-set string form
+      // (GramHashSpec proves the window hash against String.hashCode
+      // on adversarial inputs: runs of spaces, surrogate pairs, dups).
+      val th = new Array[Int](len) // String.hashCode per token
+      val tp = new Array[Int](len) // 31^len(token), wrapping like hashCode
+      var t = 0
+      while (t < len) {
+        val tok = toks(t)
+        val l = tok.length
+        var h = 0
+        var p = 1
+        var c = 0
+        while (c < l) { h = h * 31 + tok.charAt(c); p = p * 31; c += 1 }
+        th(t) = h
+        tp(t) = p
+        t += 1
+      }
+      val prefH = pref.hashCode
+      val out = new Array[Long](count)
+      var i = 0
+      while (i < count) {
+        val i1 = math.min(i + 1, len - 1)
+        val i2 = math.min(i + 2, len - 1)
+        var h = th(i)
+        var pg = tp(i)
+        h = h * 31 + ' '; pg = pg * 31
+        h = h * tp(i1) + th(i1); pg = pg * tp(i1)
+        h = h * 31 + ' '; pg = pg * 31
+        h = h * tp(i2) + th(i2); pg = pg * tp(i2)
+        out(i) = (prefH * pg + h).toLong & 0xFFFFFFFFL
+        i += 1
+      }
+      return new GenericArrayData(out)
+    }
     val seen = new java.util.LinkedHashSet[String](count * 2)
     var i = 0
     val sb = new java.lang.StringBuilder(64)
@@ -101,7 +148,7 @@ object WordGramHashes {
       var j = 0
       while (j < n) {
         if (j > 0) sb.append(' ')
-        sb.append(toks(if (clamp) math.min(i + j, len - 1) else i + j))
+        sb.append(toks(i + j)) // clamp=true returned above
         j += 1
       }
       seen.add(sb.toString)
@@ -128,9 +175,12 @@ object WordGramHashes {
 }
 
 /** Clamped 3-gram shingle hashes — the MinHash shingling variant (see
-  * [[WordGramHashes.compute]] with `clamp = true`): byte-equivalent to
-  * the interpreted `sequence`/`element_at(least(...))` chain in the
-  * batch dedup operators, fused into one codegen call.
+  * [[WordGramHashes.compute]] with `clamp = true`): one positional
+  * window hash per shingle (duplicates retained — its consumers are
+  * min aggregations, which cannot see them), computed allocation-free
+  * from composed per-token hashes; min-equivalent to hashing the
+  * interpreted `sequence`/`element_at(least(...))` distinct-gram
+  * chain in the batch dedup operators, fused into one codegen call.
   */
 case class ClampedShingleHashes(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {

@@ -37,8 +37,11 @@ import org.apache.spark.storage.StorageLevel
   * back, so the fallback must be runtime — see
   * [[ConnectedComponents.BroadcastNodeLimit]]):
   *
-  *   - UNDER the gate: rank broadcasts each round; iterates truncate
-  *     lineage via localCheckpoint.
+  *   - UNDER the gate: rank broadcasts each round, and the edge table
+  *     is hash-partitioned on `dst` — the AGGREGATION key — and
+  *     persisted once, so each round is ONE zero-exchange stage
+  *     (cached scan → broadcast join → contribution sum riding the
+  *     cached layout); iterates truncate lineage via localCheckpoint.
   *   - PAST the gate (> 50 M nodes): the degree-annotated edge table
   *     is hash-partitioned on `src`, sorted, and PERSISTED once — an
   *     InMemoryRelation preserves both partitioning and ordering, so
@@ -52,11 +55,15 @@ import org.apache.spark.storage.StorageLevel
 object PageRank {
 
   /** The iteration-invariant inputs, exposed so plan specs can assert
-    * one round's physical shape: the degree-annotated edge table
-    * (`src`, `dst`, `dg` — cached co-partitioned+sorted on `src` past
-    * the gate), the initial rank vector over the CONTRIBUTING (src)
-    * nodes, the broadcast hint (identity past the gate), the regime
-    * flag, and the two static rank parts (source-only nodes — `None`
+    * one round's physical shape: the cached edge table (hash(dst)
+    * under the gate, carrying no degree column; degree-annotated and
+    * co-partitioned+sorted on `src` past it), the initial rank vector
+    * over the CONTRIBUTING (src) nodes, the per-round rank-side
+    * wrapper (under the gate: attach the degree to the tiny rank
+    * vector, then broadcast; past the gate: identity — `dg` lives in
+    * the edge table, and `round`'s `rank div dg` resolves from
+    * whichever side carries it), the regime flag, and the two static
+    * rank parts (source-only nodes — `None`
     * for a caller-declared symmetric graph, where every src is also a
     * dst by construction — joined into every post-first-round
     * iterate; no-edge nodes, unioned into the final result).
@@ -77,17 +84,6 @@ object PageRank {
     }
     val underGate = t("node-count")(nodes.count() <= broadcastNodeLimit)
     val bh = ConnectedComponents.hintIf(underGate)
-    // degree folds into the edge table ONCE (hash-agg + join; an
-    // all-rows window sort over |E| measured ~30% slower, a chunked
-    // adjacency-list layout ~15% slower — the per-round cost is stage
-    // barriers, not join width — and reading `edges` lazily in both
-    // branches ~20% slower than checkpointing: exchange reuse does
-    // not cover the upstream pair generation)
-    val ed = t("edges-ckpt")(edges.localCheckpoint())
-    val deg = t("degree-ckpt")(
-      ed.groupBy(col("src")).agg(count(lit(1)).as("dg"))
-        .localCheckpoint())
-    val edc0 = ed.join(deg, "src")
     // the static split: src nodes at the initial rank feed round 1;
     // source-only nodes (∉ dst) freeze at 150000 after round 1 but
     // keep contributing; nodes with no edges at all freeze likewise
@@ -96,7 +92,8 @@ object PageRank {
     // source-only part is empty BY CONSTRUCTION and the no-edge part
     // is a single anti-join against the degree keys — the dst-distinct
     // materialization and the runtime emptiness probe both disappear.
-    val (srcOnlyConst, isolatedConst) =
+    def staticSplit(ed: DataFrame, deg: DataFrame)
+        : (Option[DataFrame], DataFrame) =
       if (symmetric)
         (None,
           nodes.join(deg.select(col("src").as("id")), Seq("id"),
@@ -114,16 +111,50 @@ object PageRank {
             .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
             .withColumn("rank", lit(150000L)))
       }
-    val init = deg.select(col("src").as("id"))
-      .withColumn("rank", lit(1000000L))
-    if (underGate)
-      // init is a projection of the already-checkpointed degree table:
-      // round 1's broadcast collects it straight off the cached scan,
-      // so its own checkpoint would only add a barrier
-      (t("edge-deg-ckpt")(edc0.localCheckpoint()), init, bh, true,
+    if (underGate) {
+      // ONE edge materialization: the hash(dst) exchange IS the cache
+      // — the caller's edge pipeline (often an expensive LSH pair
+      // derivation) executes exactly once, with no intermediate
+      // checkpoint of the raw union. dst is the AGGREGATION key: the
+      // rank side broadcasts, so the per-round join imposes no
+      // distribution requirement, and hash(dst) is what the
+      // contribution sum needs — every round's groupBy(dst) rides the
+      // cached layout with NO exchange (InMemoryRelation preserves
+      // partitioning; localCheckpoint would drop it under AQE — the
+      // past-gate pattern, keyed on dst instead of src). The degree
+      // joins onto the TINY rank vector at broadcast-build time
+      // (folded into `bh`) instead of widening the |E|-row cache.
+      val edc = t("edge-copart") {
+        val c = edges.repartition(col("dst"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        c
+      }
+      val deg = t("degree-ckpt")(
+        edc.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+          .localCheckpoint())
+      val (srcOnlyConst, isolatedConst) = staticSplit(edc, deg)
+      val init = deg.select(col("src").as("id"))
+        .withColumn("rank", lit(1000000L))
+      val degAtt = deg.select(col("src").as("id"), col("dg"))
+      (edc, init, df => bh(df.join(degAtt, "id")), true,
         srcOnlyConst, isolatedConst)
-    else {
-      val edc = edc0.repartition(col("src"))
+    } else {
+      // past the gate the rank CANNOT broadcast, so the join key (src)
+      // dictates the layout and the degree folds into the edge table
+      // ONCE (hash-agg + join — an all-rows window sort over |E|
+      // measured ~30% slower, a chunked adjacency-list layout ~15%
+      // slower; reading `edges` lazily in both consumers ~20% slower
+      // than checkpointing: exchange reuse does not cover the
+      // upstream pair generation)
+      val ed = t("edges-ckpt")(edges.localCheckpoint())
+      val deg = t("degree-ckpt")(
+        ed.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+          .localCheckpoint())
+      val (srcOnlyConst, isolatedConst) = staticSplit(ed, deg)
+      val init = deg.select(col("src").as("id"))
+        .withColumn("rank", lit(1000000L))
+      val edc = ed.join(deg, "src").repartition(col("src"))
         .sortWithinPartitions("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
       edc.count() // pay the one-time edge exchange + sort NOW
@@ -206,6 +237,11 @@ object PageRank {
         tRound = System.nanoTime()
       }
     }
+    // the final iterate is a materialized checkpoint and the static
+    // parts read only checkpointed/deg inputs — the cached edge table
+    // is dead weight from here on; release it so back-to-back runs in
+    // a long-lived session don't accumulate |E|-row cache entries
+    edc.unpersist()
     pr.unionByName(isolatedConst)
   }
 }

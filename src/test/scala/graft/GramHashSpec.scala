@@ -52,6 +52,44 @@ class GramHashSpec extends SparkSpec {
     }
   }
 
+  test("clamped window hashes equal String.hashCode of the built gram " +
+      "on adversarial inputs (composition law, positional form)") {
+    import graft.functions.ClampedShingleHashes.clampedShingleHashes
+    // positional reference: hash of the literal clamped 3-gram STRING
+    // at every window — the fast path must reproduce it exactly,
+    // including empty tokens from space runs, surrogate pairs, and
+    // a non-empty prefix folded in via SQL registration
+    def positional(text: String): Seq[Long] = {
+      val toks = text.trim.split(" ", -1).toSeq
+      (0 until math.max(toks.size - 2, 1)).map { i =>
+        val g = (0 until 3)
+          .map(k => toks(math.min(i + k, toks.size - 1))).mkString(" ")
+        g.hashCode.toLong & 0xFFFFFFFFL
+      }
+    }
+    val texts = Seq(
+      "a a a a",                          // duplicates RETAINED now
+      "x  y   z",                         // space runs → empty tokens
+      "emoji 😀 pair 😀😁 tail", // surrogates
+      "", "one", "two words",
+      "  padded   with runs  ")
+    val got = texts.toDF("text")
+      .select(col("text"), clampedShingleHashes(col("text")).as("sh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    texts.foreach(t => assert(got(t) == positional(t), s"for '$t'"))
+    // non-empty prefix composes exactly too (SQL two-arg form)
+    GraftFunctions.register(spark)
+    val withPref = spark.sql(
+      "SELECT clamped_shingle_hashes('a b c d', 'p|') AS sh")
+      .head().getSeq[Long](0)
+    val wantPref = (0 until 2).map { i =>
+      val toks = Seq("a", "b", "c", "d")
+      ("p|" + (0 until 3).map(k => toks(math.min(i + k, 3))).mkString(" "))
+        .hashCode.toLong & 0xFFFFFFFFL
+    }
+    assert(withPref == wantPref)
+  }
+
   test("clamped shingles + minhash bands match the aggregate form") {
     import graft.functions.{ClampedShingleHashes, MinHashBands}
     val P = 4294967311L

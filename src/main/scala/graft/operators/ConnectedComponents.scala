@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Connected components by iterative min-label propagation — turns
   * near-duplicate candidate PAIRS into duplicate CLUSTERS (every doc
@@ -11,11 +12,17 @@ import org.apache.spark.sql.functions._
   * Algorithm: each round, every vertex takes the min of its own label
   * and its neighbors' labels; stops when no label changes. Rounds needed
   * = graph diameter (tiny for dedup graphs — near-dup components are
-  * shallow). Each round is ONE Spark job: the propagation join +
-  * aggregation also carries each vertex's previous label, and the
-  * number of changed labels is collected as an observed metric
-  * (`Observation`) during the same materialization — no separate
-  * convergence-check job. `localCheckpoint` truncates the growing
+  * shallow). The "own label" term rides a TAGGED SELF-LOOP row per
+  * vertex baked into the edge cache, so each round is ONE Spark job —
+  * and, under the broadcast gate, ONE exchange-free stage: the cache
+  * is hash-partitioned on `dst` (the aggregation key; labels
+  * broadcast, so the join imposes no distribution), and the self row's
+  * contribution doubles as the vertex's previous label, letting the
+  * changed-label count ride the same materialization as an observed
+  * metric (`Observation`) — no separate convergence-check job. Past
+  * the gate the cache is keyed+sorted on `src` (the join key), so a
+  * round exchanges the O(|V|) label table and the contribution sum,
+  * never the edge set. `localCheckpoint` truncates the growing
   * lineage so round N's plan doesn't replay rounds 1..N-1 — the
   * standard iterative-algorithm pattern on DataFrames
   * (large-star/small-star is the same loop with smarter edge rewriting
@@ -55,42 +62,62 @@ object ConnectedComponents {
   def runCounted(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 20,
       broadcastNodeLimit: Long = BroadcastNodeLimit): (DataFrame, Int) = {
-    val biEdges = edges.select(col("a").as("src"), col("b").as("dst"))
+    val underGate = vertices.count() <= broadcastNodeLimit
+    // the label table is one row per NODE (≪ edges for candidate
+    // graphs) — broadcasting it keeps the cached edge set unshuffled
+    // every round. The hint is GATED on the node count (see
+    // BroadcastNodeLimit): past the gate the hint is dropped instead
+    // of failing on an over-ceiling broadcast.
+    val bh = hintIf(underGate)
+    // Edge cache: both orientations PLUS a TAGGED self-loop per
+    // vertex. The self row does double duty — it carries the vertex's
+    // own label into the min (the "keep my label" term the old
+    // labels-union supplied) AND delivers the OLD label next to the
+    // new min, so the changed-count observation still rides the same
+    // single job per round. Requires every edge endpoint to appear in
+    // `vertices` (every caller builds edges over the vertex table).
+    val bi = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
-
+      .withColumn("self", lit(false))
+      .unionByName(vertices.select(col("id").as("src"),
+        col("id").as("dst"), lit(true).as("self")))
+    // ONE edge materialization, keyed for the regime (the PageRank
+    // pattern): under the gate hash(dst) — the AGGREGATION key — makes
+    // every round's groupBy(dst) ride the cached layout with NO
+    // exchange (labels broadcast, so the join imposes nothing); past
+    // the gate hash(src)+sort — the JOIN key — so each round exchanges
+    // only the O(|V|) label table and the contribution shuffle, never
+    // the edge set.
+    val edc = {
+      val keyed =
+        if (underGate) bi.repartition(col("dst"))
+        else bi.repartition(col("src")).sortWithinPartitions("src")
+      val c = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    }
     var labels = vertices.select(col("id"), col("id").as("comp"))
       .localCheckpoint()
-    // the label table is one row per NODE (≪ edges for candidate
-    // graphs) — broadcasting it keeps the checkpointed edge set
-    // unshuffled every round. The hint is GATED on the node count
-    // (see BroadcastNodeLimit): past the gate each round pays the
-    // edge shuffle instead of failing on an over-ceiling broadcast.
-    val bh = hintIf(labels.count() <= broadcastNodeLimit)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val propagated = biEdges
-        .join(bh(labels), biEdges("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"),
-          lit(null).cast("long").as("old"))
-      // every vertex appears exactly once in `labels`, so max(old) per id
-      // recovers its previous label next to the new min(comp)
-      val merged = labels
-        .select(col("id"), col("comp"), col("comp").as("old"))
-        .unionAll(propagated)
-        .groupBy(col("id"))
-        .agg(min(col("comp")).as("comp"), max(col("old")).as("old"))
+      val contrib = edc
+        .join(bh(labels), edc("src") === labels("id"))
+        .select(col("dst"), col("comp"), col("self"))
+      val merged = contrib.groupBy(col("dst"))
+        .agg(min(col("comp")).as("comp"),
+          max(when(col("self"), col("comp"))).as("old"))
       val obs = Observation()
       val next = merged
         .observe(obs, count(when(col("comp") =!= col("old"), 1)).as("changed"))
-        .select(col("id"), col("comp"))
+        .select(col("dst").as("id"), col("comp"))
         .localCheckpoint() // eager: the one job per round; obs fills here
       val changed = obs.get("changed").asInstanceOf[Long]
       labels = next
       converged = changed == 0
       iter += 1
     }
+    edc.unpersist() // labels are checkpointed; the cache is dead weight
     (labels.select(col("id"), col("comp").as("cluster_id")), iter)
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{ArrayDot, ClampedShingleHashes, JavaStringHash,
-  MinHashBands, WordGramHashes}
+  MinHashBands, WordGramHashes, WordGramStrings}
 
 /** SQL-surface registration of graft's native expressions.
   *
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.arrayDotDescriptor)
     e.injectFunction(GraftFunctions.clampedShingleHashesDescriptor)
     e.injectFunction(GraftFunctions.minhashBandsDescriptor)
+    e.injectFunction(GraftFunctions.wordGramStringsDescriptor)
   }
 }
 
@@ -73,6 +74,13 @@ object GraftFunctions {
     (children: Seq[Expression]) => MinHashBands(children(0),
       intLit(children(1), "numHashes"), intLit(children(2), "bandSize")))
 
+  private[graft] val wordGramStringsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_gram_strings"),
+    new ExpressionInfo(classOf[WordGramStrings].getName, "word_gram_strings"),
+    (children: Seq[Expression]) =>
+      WordGramStrings(children(0), children(1), children(2)))
+
   /** Register graft functions on a live session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -90,5 +98,8 @@ object GraftFunctions {
       "minhash_bands",
       exprs => MinHashBands(exprs(0), intLit(exprs(1), "numHashes"),
         intLit(exprs(2), "bandSize")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_gram_strings",
+      exprs => WordGramStrings(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

@@ -164,6 +164,45 @@ object WordGramHashes {
     new GenericArrayData(out)
   }
 
+  /** Word n-gram STRINGS of `text` (no trim — see [[WordGramStrings]]):
+    * positional window order when `distinct = false`, first-occurrence
+    * distinct set when `distinct = true`. Shares the tokenize/window
+    * semantics of [[compute]] (split on every single space, empties
+    * kept), minus the internal trim.
+    */
+  def computeStrings(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val len = toks.length
+    val count = len - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val sb = new java.lang.StringBuilder(64)
+    def gram(i: Int): String = {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      sb.toString
+    }
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[String](count * 2)
+      var i = 0
+      while (i < count) { seen.add(gram(i)); i += 1 }
+      val out = new Array[AnyRef](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[AnyRef](count)
+      var i = 0
+      while (i < count) { out(i) = UTF8String.fromString(gram(i)); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Column-API entry: distinct word-n-gram hashes of `text`, each
     * hashed as `prefix + gram`.
     */
@@ -172,6 +211,68 @@ object WordGramHashes {
       ColumnBridge.expression(text),
       org.apache.spark.sql.catalyst.expressions.Literal(n),
       ColumnBridge.expression(prefix)))
+}
+
+/** Fused word-n-gram STRING builder: `word_gram_strings(text, n,
+  * distinct)` ⇒ `array<string>` of the space-joined word n-grams of
+  * `text` — positional window order when `distinct = false` (one
+  * element per window, duplicates retained, so `posexplode` yields
+  * window indices), first-occurrence distinct set when `distinct =
+  * true`.
+  *
+  * Drop-in replacement for the interpreted
+  *   `transform(sequence(0, size(toks) - n), i -> concat_ws(' ',
+  *   slice(toks, i + 1, n)))` (+ `array_distinct`)
+  * chains in the phrase-mining / dup-span / bigram operators: those
+  * higher-order functions are CodegenFallback — each element re-enters
+  * the interpreter and materializes intermediate arrays — and several
+  * operators evaluate the chain twice (either side of a self-join).
+  * NOTE: does NOT trim — pass `trim(col)` to match `split(trim(text))`
+  * call sites (the dup-span operators tokenize untrimmed on purpose).
+  * Texts shorter than `n` tokens yield an EMPTY array (the interpreted
+  * chain errors on the descending `sequence`, so call sites guarded
+  * with `size(toks) >= n` — the guard becomes unnecessary).
+  */
+case class WordGramStrings(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_gram_strings"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, org.apache.spark.sql.types.BooleanType) =>
+        if (second.foldable && third.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: n and distinct must be foldable")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int, boolean) arguments, got $other")
+    }
+
+  override def nullSafeEval(text: Any, n: Any, distinct: Any): Any =
+    WordGramHashes.computeStrings(
+      text.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int],
+      distinct.asInstanceOf[Boolean])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n, d) =>
+      s"${ev.value} = graft.functions.WordGramHashes.computeStrings($t, $n, $d);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WordGramStrings =
+    copy(first = f, second = s, third = t)
+}
+
+object WordGramStrings {
+  /** Column-API entry: word n-gram strings of `text` (positional when
+    * `distinct = false`); pass `trim(text)` for trimmed tokenization.
+    */
+  def wordGramStrings(text: Column, n: Int, distinct: Boolean): Column =
+    ColumnBridge.column(WordGramStrings(
+      ColumnBridge.expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n),
+      org.apache.spark.sql.catalyst.expressions.Literal(distinct)))
 }
 
 /** Clamped 3-gram shingle hashes — the MinHash shingling variant (see

@@ -36,9 +36,10 @@ object CurationQueries {
       (s, dir) => {
         Tables.rebalance(Tables.documents(s, dir))
           .withColumn("toks", split(trim(col("text")), " "))
-          .withColumn("grams", expr(
-            "zip_with(slice(toks, 1, size(toks) - 1), " +
-              "slice(toks, 2, size(toks) - 1), (x, y) -> concat(x, ' ', y))"))
+          // fused codegen positional bigrams (the zip_with/slice HOF
+          // chain is CodegenFallback — see WordGramStrings)
+          .withColumn("grams", graft.functions.WordGramStrings
+            .wordGramStrings(trim(col("text")), 2, distinct = false))
           .select(
             col("doc_id"),
             (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
@@ -391,10 +392,8 @@ object CurationQueries {
     "txt_bigram_entropy" -> QueryDef(
       (s, dir) => {
         val inst = Tables.rebalance(Tables.documents(s, dir))
-          .withColumn("toks", split(trim(col("text")), " "))
-          .select(col("doc_id"), explode(expr(
-            "zip_with(slice(toks, 1, size(toks) - 1), " +
-              "slice(toks, 2, size(toks) - 1), (x, y) -> concat(x, ' ', y))"))
+          .select(col("doc_id"), explode(graft.functions.WordGramStrings
+            .wordGramStrings(trim(col("text")), 2, distinct = false))
             .as("bg"))
         val cb = inst.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
         val cp = inst
@@ -745,14 +744,15 @@ object CurationQueries {
     "txt_boilerplate" -> QueryDef(
       (s, dir) => {
         val MinDf = 3
+        // fused codegen per-doc distinct 5-grams: this subtree is
+        // evaluated on BOTH sides of the semi-join below, so the old
+        // interpreted transform/slice/concat_ws chain (CodegenFallback,
+        // one interpreter re-entry per window) was paid twice per doc;
+        // short texts yield an empty array, replacing the >= 5 filter
         val occ = Tables.rebalance(Tables.documents(s, dir))
-          .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
-          .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"), array_distinct(
-            expr("""transform(sequence(0, size(toks) - 5),
-                    i -> concat_ws(' ', slice(toks, i + 1, 5)))"""))
-            .as("phrases"))
-          .select(explode(col("phrases")).as("phrase"))
+          .select(explode(graft.functions.WordGramStrings
+            .wordGramStrings(trim(col("text")), 5, distinct = true))
+            .as("phrase"))
           .withColumn("ph", xxhash64(col("phrase")))
         val survivors = occ.groupBy(col("ph"))
           .agg(count(lit(1)).as("dfh"))
@@ -792,11 +792,8 @@ object CurationQueries {
     "txt_novelty" -> QueryDef(
       (s, dir) => {
         val grams = Tables.rebalance(Tables.documents(s, dir))
-          .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
-          .filter(size(col("toks")) >= 5)
-          .select(col("doc_id"), explode(array_distinct(
-            expr("""transform(sequence(0, size(toks) - 5),
-                    i -> concat_ws(' ', slice(toks, i + 1, 5)))""")))
+          .select(col("doc_id"), explode(graft.functions.WordGramStrings
+            .wordGramStrings(trim(col("text")), 5, distinct = true))
             .as("phrase"))
           .select(col("doc_id"),
             xxhash64(col("phrase")).as("gh1"),

@@ -53,11 +53,11 @@ object StreamingDupSpans {
     */
   private def gramRows(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= L)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, size(toks) - $L),
-            i -> concat_ws(' ', slice(toks, i + 1, $L)))""")))
+      // fused codegen positional L-grams — the identical swap the
+      // batch txt_dup_spans made (untrimmed tokenization; short texts
+      // yield an empty array, replacing the size filter)
+      .select(col("doc_id"), posexplode(graft.functions.WordGramStrings
+        .wordGramStrings(col("text"), L, distinct = false)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         xxhash64(col("col")).as("gh1"),
         xxhash64(lit(0x9e3779b9L), col("col")).as("gh2"))

@@ -53,11 +53,11 @@ object StreamingNovelty {
     */
   def docGrams(batch: DataFrame): DataFrame =
     batch
-      .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
-      .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(
-        expr("""transform(sequence(0, size(toks) - 5),
-                i -> concat_ws(' ', slice(toks, i + 1, 5)))""")))
+      // fused codegen per-doc distinct 5-grams — the identical swap
+      // the batch txt_novelty made (trimmed tokenization; short texts
+      // yield an empty array, replacing the size filter)
+      .select(col("doc_id"), explode(graft.functions.WordGramStrings
+        .wordGramStrings(trim(col("text")), 5, distinct = true))
         .as("phrase"))
       .select(col("doc_id"),
         xxhash64(col("phrase")).as("gh1"),

@@ -90,6 +90,46 @@ class GramHashSpec extends SparkSpec {
     assert(withPref == wantPref)
   }
 
+  test("word_gram_strings matches the interpreted transform/slice/" +
+      "concat_ws chain, positional and distinct, on edge cases") {
+    import graft.functions.WordGramStrings.wordGramStrings
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a a",                      // heavy duplicates
+      "x  y   z q r",                     // space runs → empty tokens
+      "", "one", "two words", "1 2 3 4 5",
+      "  padded   text here with runs  ")
+    for (n <- Seq(2, 5, 8)) {
+      // interpreted positional reference (guarded: descending sequence
+      // errors on short texts, exactly why call sites carried filters)
+      val ref = texts.toDF("text")
+        .withColumn("toks", split(trim(col("text")), " "))
+        .select(col("text"),
+          when(size(col("toks")) >= n, expr(
+            s"""transform(sequence(0, size(toks) - $n),
+                i -> concat_ws(' ', slice(toks, i + 1, $n)))"""))
+            .otherwise(expr("array()")).as("g"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val gotPos = texts.toDF("text")
+        .select(col("text"),
+          wordGramStrings(trim(col("text")), n, distinct = false).as("g"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val gotDist = texts.toDF("text")
+        .select(col("text"),
+          wordGramStrings(trim(col("text")), n, distinct = true).as("g"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      texts.foreach { t =>
+        assert(gotPos(t) == ref(t), s"positional n=$n for '$t'")
+        assert(gotDist(t) == ref(t).distinct, s"distinct n=$n for '$t'")
+      }
+    }
+    // untrimmed tokenization is the caller's choice (dup-span contract)
+    val raw = Seq(" a b c ").toDF("text")
+      .select(wordGramStrings(col("text"), 2, distinct = false).as("g"))
+      .head().getSeq[String](0)
+    assert(raw == Seq(" a", "a b", "b c", "c "))
+  }
+
   test("clamped shingles + minhash bands match the aggregate form") {
     import graft.functions.{ClampedShingleHashes, MinHashBands}
     val P = 4294967311L

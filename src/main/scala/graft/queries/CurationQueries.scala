@@ -396,9 +396,16 @@ object CurationQueries {
             .wordGramStrings(trim(col("text")), 2, distinct = false))
             .as("bg"))
         val cb = inst.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-        val cp = inst
+        // prefix counts FOLD OUT OF the bigram counts (each instance
+        // has exactly one bigram, so summing cb by prefix equals
+        // counting instances by prefix): the prefix model aggregates
+        // |distinct bigrams| rows instead of re-scanning and
+        // re-shuffling the full instance explode — and cb's exchange
+        // is reused between the two consumers, so the corpus explode
+        // is evaluated twice per run, not three times
+        val cp = cb
           .groupBy(substring_index(col("bg"), " ", 1).as("w"))
-          .agg(count(lit(1)).as("cp"))
+          .agg(sum(col("cb")).as("cp"))
         val model = cb.join(cp, substring_index(cb("bg"), " ", 1) === cp("w"))
           .select(col("bg"),
             (-log(col("cb").cast("double") / col("cp").cast("double")))

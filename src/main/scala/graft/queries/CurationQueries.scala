@@ -312,13 +312,19 @@ object CurationQueries {
     "txt_search_bm25" -> QueryDef(
       (s, dir) => {
         val qTerms = Seq("scan", "join", "merge")
-        val toks = Tables.rebalance(Tables.documents(s, dir))
-          .select(col("doc_id"),
-            explode(split(trim(col("text")), " ")).as("term"))
-        val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val docs = Tables.rebalance(Tables.documents(s, dir))
+        // doc length = token-array SIZE: a per-row projection — the
+        // old explode → groupBy(doc_id) paid a corpus-wide shuffle for
+        // a number the row already knows (split of "" is [""], so
+        // membership and counts match the exploded form exactly)
+        val dlen = docs.select(col("doc_id"),
+          size(split(trim(col("text")), " ")).cast("long").as("dl"))
         val stats = dlen.agg(count(lit(1)).as("n_docs"),
           sum(col("dl")).as("total_len"))
-        val tf = toks.filter(col("term").isin(qTerms: _*))
+        val tf = docs
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), " ")).as("term"))
+          .filter(col("term").isin(qTerms: _*))
           .groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
         val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -452,9 +458,13 @@ object CurationQueries {
         val docs = Tables.rebalance(Tables.documents(s, dir))
         val toks = docs.select(col("doc_id"),
           explode(split(trim(col("text")), " ")).as("term"))
-        val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
         val tf = toks.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("cnt"))
+        // doc length FOLDS OUT OF tf (each token instance lands in
+        // exactly one (doc, term) cell, so summing cnt by doc equals
+        // counting tokens by doc): tf's exchange is reused between its
+        // consumers and the corpus explode is evaluated once, not twice
+        val dlen = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
         val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         val scored = tf

@@ -92,9 +92,16 @@ object PipelineQueries {
         val toks: DataFrame = Tables.rebalance(Tables.documents(s, dir))
           .select(col("doc_id"),
             explode(split(trim(col("text")), " ")).as("w"))
-        val total = toks.agg(count(lit(1)).cast("long").as("total"))
-        val model = toks.groupBy(col("w"))
+        // the normalizer FOLDS OUT OF the vocabulary counts (each
+        // token instance lands in exactly one w group, so summing cnt
+        // equals counting instances): the 1-row total aggregates
+        // |vocab| model rows, its exchange is shared with the model's
+        // own aggregation, and the corpus explode is evaluated twice
+        // per run (model + scoring join), not three times
+        val cnts = toks.groupBy(col("w"))
           .agg(count(lit(1)).as("cnt"))
+        val total = cnts.agg(sum(col("cnt")).cast("long").as("total"))
+        val model = cnts
           .crossJoin(broadcast(total))
           .withColumn("lp",
             (-log(col("cnt").cast("double") / col("total").cast("double")))

@@ -76,37 +76,13 @@ object ConnectedComponents {
     // new min, so the changed-count observation still rides the same
     // single job per round. Requires every edge endpoint to appear in
     // `vertices` (every caller builds edges over the vertex table).
-    val bi = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-      .withColumn("self", lit(false))
-      .unionByName(vertices.select(col("id").as("src"),
-        col("id").as("dst"), lit(true).as("self")))
-    // ONE edge materialization, keyed for the regime (the PageRank
-    // pattern): under the gate hash(dst) — the AGGREGATION key — makes
-    // every round's groupBy(dst) ride the cached layout with NO
-    // exchange (labels broadcast, so the join imposes nothing); past
-    // the gate hash(src)+sort — the JOIN key — so each round exchanges
-    // only the O(|V|) label table and the contribution shuffle, never
-    // the edge set.
-    val edc = {
-      val keyed =
-        if (underGate) bi.repartition(col("dst"))
-        else bi.repartition(col("src")).sortWithinPartitions("src")
-      val c = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-      c.count()
-      c
-    }
+    val edc = minLabelEdges(vertices, edges, underGate)
     var labels = vertices.select(col("id"), col("id").as("comp"))
       .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val contrib = edc
-        .join(bh(labels), edc("src") === labels("id"))
-        .select(col("dst"), col("comp"), col("self"))
-      val merged = contrib.groupBy(col("dst"))
-        .agg(min(col("comp")).as("comp"),
-          max(when(col("self"), col("comp"))).as("old"))
+      val merged = minLabelRound(edc, labels, bh)
       val obs = Observation()
       val next = merged
         .observe(obs, count(when(col("comp") =!= col("old"), 1)).as("changed"))
@@ -120,6 +96,41 @@ object ConnectedComponents {
     edc.unpersist() // labels are checkpointed; the cache is dead weight
     (labels.select(col("id"), col("comp").as("cluster_id")), iter)
   }
+
+  /** The min-label edge cache (exposed for plan specs): ONE edge
+    * materialization, keyed for the regime (the PageRank pattern) —
+    * under the gate hash(dst), the AGGREGATION key, so every round's
+    * groupBy(dst) rides the cached layout with NO exchange (labels
+    * broadcast, so the join imposes nothing); past the gate
+    * hash(src)+sort, the JOIN key, so each round exchanges only the
+    * O(|V|) label table and the contribution sum, never the edge set.
+    */
+  private[graft] def minLabelEdges(vertices: DataFrame, edges: DataFrame,
+      underGate: Boolean): DataFrame = {
+    val bi = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .withColumn("self", lit(false))
+      .unionByName(vertices.select(col("id").as("src"),
+        col("id").as("dst"), lit(true).as("self")))
+    val keyed =
+      if (underGate) bi.repartition(col("dst"))
+      else bi.repartition(col("src")).sortWithinPartitions("src")
+    val c = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    c.count()
+    c
+  }
+
+  /** One propagation round pre-observation (exposed for plan specs):
+    * per dst the new min label next to the old one (delivered by the
+    * tagged self row).
+    */
+  private[graft] def minLabelRound(edc: DataFrame, labels: DataFrame,
+      bh: DataFrame => DataFrame): DataFrame =
+    edc.join(bh(labels), edc("src") === labels("id"))
+      .select(col("dst"), col("comp"), col("self"))
+      .groupBy(col("dst"))
+      .agg(min(col("comp")).as("comp"),
+        max(when(col("self"), col("comp"))).as("old"))
 
   /** Web-scale path: alternating large-star/small-star edge rewriting
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",

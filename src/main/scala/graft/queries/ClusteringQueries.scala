@@ -104,11 +104,30 @@ object ClusteringQueries {
     "dedup_semantic" -> QueryDef(
       (s, dir) => {
         val vecs = vectors(s, dir)
-        val (asn, cents) = KMeans.fit(vecs, K, Iters)
-        val members = vecs.join(asn, "vec_id")
-        // representative: the member nearest its centroid (full squared
-        // L2 here — v·v varies across the argmin candidates)
-        val reps = members.join(broadcast(cents), "cluster")
+        val (_, cents) = KMeans.fit(vecs, K, Iters)
+        // membership = the assignment argmin itself, with the payload
+        // (v, norm — constant per vec_id, so first() is deterministic)
+        // AND the winning centroid vector carried THROUGH the
+        // aggregate: folding them here deletes the vecs⋈assignment
+        // re-join and the broadcast(cents) re-join the per-cluster
+        // stats used to pay (r10 verdict item 6 — the assignment
+        // explode was computed twice). The argmin key is unchanged
+        // (score, cluster), so membership is bit-identical to
+        // KMeans.assign ∘ join.
+        val members = vecs.crossJoin(broadcast(cents))
+          .withColumn("score",
+            arrayDot(col("c"), col("c")) - arrayDot(col("v"), col("c")) * 2)
+          .groupBy(col("vec_id"))
+          .agg(
+            min_by(struct(col("cluster"), col("c")),
+              struct(col("score"), col("cluster"))).as("a"),
+            first(col("v")).as("v"), first(col("norm")).as("norm"))
+          .select(col("vec_id"), col("v"), col("norm"),
+            col("a.cluster").as("cluster"), col("a.c").as("c"))
+        // representative: the member nearest its centroid — full
+        // squared L2, in the SAME association order as the oracle SQL
+        // (v·v − 2·v·c + c·c), on the carried centroid
+        val reps = members
           .withColumn("d",
             arrayDot(col("v"), col("v")) - arrayDot(col("v"), col("c")) * 2
               + arrayDot(col("c"), col("c")))

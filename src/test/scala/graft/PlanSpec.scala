@@ -239,12 +239,13 @@ class PlanSpec extends SparkSpec {
       val pSums = sums.queryExecution.executedPlan.toString
       // ZERO shuffles in a round: the groupBy(dst) rides the
       // cache-preserved hash(dst) partitioning (partial+final agg
-      // with no exchange between or below them). The only exchanges
-      // are two node-sized broadcasts — the degree attaching onto the
-      // rank vector at broadcast-build time, then the joined rank
-      // broadcast itself
+      // with no exchange between or below them). The only exchange
+      // is ONE node-sized broadcast — the rank vector itself: on a
+      // symmetric graph the degree lives in the dgd-annotated edge
+      // cache and rides the iterate, so there is no degree-attach
+      // join and no second broadcast build anywhere in the round
       assert(count(sums, "shuffle") == 0, pSums)
-      assert(count(sums, "broadcast") == 2, pSums)
+      assert(count(sums, "broadcast") == 1, pSums)
       assert(pSums.contains("InMemoryTableScan"), pSums)
       edc.unpersist()
     } finally spark.conf.set("spark.sql.adaptive.enabled", oldAqe)

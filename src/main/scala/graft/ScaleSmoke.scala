@@ -731,13 +731,16 @@ object ScaleSmoke {
         batch.select(col("value")).as[String], queries.CdcQueries.config)
         .toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val n = enr.count()
         val deltas = graft.operators.CdcDeltas.signedDeltas(enr)
           .select(col("image").getItem("event_type").as("event_type"),
             col("image").getItem("value").as("value"), col("sign"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          deltas.count() // materialize once before the parallel consumers
+          // no serial head counts: the forked consumers fill the enr
+          // and deltas caches on first touch (Spark serializes racing
+          // partition computation), so the two counts were pure
+          // barrier cost; the artifact row count reads the warm cache
+          // after the fork
           val (d1, d2) = id match {
             case 0 => (dim1Df(dim1Rows, 1), dim2Df(dim2Rows, 1))
             case 4 => (dim1Df(dim1Rows.filter(_._2 == retCat), -1),
@@ -769,6 +772,9 @@ object ScaleSmoke {
                 })
             })
           val sec = (System.nanoTime() - t0) / 1e9
+          // artifact bookkeeping, not pipeline work: reads the cache
+          // the forked consumers already filled
+          val n = enr.count()
           ivmEpochs += s"""{"epoch":$id,"sec":${math.round(sec * 1000) / 1000.0},"rows":$n,"rows_per_sec":${math.round(n / sec)}}"""
           ivmEpochSecs += ((id, sec, n))
           println(f"[scale] ivm-e2e epoch $id: $sec%.1f s, $n rows " +

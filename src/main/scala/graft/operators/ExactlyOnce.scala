@@ -520,7 +520,16 @@ object ExactlyOnce {
         // near-empty steady epoch shuffles into |touched| partitions,
         // not numBuckets mostly-empty tasks (hash partitioning by
         // __bucket keeps each bucket in one task either way).
-        val clustered = if (resolveClusterByBucket(spark, clusterByBucket))
+        // near-empty epochs skip the exchange entirely (r10 verdict
+        // item 3): at ≤ 4 touched buckets the batch upstream is a
+        // handful of cached partitions, so writing it directly costs
+        // at most a few files per bucket while the exchange costs a
+        // whole extra stage + AQE round per state per epoch — the
+        // dominant share of the chained pipeline's steady-epoch floor
+        // (six states × ~0.15 s). Larger epochs keep the exchange and
+        // its O(1)-files-per-bucket guarantee.
+        val clustered = if (resolveClusterByBucket(spark, clusterByBucket)
+            && touched.size > 4)
           next.repartition(math.min(numBuckets, touched.size),
             col("__bucket")) else next
         phaseTimed(spark, s"write $stateDir")(

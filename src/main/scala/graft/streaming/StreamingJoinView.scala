@@ -221,13 +221,24 @@ object StreamingJoinView {
     try {
       // ONE probe per side (collect_set: a partial-aggregate job with
       // no wide exchange), shared by that side's advance AND the
-      // increment read below
+      // increment read below. A side whose batch is a statically
+      // empty LocalRelation (a cascade's quiet dimension feed — most
+      // steady epochs) resolves to ∅ on the driver: spending a whole
+      // Spark job to learn an empty frame's bucket set was pure
+      // fixed cost on the chained pipeline's critical path.
       val bexpr = ExactlyOnce.bucketOf("__jkey", numBuckets).as("__b")
-      def bucketsOf(p: DataFrame): Set[Int] =
-        p.select(bexpr).agg(collect_set(col("__b"))).head()
+      def staticallyEmpty(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan match {
+          case l: org.apache.spark.sql.catalyst.plans.logical
+            .LocalRelation => l.data.isEmpty
+          case _ => false
+        }
+      def bucketsOf(batch: DataFrame, p: DataFrame): Set[Int] =
+        if (staticallyEmpty(batch)) Set.empty[Int]
+        else p.select(bexpr).agg(collect_set(col("__b"))).head()
           .getSeq[Int](0).toSet
       val (bL, bR) = graft.operators.Concurrent.both(spark)(
-        bucketsOf(pL), bucketsOf(pR))
+        bucketsOf(leftBatch, pL), bucketsOf(rightBatch, pR))
       val touched = bL ++ bR
 
       // the increment reads PRE-commit state

@@ -50,16 +50,18 @@ import org.apache.spark.storage.StorageLevel
   * count), not the |nodes| upper bound.
   *
   * Lineage truncates on the checkpoint schedule {2, 4, 10, 16, …}
-  * (gaps 2, 2, 6, 6, …): the early gaps of 2 keep the earliest
-  * convergence exits reachable (near-regular graphs settle in 2–3
-  * rounds — the 30× smoke drops ~70 % of its rounds there), the later
-  * gaps of 6 run long tails as single actions instead of paying a
-  * barrier every other round. Convergence early-exit compares
-  * consecutive CHECKPOINTS: the update is deterministic, so
-  * x_i = x_{i−g} makes the tail periodic with period dividing the gap
-  * g, and the exit fires only when the REMAINING round count is a
-  * multiple of g — the emitted bits are identical to running every
-  * round (and to the unrolled oracle).
+  * (gaps 2, 2, 6, 6, …): one early probe point as cheap insurance for
+  * a genuinely fixed-point corpus (uniform clique graphs equalize
+  * immediately), then long tails run as single actions instead of
+  * paying a barrier every other round — denser probe points were
+  * measured pure waste (integer-floor rank dynamics keep drifting
+  * through round 10 on every fixture incl. the 30× clone smoke).
+  * Convergence early-exit compares consecutive CHECKPOINTS: the
+  * update is deterministic, so x_i = x_{i−g} makes the tail periodic
+  * with period dividing the gap g, and the exit fires only when the
+  * REMAINING round count is a multiple of g — the emitted bits are
+  * identical to running every round (and to the unrolled oracle),
+  * whichever schedule runs.
   *
   * Two physical regimes, chosen at runtime (an over-ceiling broadcast
   * hint FAILS the job rather than falling back, so the fallback must
@@ -128,15 +130,20 @@ object PageRank {
     val underGate = stats.getLong(0) <= broadcastNodeLimit
     // the under-gate cached layout fixes the per-round task count for
     // the whole run, and AQE cannot re-plan an explicit cached
-    // partitioning — so size it from the MEASURED edge count (~24 B/
-    // row ⇒ the default ~1 M rows/partition keeps partitions in the
-    // tens of MB), capped at the session shuffle parallelism. A tiny
-    // graph then runs each round as a couple of tasks instead of a
-    // full shuffle-partitions-wide stage of empty task launches.
+    // partitioning — so size it from the MEASURED edge count, capped
+    // at the session shuffle parallelism. The rows-per-partition
+    // default is a TASK-GRANULARITY floor, not a storage target: it
+    // only governs how large |E| must be before another task is worth
+    // launching, so a tiny graph runs each round as a couple of tasks
+    // instead of a shuffle-partitions-wide stage of empty launches,
+    // while anything past cap × floor rows (the 100 TB regime, and
+    // already the 30× smoke) gets the full configured width — a 1 M
+    // floor measured 6× under-parallel there (5 tasks on 32 cores for
+    // a 4 M-edge cache, every round).
     val edgeParts = {
       val rowsPerPart = nodes.sparkSession.conf
         .getOption("spark.graft.graph.edgeRowsPerPartition")
-        .map(_.toLong).getOrElse(1000000L)
+        .map(_.toLong).getOrElse(65536L)
       val e = if (stats.isNullAt(1)) 0L else stats.getLong(1)
       val cap = nodes.sparkSession.sessionState.conf.numShufflePartitions
       math.max(1L, math.min(cap.toLong, e / rowsPerPart + 1)).toInt
@@ -272,10 +279,16 @@ object PageRank {
       prepare(nodes, edges, broadcastNodeLimit, symmetric)
     val timing = nodes.sparkSession.conf
       .getOption("spark.graft.graph.timing").contains("true")
-    // checkpoint schedule (object doc): gaps 2, 2, 6, 6, … + the
-    // final round. Any schedule is CORRECT — the probe's remaining-
-    // count divisibility check is evaluated against the actual gap —
-    // the choice only trades barrier count against exit opportunities.
+    // checkpoint schedule (object doc): any schedule is CORRECT — the
+    // probe's remaining-count divisibility check is evaluated against
+    // the actual gap — so the choice is purely cost-based: probe once
+    // early ({2,4} — cheap insurance for a genuinely fixed-point
+    // corpus, e.g. uniform clique graphs where every rank equalizes),
+    // then run long tails as single actions (gaps of 6). Denser probe
+    // points ({…,6,8}) were measured pure waste on both the sf
+    // fixtures and the 30× clone smoke: integer-floor rank dynamics
+    // keep drifting through round 10 there, so every extra probe paid
+    // a barrier + join and never fired.
     val ckptAt: Set[Int] =
       (Iterator(2, 4) ++ Iterator.iterate(10)(_ + 6))
         .takeWhile(_ < rounds).toSet + rounds

@@ -50,12 +50,28 @@ object KMeans {
       .agg(min_by(col("cluster"), struct(col("score"), col("cluster")))
         .as("cluster"))
 
+  /** [[assign]] with the vector carried THROUGH the argmin aggregate
+    * (constant per vec_id, so first() is deterministic): the Lloyd
+    * means no longer re-join the corpus against the assignment — one
+    * join and one hash(vec_id) exchange deleted per training round,
+    * the same normalizer-fold-out pattern as the round-10 model
+    * aggregates and the round-11 dedup_semantic membership.
+    */
+  private def assignCarrying(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("score",
+        arrayDot(col("c"), col("c")) - arrayDot(col("v"), col("c")) * 2)
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cluster"), struct(col("score"), col("cluster")))
+        .as("cluster"), first(col("v")).as("v"))
+
   /** Recomputed per-cluster means (exact decimal, 6 dp-quantized) —
     * same centroid contract as [[Ivf.codebook]]. Clusters that lose
     * every member simply drop out (deterministic in both engines).
+    * `asn` must carry the member vector (`v`) alongside `cluster`.
     */
-  def means(vecs: DataFrame, asn: DataFrame): DataFrame =
-    vecs.join(asn, "vec_id")
+  def means(asn: DataFrame): DataFrame =
+    asn
       .select(col("cluster"), posexplode(col("v")))
       .groupBy(col("cluster"), col("pos"))
       .agg(round(sum(col("col").cast("decimal(28,14)")).cast("double")
@@ -89,7 +105,7 @@ object KMeans {
     var prev = snapshot(cents)
     var converged = false
     for (_ <- 1 to iters if !converged) {
-      cents = means(vecs, assign(vecs, cents)).localCheckpoint()
+      cents = means(assignCarrying(vecs, cents)).localCheckpoint()
       val cur = snapshot(cents)
       converged = cur == prev
       prev = cur

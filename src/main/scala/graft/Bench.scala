@@ -314,13 +314,25 @@ object Bench {
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(
         ordered)},"shuffle_mb":${jmap(shuffleMb)},"sf":"$sfDir","failed":${failedSet.size},"materialization":"noop-sink","methodology":"per-query warm run, one discarded interleaved warm-up pass, then $reps interleaved timed reps, per-query min + median"$extras}"""
-    println(line)
     // stdout gets wrapped in sbt/log noise downstream — persist the
     // structured result to a well-known file too, so consumers that
     // fail to grep the line out of the tail still get the JSON
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => }
+    // The per-round harvester keeps only the LAST ~2000 chars of the sbt
+    // run: the full line above (~1.9k chars with the median/spread maps)
+    // gets its head truncated there and never parses (r10/r11 verdicts,
+    // "parsed: null"). Emit the full detail line first for direct
+    // consumers, then end stdout with a COMPACT line (min-per-query +
+    // honesty bits only, well under the tail window even after sbt's
+    // trailing "[success]" line) so the tail always contains one
+    // complete parseable JSON object. The sweep (BENCH_ALL) compact
+    // line would still be ~6k chars, so it drops the per-query map —
+    // sweep detail lives in the standalone artifact file.
+    println(line)
+    val compactQ = if (benchAll) "" else s""","queries":${jmap(ordered)}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec"$compactQ,"sf":"$sfDir","failed":${failedSet.size},"reps":${reps + rescues},"max_spread_pct":${math.round(maxSpreadPct * 10) / 10.0},"contended":$contended,"detail":"BENCH_LAST.json"}""")
     spark.stop()
   }
 }

@@ -48,8 +48,10 @@ object Explain {
     // ad-hoc session confs (comma-separated k=v), e.g. the operator
     // timing hooks: SPARK_GRAFT_CONF=spark.graft.graph.timing=true
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+        case _ => System.err.println(s"[explain] ignoring malformed conf token '$kv'")
+      }
     })
 
     if (name == "--all") {

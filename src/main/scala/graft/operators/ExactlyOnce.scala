@@ -527,9 +527,20 @@ object ExactlyOnce {
         // whole extra stage + AQE round per state per epoch — the
         // dominant share of the chained pipeline's steady-epoch floor
         // (six states × ~0.15 s). Larger epochs keep the exchange and
-        // its O(1)-files-per-bucket guarantee.
+        // its O(1)-files-per-bucket guarantee. The skip ALSO requires a
+        // narrow batch upstream (r11 advice): a wide skewed batch whose
+        // keys land in ≤ 4 buckets would otherwise fan out
+        // (write tasks × buckets) fragments per epoch — readers
+        // tolerate it, but commit-listing cost balloons. The partition
+        // probe is cheap here: the touched-bucket probe job has already
+        // materialized `batch` into its persist, so `.rdd` resolves to
+        // the cached layout without recompute.
+        def narrowBatch: Boolean =
+          (try batch.rdd.getNumPartitions catch {
+            case _: Throwable => Int.MaxValue
+          }) <= 32
         val clustered = if (resolveClusterByBucket(spark, clusterByBucket)
-            && touched.size > 4)
+            && (touched.size > 4 || !narrowBatch))
           next.repartition(math.min(numBuckets, touched.size),
             col("__bucket")) else next
         phaseTimed(spark, s"write $stateDir")(

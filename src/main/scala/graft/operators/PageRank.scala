@@ -170,13 +170,22 @@ object PageRank {
       else {
         val dstIds = ed.select(col("dst").as("id")).distinct()
           .localCheckpoint()
+        // the gate above bounds |distinct src| (the rank vector — the
+        // broadcast that matters every round), but THIS build side is
+        // |distinct dst| rows: a fan-in graph (few sources, huge dst
+        // set) passes the src gate yet would fail a FORCED broadcast
+        // of dstIds, which never falls back. Gate the dst-side hint on
+        // its own count — one cheap job over a just-checkpointed
+        // node-sized leaf, non-symmetric path only.
+        val bhDst = ConnectedComponents.hintIf(
+          underGate && dstIds.count() <= broadcastNodeLimit)
         val so = deg.select(col("src").as("id"))
-          .join(bhStatic(dstIds), Seq("id"), "left_anti")
+          .join(bhDst(dstIds), Seq("id"), "left_anti")
           .withColumn("rank", lit(150000L))
           .localCheckpoint()
         (if (so.isEmpty) None else Some(so),
           nodes
-            .join(bhStatic(dstIds), Seq("id"), "left_anti")
+            .join(bhDst(dstIds), Seq("id"), "left_anti")
             .join(bhStatic(deg.select(col("src").as("id"))),
               Seq("id"), "left_anti")
             .withColumn("rank", lit(150000L)))

@@ -268,10 +268,26 @@ object StreamingJoinView {
       // than one row — their multiplicities sum identically wherever
       // the increment is aggregated: the view advance, a cascaded
       // stage's partials)
-      val inc = half(pL, rtOld.unionByName(pR))
+      val incPlan = half(pL, rtOld.unionByName(pR))
         .unionByName(half(ltOld, pR))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      incCached = Some(inc)
+      // a fully quiet epoch (touched == ∅ ⇒ both batches had zero
+      // rows ⇒ ΔL = ΔR = ∅ ⇒ the increment is empty by the identity
+      // above) returns a STATICALLY-empty LocalRelation instead of
+      // the lazy join plan: a cascaded stage fed this increment then
+      // skips its own bucket-probe job through the same
+      // staticallyEmpty check above (r11 advice — previously only the
+      // first stage's literal dimension feeds got the free probe),
+      // and there is nothing worth persisting
+      val inc = if (touched.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          incPlan.schema)
+      else {
+        val c = incPlan
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        incCached = Some(c)
+        c
+      }
 
       // three independent states, one fork/join inside commit().
       // `touched` is a superset of the increment's buckets (inc keys

@@ -25,13 +25,12 @@ import org.apache.spark.storage.StorageLevel
   *
   * Per round that leaves ONE broadcast (the rank vector — orders of
   * magnitude smaller than the edge set) + ONE map-side-combined
-  * shuffle (the contribution sum). On a SYMMETRIC graph the degree
-  * even rides the iterate itself: the dst-keyed edge cache carries the
-  * dst node's degree (`dgd`, equal to its out-degree because in-degree
-  * == out-degree on a both-directions edge set), the contribution sum
-  * carries it through the aggregate, and the next iterate keeps
-  * (id, rank, dg) closed under rounds — no degree-attach join, no
-  * second broadcast build, anywhere in the loop.
+  * shuffle (the contribution sum). The SRC node's degree is folded
+  * into the edge cache once at prepare time (a broadcast join under
+  * the gate, the co-partitioning join past it), so the iterate is the
+  * minimal (id, rank) pair in every regime — no degree-attach join,
+  * no carried degree column in the per-round aggregate, anywhere in
+  * the loop.
   *
   * Fixed-cost discipline (round-10 verdict item 1 — prepare barriers
   * dominated small-scale runs): prepare runs exactly TWO actions
@@ -87,15 +86,11 @@ object PageRank {
 
   /** The iteration-invariant inputs, exposed so plan specs can assert
     * one round's physical shape: the cached edge table (hash(dst)
-    * under the gate — degree-of-dst-annotated (`dgd`) when symmetric,
-    * bare otherwise; degree-annotated and co-partitioned+sorted on
-    * `src` past the gate), the initial rank vector over the
-    * CONTRIBUTING (src) nodes, the per-round rank-side wrapper
-    * (non-symmetric under the gate: attach the degree to the tiny
-    * rank vector, then broadcast; everywhere else: just the broadcast
-    * hint — `dg` lives in the iterate or the edge table, and
-    * `round`'s `rank div dg` resolves from whichever side carries
-    * it), the regime flag, and the two static rank parts
+    * under the gate, co-partitioned+sorted on `src` past it — always
+    * src-degree-annotated), the initial rank vector over the
+    * CONTRIBUTING (src) nodes, the per-round rank-side wrapper (the
+    * regime-gated broadcast hint), the regime flag, and the two
+    * static rank parts
     * (source-only nodes — `None` for a caller-declared symmetric
     * graph, where every src is also a dst by construction — joined
     * into every post-first-round iterate; no-edge nodes, unioned into
@@ -103,7 +98,7 @@ object PageRank {
     */
   def prepare(nodes: DataFrame, edges: DataFrame,
       broadcastNodeLimit: Long = ConnectedComponents.BroadcastNodeLimit,
-      symmetric: Boolean = false)
+      symmetric: Boolean = false, edgesTruncated: Boolean = false)
       : (DataFrame, DataFrame, DataFrame => DataFrame, Boolean,
         Option[DataFrame], DataFrame) = {
     val timing = nodes.sparkSession.conf
@@ -115,10 +110,25 @@ object PageRank {
         f"[pagerank] prepare $tag ${(System.nanoTime() - s0) / 1e9}%.2f s")
       r
     }
+    // session-conf override for the regime gate (A/B harness + cluster
+    // lever); an EXPLICIT limit argument — tests pinning a regime —
+    // still wins over the conf
+    val gateLimit =
+      if (broadcastNodeLimit != ConnectedComponents.BroadcastNodeLimit)
+        broadcastNodeLimit
+      else nodes.sparkSession.conf
+        .getOption("spark.graft.graph.broadcastNodeLimit")
+        .map(_.toLong).getOrElse(broadcastNodeLimit)
     // the two prepare actions (object doc): materialize + truncate the
     // edge pipeline, then the node-sized degree table whose count is
-    // the gate quantity — the rank-vector row count itself
-    val ed = t("edges-ckpt")(edges.localCheckpoint())
+    // the gate quantity — the rank-vector row count itself.
+    // `edgesTruncated` callers already checkpointed the expensive part
+    // (e.g. the DIRECTED half of a symmetrized pair set — half the
+    // checkpoint write) and pass a trivially-cheap plan over those
+    // leaves; re-checkpointing it here would double-materialize.
+    val ed =
+      if (edgesTruncated) edges
+      else t("edges-ckpt")(edges.localCheckpoint())
     val deg = t("degree-ckpt")(
       ed.groupBy(col("src")).agg(count(lit(1)).as("dg"))
         .localCheckpoint())
@@ -127,7 +137,7 @@ object PageRank {
     // broadcasts) and |E| = Σ dg (sizes the under-gate edge layout)
     val stats = t("gate-count")(
       deg.agg(count(lit(1)), sum(col("dg"))).head())
-    val underGate = stats.getLong(0) <= broadcastNodeLimit
+    val underGate = stats.getLong(0) <= gateLimit
     // the under-gate cached layout fixes the per-round task count for
     // the whole run, and AQE cannot re-plan an explicit cached
     // partitioning — so size it from the MEASURED edge count, capped
@@ -178,7 +188,7 @@ object PageRank {
         // its own count — one cheap job over a just-checkpointed
         // node-sized leaf, non-symmetric path only.
         val bhDst = ConnectedComponents.hintIf(
-          underGate && dstIds.count() <= broadcastNodeLimit)
+          underGate && dstIds.count() <= gateLimit)
         val so = deg.select(col("src").as("id"))
           .join(bhDst(dstIds), Seq("id"), "left_anti")
           .withColumn("rank", lit(150000L))
@@ -192,40 +202,29 @@ object PageRank {
       }
     if (underGate) {
       val bh = ConnectedComponents.hintIf(true)
-      if (symmetric) {
-        // symmetric ⇒ in-degree == out-degree, so the degree of the
-        // dst node is computable FROM the dst-keyed layout itself —
-        // a zero-exchange aggregate — and widening the cache with it
-        // (`dgd`) lets the contribution sum carry the degree through
-        // to the next iterate: (id, rank, dg) is closed under rounds
-        // and each round needs ONE broadcast build (the rank vector),
-        // not a degree-attach join + a second build. The exchange
-        // below appears in both join inputs but is canonically
-        // identical — ReuseExchange shuffles the checkpointed rows
-        // once. The cache fills inside the first checkpoint action.
-        val exch = ed.repartition(edgeParts, col("dst"))
-        val degD = exch.groupBy(col("dst"))
-          .agg(count(lit(1)).as("dgd"))
-        val edc = exch.join(degD, "dst")
-          .select(col("src"), col("dst"), col("dgd"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val init = deg.select(col("src").as("id"),
-          lit(1000000L).as("rank"), col("dg"))
-        (edc, init, bh, true, None, isolatedConst)
-      } else {
-        val edc = ed.repartition(edgeParts, col("dst"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val init = deg.select(col("src").as("id"))
-          .withColumn("rank", lit(1000000L))
-        // the degree attaches onto the TINY rank vector at broadcast-
-        // build time (a checkpointed-leaf scan — no persist needed)
-        // instead of widening the |E|-row cache: without symmetry the
-        // iterate cannot carry its own next-round degree (out-degree
-        // of dst is not derivable from the dst-keyed aggregate)
-        val degAtt = deg.select(col("src").as("id"), col("dg"))
-        (edc, init, df => bh(df.join(degAtt, "id")), true,
-          srcOnlyConst, isolatedConst)
-      }
+      // the SRC node's degree folds into the cache ONCE via a
+      // broadcast join (deg passed the gate — its row count IS the
+      // gate quantity — so the hint is always legal here), leaving
+      // the iterate at its minimum width (id, rank): the per-round
+      // broadcast collects two longs per node instead of three, and
+      // the contribution sum is a single SUM — no carried max(degree)
+      // column in the aggregate buffer. This replaced the r11
+      // symmetric `dgd` layout (degree-of-dst derived zero-exchange
+      // from the dst-keyed layout, then carried through every round's
+      // aggregate): same cache width, but that design taxed every
+      // ROUND to save one prepare-time broadcast. A BroadcastHashJoin
+      // preserves the streamed side's partitioning, so the cache
+      // stays hash(dst)-partitioned and each round's contribution sum
+      // still runs as ONE zero-exchange stage over the cached layout.
+      // The cache fills inside the first checkpoint action.
+      val edc = ed.repartition(edgeParts, col("dst"))
+        .join(bh(deg), "src")
+        .select(col("src"), col("dst"), col("dg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val init = deg.select(col("src").as("id"))
+        .withColumn("rank", lit(1000000L))
+      (edc, init, bh, true,
+        if (symmetric) None else srcOnlyConst, isolatedConst)
     } else {
       // past the gate the rank CANNOT broadcast, so the join key
       // (src) dictates the layout and the degree folds into the edge
@@ -251,28 +250,17 @@ object PageRank {
   /** One power-iteration round: the contribution sum and the next
     * DYNAMIC iterate (a pure projection of the sum — every dynamic
     * node receives contributions every round, see the object doc).
-    * `rank div dg` resolves from whichever side carries the degree;
-    * when the edge cache is `dgd`-annotated (symmetric under-gate
-    * layout) the aggregate carries the degree into the next iterate.
+    * Both regimes carry the src degree on the EDGE side (`dg`), so
+    * the iterate is always the minimal (id, rank) pair.
     */
   def round(edc: DataFrame, pr: DataFrame,
       bh: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     val joined = edc.join(bh(pr), edc("src") === pr("id"))
-    if (edc.columns.contains("dgd")) {
-      val sums = joined
-        .select(col("dst"), expr("rank div dg").as("contrib"),
-          col("dgd"))
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("c"), max(col("dgd")).as("dg"))
-      (sums, sums.select(col("dst").as("id"),
-        (lit(150000L) + expr("85 * c div 100")).as("rank"), col("dg")))
-    } else {
-      val sums = joined
-        .select(col("dst"), expr("rank div dg").as("contrib"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
-      (sums, sums.select(col("dst").as("id"),
-        (lit(150000L) + expr("85 * c div 100")).as("rank")))
-    }
+    val sums = joined
+      .select(col("dst"), expr("rank div dg").as("contrib"))
+      .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
+    (sums, sums.select(col("dst").as("id"),
+      (lit(150000L) + expr("85 * c div 100")).as("rank")))
   }
 
   /** Run `rounds` iterations over `nodes` (`id`) and directed `edges`
@@ -282,10 +270,11 @@ object PageRank {
   def run(nodes: DataFrame, edges: DataFrame, rounds: Int = 10,
       broadcastNodeLimit: Long =
         ConnectedComponents.BroadcastNodeLimit,
-      symmetric: Boolean = false): DataFrame = {
+      symmetric: Boolean = false,
+      edgesTruncated: Boolean = false): DataFrame = {
     require(rounds >= 1, "pagerank needs at least one round")
     val (edc, pr0, bh, underGate, srcOnlyConst, isolatedConst) =
-      prepare(nodes, edges, broadcastNodeLimit, symmetric)
+      prepare(nodes, edges, broadcastNodeLimit, symmetric, edgesTruncated)
     val timing = nodes.sparkSession.conf
       .getOption("spark.graft.graph.timing").contains("true")
     // checkpoint schedule (object doc): any schedule is CORRECT — the

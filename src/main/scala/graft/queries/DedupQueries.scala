@@ -407,16 +407,19 @@ object DedupQueries {
       (s, dir) => {
         val nodes = Tables.documents(s, dir)
           .select(col("doc_id").as("id"))
-        // one minhashPairs instance: its observed bucket-cap metric may
-        // appear only once per plan (DUPLICATED_METRICS_NAME otherwise).
-        // (A localCheckpoint here measured ~6 s SLOWER at 30x — the
-        // union's twin subtrees already share work via exchange reuse,
-        // so the explicit barrier only adds a materialization.)
-        val pairs = minhashPairs(s, dir)
-        val ed = pairs
+        // checkpoint the DIRECTED pair set (a < b), then symmetrize
+        // from the leaf: the expensive LSH derivation materializes
+        // once at HALF the row count the symmetrized union would
+        // write, and the union over two leaf scans is nearly free.
+        // `edgesTruncated = true` tells the operator the plan is
+        // already leaf-cheap so it must not re-checkpoint it (that
+        // double materialization measured ~6 s slower at 30x when
+        // both checkpoints ran).
+        val half = minhashPairs(s, dir)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionAll(pairs
-            .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .localCheckpoint()
+        val ed = half.unionAll(
+          half.select(col("dst").as("src"), col("src").as("dst")))
         // the operator picks the physical regime at runtime (node
         // count vs BroadcastNodeLimit): broadcast rank under the gate,
         // co-partitioned edges+rank past it — either way the edge
@@ -425,7 +428,7 @@ object DedupQueries {
         // union just above, so the operator skips the source-only
         // split machinery (dst-distinct, anti-join, emptiness probe)
         graft.operators.PageRank.run(nodes, ed, rounds = 10,
-          symmetric = true)
+          symmetric = true, edgesTruncated = true)
           .select(col("id").as("doc_id"), col("rank").as("rank_micro"))
           .orderBy(col("doc_id"))
       },

@@ -240,10 +240,10 @@ class PlanSpec extends SparkSpec {
       // ZERO shuffles in a round: the groupBy(dst) rides the
       // cache-preserved hash(dst) partitioning (partial+final agg
       // with no exchange between or below them). The only exchange
-      // is ONE node-sized broadcast — the rank vector itself: on a
-      // symmetric graph the degree lives in the dgd-annotated edge
-      // cache and rides the iterate, so there is no degree-attach
-      // join and no second broadcast build anywhere in the round
+      // is ONE node-sized broadcast — the rank vector itself: the
+      // src degree is folded into the edge cache at prepare time,
+      // so there is no degree-attach join and no second broadcast
+      // build anywhere in the round
       assert(count(sums, "shuffle") == 0, pSums)
       assert(count(sums, "broadcast") == 1, pSums)
       assert(pSums.contains("InMemoryTableScan"), pSums)

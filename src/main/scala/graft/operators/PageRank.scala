@@ -141,21 +141,27 @@ object PageRank {
     // the under-gate cached layout fixes the per-round task count for
     // the whole run, and AQE cannot re-plan an explicit cached
     // partitioning — so size it from the MEASURED edge count, capped
-    // at the session shuffle parallelism. The rows-per-partition
-    // default is a TASK-GRANULARITY floor, not a storage target: it
-    // only governs how large |E| must be before another task is worth
-    // launching, so a tiny graph runs each round as a couple of tasks
-    // instead of a shuffle-partitions-wide stage of empty launches,
-    // while anything past cap × floor rows (the 100 TB regime, and
-    // already the 30× smoke) gets the full configured width — a 1 M
-    // floor measured 6× under-parallel there (5 tasks on 32 cores for
-    // a 4 M-edge cache, every round).
+    // at min(shuffle parallelism, scheduler core count). The
+    // rows-per-partition default is a TASK-GRANULARITY floor, not a
+    // storage target: it only governs how large |E| must be before
+    // another task is worth launching, so a tiny graph runs each round
+    // as a couple of tasks instead of a shuffle-partitions-wide stage
+    // of empty launches, while anything past cap × floor rows (the
+    // 100 TB regime, and already the 30× smoke) gets the full width —
+    // a 1 M floor measured 6× under-parallel there (5 tasks on 32
+    // cores for a 4 M-edge cache, every round). The core-count clamp
+    // matters because the loop scans this EXACT layout ~10 times: at
+    // 64 shuffle partitions on 32 cores (the smoke session) a 62-task
+    // cache pays TWO scheduling waves per round for zero parallelism
+    // gain; one wave of core-count tasks scans the same bytes.
     val edgeParts = {
       val rowsPerPart = nodes.sparkSession.conf
         .getOption("spark.graft.graph.edgeRowsPerPartition")
         .map(_.toLong).getOrElse(65536L)
       val e = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-      val cap = nodes.sparkSession.sessionState.conf.numShufflePartitions
+      val cap = math.min(
+        nodes.sparkSession.sessionState.conf.numShufflePartitions,
+        nodes.sparkSession.sparkContext.defaultParallelism)
       math.max(1L, math.min(cap.toLong, e / rowsPerPart + 1)).toInt
     }
     // the static split (shared by all regimes): source-only nodes

@@ -118,22 +118,27 @@ object DedupQueries {
     */
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = signatures(s, dir)
+    // the bucket key is the 8-byte shared hash of (band id | band
+    // signature), not the ~40-char signature string: every downstream
+    // exchange — the hot-bucket census, the bucket self-join, the
+    // pair distinct — ships and compares one long per row (the same
+    // playbook as the gram-hash inverted index). The oracle buckets
+    // on the IDENTICAL hash, so the (astronomically rare) 32-bit
+    // bucket collision merges the same buckets in both engines and
+    // the hash gate stays bit-exact.
     val buckets = sig.select(col("doc_id"),
       explode(array((0 until NumBands).map(b =>
-        struct(lit(b).as("band_id"), col(s"band$b").as("sig"))): _*))
-        .as("bucket"))
-      .select(col("doc_id"), col("bucket.band_id"), col("bucket.sig"))
-    val hot = buckets.groupBy(col("band_id"), col("sig"))
+        uhash(concat(lit(s"$b|"), col(s"band$b")))): _*)).as("sigh"))
+    val hot = buckets.groupBy(col("sigh"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > MinHashBucketCap)
       .observe("minhash_bucket_cap",
         count(lit(1)).as("hot_buckets"),
         sum(col("n")).as("dropped_rows"))
-      .select(col("band_id"), col("sig"))
-    val kept = buckets.join(broadcast(hot), Seq("band_id", "sig"), "left_anti")
+      .select(col("sigh"))
+    val kept = buckets.join(broadcast(hot), Seq("sigh"), "left_anti")
     kept.as("a").join(kept.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.sig") === col("b.sig") &&
+        col("a.sigh") === col("b.sigh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -197,6 +202,25 @@ object DedupQueries {
             ON a.gh = b.gh AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id, a.sz, b.sz)"""
 
+  /** DuckDB mirror of [[minhashPairs]]'s bucket stage (bx → bc → bk →
+    * pr), bucketed on the SAME 8-byte (band id | band signature) hash
+    * the Spark side shuffles on — shared by the pair, clusters, and
+    * quality-report oracles.
+    */
+  private val bucketsSql: String =
+    s"""bx AS (
+          ${(0 until NumBands)
+            .map(b =>
+              s"SELECT doc_id, ${uhashSql(s"'$b|' || band$b")} AS sigh FROM bands")
+            .mkString(" UNION ALL ")}),
+        bc AS (SELECT sigh FROM bx GROUP BY sigh
+          HAVING COUNT(*) <= $MinHashBucketCap),
+        bk AS (SELECT bx.* FROM bx JOIN bc ON bx.sigh = bc.sigh),
+        pr AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bk a JOIN bk b
+            ON a.sigh = b.sigh AND a.doc_id < b.doc_id)"""
+
   /** Shared oracle for `dedup_clusters` and `dedup_clusters_star`: the
     * LSH pair graph closed with a recursive CTE — both Spark
     * implementations (min-label and large-star/small-star) must agree
@@ -207,18 +231,7 @@ object DedupQueries {
     */
   private val clustersCtes: String =
     s"""WITH RECURSIVE $signaturesSql,
-        bx AS (
-          ${(0 until NumBands)
-            .map(b => s"SELECT doc_id, $b AS band_id, band$b AS sig FROM bands")
-            .mkString(" UNION ALL ")}),
-        bc AS (SELECT band_id, sig FROM bx GROUP BY band_id, sig
-          HAVING COUNT(*) <= $MinHashBucketCap),
-        bk AS (SELECT bx.* FROM bx
-          JOIN bc ON bx.band_id = bc.band_id AND bx.sig = bc.sig),
-        pr AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bk a JOIN bk b
-            ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        $bucketsSql,
         ed AS (
           SELECT doc_a AS src, doc_b AS dst FROM pr
           UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pr),
@@ -264,17 +277,8 @@ object DedupQueries {
     "dedup_minhash_pairs" -> QueryDef(
       (s, dir) => minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH $signaturesSql,
-        bx AS (
-          ${(0 until NumBands)
-            .map(b => s"SELECT doc_id, $b AS band_id, band$b AS sig FROM bands")
-            .mkString(" UNION ALL ")}),
-        bc AS (SELECT band_id, sig FROM bx GROUP BY band_id, sig
-          HAVING COUNT(*) <= $MinHashBucketCap),
-        bk AS (SELECT bx.* FROM bx
-          JOIN bc ON bx.band_id = bc.band_id AND bx.sig = bc.sig)
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bk a JOIN bk b
-          ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+        $bucketsSql
+        SELECT doc_a, doc_b FROM pr
         ORDER BY doc_a, doc_b""")),
 
     // ----------------------------- dedup quality gate (precision/recall)
@@ -311,18 +315,7 @@ object DedupQueries {
                 col("n_true").cast("double")))
       },
       Some(s"""WITH $signaturesSql,
-        bx AS (
-          ${(0 until NumBands)
-            .map(b => s"SELECT doc_id, $b AS band_id, band$b AS sig FROM bands")
-            .mkString(" UNION ALL ")}),
-        bc AS (SELECT band_id, sig FROM bx GROUP BY band_id, sig
-          HAVING COUNT(*) <= $MinHashBucketCap),
-        bk AS (SELECT bx.* FROM bx
-          JOIN bc ON bx.band_id = bc.band_id AND bx.sig = bc.sig),
-        pr AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bk a JOIN bk b
-            ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        $bucketsSql,
         $sharedGramSql,
         tr AS (
           SELECT doc_a, doc_b FROM shared

@@ -80,6 +80,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce cached plans: a persisted partial frame
+      // otherwise freezes the full shuffle width and every tiny
+      // downstream job launches a stage of mostly-empty tasks
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       // runtime row-level filtering for big SMJs (a 100 TB lever; ~free here)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

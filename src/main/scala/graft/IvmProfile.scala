@@ -30,6 +30,12 @@ object IvmProfile {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce CACHED plans too: the chained pipeline persists
+      // its per-epoch partials, and without this the persist freezes the
+      // full shuffle width — every downstream probe/write job of an
+      // 8-row epoch launches ~64 mostly-empty tasks
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.graft.state.timing", "true")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -21,6 +21,11 @@ object OpProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce cached plans: a persisted partial frame
+      // otherwise freezes the full shuffle width and every tiny
+      // downstream job launches a stage of mostly-empty tasks
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       // attribution hooks (see ExactlyOnce.phaseTimed, PageRank.run)
       .config("spark.graft.state.timing",

@@ -112,9 +112,17 @@ object ConnectedComponents {
       .withColumn("self", lit(false))
       .unionByName(vertices.select(col("id").as("src"),
         col("id").as("dst"), lit(true).as("self")))
+    // clamp the cached layout at the scheduler core count (the
+    // PageRank edgeParts lesson): the loop scans this exact layout
+    // once per round, and a 64-task cache on 32 cores pays two
+    // scheduling waves per round for zero parallelism gain. AQE
+    // cannot re-coalesce an explicitly repartitioned cached plan.
+    val parts = math.min(
+      vertices.sparkSession.sessionState.conf.numShufflePartitions,
+      vertices.sparkSession.sparkContext.defaultParallelism)
     val keyed =
-      if (underGate) bi.repartition(col("dst"))
-      else bi.repartition(col("src")).sortWithinPartitions("src")
+      if (underGate) bi.repartition(parts, col("dst"))
+      else bi.repartition(parts, col("src")).sortWithinPartitions("src")
     val c = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     c.count()
     c

@@ -490,7 +490,18 @@ object DedupQueries {
           .select(col("e1.src").as("x"),
             least(col("e1.dst"), col("e2.dst")).as("u"),
             greatest(col("e1.dst"), col("e2.dst")).as("v"))
-        val tri = wedges.join(pairs,
+        // the wedge set is the SQUARE of the orientation bound — on the
+        // dup-saturated smoke ~C(30,3) per clone clique, an order of
+        // magnitude more rows than the pair set — so the closing join
+        // broadcasts the (bucket-capped, edge-sized) pair set and the
+        // wedge stream pipelines out of the self-join with no exchange.
+        // Gated on the MEASURED pair count (one cheap job over the
+        // checkpointed leaf); past the gate the hint drops and the
+        // close falls back to the pair-keyed shuffle.
+        val bhPairs = graft.operators.ConnectedComponents.hintIf(
+          pairs.count() <=
+            graft.operators.ConnectedComponents.BroadcastNodeLimit / 8)
+        val tri = wedges.join(bhPairs(pairs),
           col("u") === col("a") && col("v") === col("b"))
         tri.select(explode(array(col("x"), col("u"), col("v"))).as("doc_id"))
           .groupBy(col("doc_id"))

@@ -408,8 +408,8 @@ object DedupQueries {
         // already leaf-cheap so it must not re-checkpoint it (that
         // double materialization measured ~6 s slower at 30x when
         // both checkpoints ran).
-        val half = minhashPairs(s, dir)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val half = Tables.rebalance(minhashPairs(s, dir)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
           .localCheckpoint()
         val ed = half.unionAll(
           half.select(col("dst").as("src"), col("src").as("dst")))

@@ -117,7 +117,14 @@ object DedupQueries {
     * every SF. Same pattern as [[NgramDfCap]].
     */
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(s, dir)
+    // materialize the signatures ONCE: the bucket census and the kept
+    // side are separate post-shuffle stages over the same rebalance
+    // exchange, so without the checkpoint the minhash computation —
+    // the pipeline's heaviest codegen stage (16 hash transforms per
+    // shingle) — runs twice per execution (stage reuse covers only
+    // the exchange BELOW it). The leaf is node-sized (doc_id + 4 band
+    // strings) and inherits the rebalance's scheduler-width layout.
+    val sig = signatures(s, dir).localCheckpoint()
     // the bucket key is the 8-byte shared hash of (band id | band
     // signature), not the ~40-char signature string: every downstream
     // exchange — the hot-bucket census, the bucket self-join, the

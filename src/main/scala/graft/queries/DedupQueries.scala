@@ -163,9 +163,16 @@ object DedupQueries {
     */
   private def sharedGramCounts(
       s: SparkSession, dir: String, metricName: String): DataFrame = {
-    val inv = Tables.rebalance(Tables.documents(s, dir))
+    // checkpoint the PRE-explode gram arrays (the minhashPairs sig
+    // pattern): the df census and the kept side are separate
+    // post-shuffle stages, so the fused gram hashing would otherwise
+    // run twice per execution; the explode itself is cheap to repeat
+    val grams = Tables.rebalance(Tables.documents(s, dir))
       .withColumn("ghs", graft.functions.WordGramHashes.wordGramHashes(
         col("text"), 2, concat(col("lang"), lit("|"))))
+      .select(col("doc_id"), col("ghs"))
+      .localCheckpoint()
+    val inv = grams
       .select(col("doc_id"), size(col("ghs")).as("sz"),
         explode(col("ghs")).as("gh"))
     val hot = inv.groupBy(col("gh"))

@@ -146,6 +146,17 @@ object Bench {
     // the same sort stages the Verify parquet dump does.
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
+      // drop cached/checkpointed blocks the PREVIOUS query left behind
+      // (localCheckpoint RDDs live until their plan is GC'd): in the
+      // interleaved pass each query otherwise runs under its
+      // neighbors' accumulated storage pressure — measured as a
+      // reproducible ~1 s tax on dedup_ngram_jaccard whenever
+      // dedup_minhash_pairs precedes it, the same session-level
+      // interaction the r11 tree-anchored A/B chased. Blocking, and
+      // BEFORE t0, so the removal never bleeds into the timed window
+      // (the ScaleSmoke timeOp pattern).
+      spark.sparkContext.getPersistentRDDs.values.foreach(
+        _.unpersist(blocking = true))
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9

@@ -425,8 +425,14 @@ object DedupQueries {
         val half = Tables.rebalance(minhashPairs(s, dir)
           .select(col("doc_a").as("src"), col("doc_b").as("dst")))
           .localCheckpoint()
-        val ed = half.unionAll(
-          half.select(col("dst").as("src"), col("src").as("dst")))
+        // symmetrize by in-row explode, not union-of-leaf: a union
+        // scans the checkpointed leaf once per branch (2x the task
+        // count in the degree job and the cache fill); the explode
+        // emits both orientations from ONE scan
+        val ed = half.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         // the operator picks the physical regime at runtime (node
         // count vs BroadcastNodeLimit): broadcast rank under the gate,
         // co-partitioned edges+rank past it — either way the edge

@@ -116,15 +116,24 @@ object DedupQueries {
     * cap is mirrored in the oracle SQL so the hash check covers it at
     * every SF. Same pattern as [[NgramDfCap]].
     */
-  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // materialize the signatures ONCE: the bucket census and the kept
-    // side are separate post-shuffle stages over the same rebalance
-    // exchange, so without the checkpoint the minhash computation —
-    // the pipeline's heaviest codegen stage (16 hash transforms per
-    // shingle) — runs twice per execution (stage reuse covers only
-    // the exchange BELOW it). The leaf is node-sized (doc_id + 4 band
-    // strings) and inherits the rebalance's scheduler-width layout.
-    val sig = signatures(s, dir).localCheckpoint()
+  /** The signature frame, materialized ONCE per derivation: the bucket
+    * census and the kept side are separate post-shuffle stages over
+    * the same rebalance exchange, so without the checkpoint the
+    * minhash computation — the pipeline's heaviest codegen stage (16
+    * hash transforms per shingle) — runs twice per execution (stage
+    * reuse covers only the exchange BELOW it). The leaf is node-sized
+    * (doc_id + 4 band strings) and inherits the rebalance's
+    * scheduler-width layout. Shared by the pair derivation and the
+    * signature-agreement estimator's lookups.
+    */
+  private def minhashSignaturesCheckpointed(
+      s: SparkSession, dir: String): DataFrame =
+    signatures(s, dir).localCheckpoint()
+
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsFrom(minhashSignaturesCheckpointed(s, dir))
+
+  private def minhashPairsFrom(sig: DataFrame): DataFrame = {
     // the bucket key is the 8-byte shared hash of (band id | band
     // signature), not the ~40-char signature string: every downstream
     // exchange — the hot-bucket census, the bucket self-join, the
@@ -294,6 +303,53 @@ object DedupQueries {
         $bucketsSql
         SELECT doc_a, doc_b FROM pr
         ORDER BY doc_a, doc_b""")),
+
+    // ------------------- signature-agreement Jaccard estimate per pair
+    // The standard MinHash estimator: E[fraction of agreeing minhash
+    // values] = Jaccard(shingle sets). Scored per CANDIDATE pair from
+    // the signatures alone — the triage instrument that ranks LSH
+    // candidates without re-reading any text, which at corpus scale is
+    // the difference between a signature-table join and a second full
+    // text pass. The signature lookups are node-sized and take the
+    // gated broadcast hint; the per-hash comparison unpacks the band
+    // strings (bounded: NumHashes values per side).
+    "dedup_minhash_jaccard_est" -> QueryDef(
+      (s, dir) => {
+        val sig = minhashSignaturesCheckpointed(s, dir)
+        val bh = graft.operators.ConnectedComponents.hintIf(
+          Tables.documents(s, dir).count() <=
+            graft.operators.ConnectedComponents.BroadcastNodeLimit)
+        val aSide = sig.select(col("doc_id").as("doc_a") +:
+          (0 until NumBands).map(b => col(s"band$b").as(s"a_band$b")): _*)
+        val bSide = sig.select(col("doc_id").as("doc_b") +:
+          (0 until NumBands).map(b => col(s"band$b").as(s"b_band$b")): _*)
+        val nMatch = (0 until NumBands).map { b =>
+          size(filter(
+            zip_with(split(col(s"a_band$b"), "-"), split(col(s"b_band$b"), "-"),
+              (x, y) => when(x === y, lit(1)).otherwise(lit(null))),
+            x => x.isNotNull)).cast("long")
+        }.reduce(_ + _)
+        minhashPairsFrom(sig)
+          .join(bh(aSide), "doc_a")
+          .join(bh(bSide), "doc_b")
+          .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
+          .withColumn("jaccard_est",
+            col("n_match").cast("double") / lit(NumHashes.toDouble))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $signaturesSql,
+        $bucketsSql,
+        m AS (
+          SELECT p.doc_a, p.doc_b,
+            CAST(${(0 until NumHashes)
+              .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS BIGINT) AS n_match
+          FROM pr p
+          JOIN sig a ON a.doc_id = p.doc_a
+          JOIN sig b ON b.doc_id = p.doc_b)
+        SELECT doc_a, doc_b, n_match,
+          CAST(n_match AS DOUBLE) / $NumHashes AS jaccard_est
+        FROM m ORDER BY doc_a, doc_b""")),
 
     // ----------------------------- dedup quality gate (precision/recall)
     // The report that justifies the LSH approximation: MinHash candidate

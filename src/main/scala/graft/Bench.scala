@@ -155,6 +155,15 @@ object Bench {
       // interaction the r11 tree-anchored A/B chased. Blocking, and
       // BEFORE t0, so the removal never bleeds into the timed window
       // (the ScaleSmoke timeOp pattern).
+      //
+      // INVARIANT (load-bearing): every rep rebuilds its full plan from
+      // scratch through `fn` — no DataFrame, cache, or checkpoint is
+      // held across runOnce calls. Unpersisting a localCheckpointed RDD
+      // DESTROYS its data (lineage is truncated; there is no recompute
+      // path), so any future harness state that reuses a frame across
+      // reps would fail at a distance here. Keep reuse out of the bench
+      // loop, or scope this sweep to blocks registered since the
+      // previous rep.
       spark.sparkContext.getPersistentRDDs.values.foreach(
         _.unpersist(blocking = true))
       val t0 = System.nanoTime()

@@ -110,16 +110,21 @@ object IvmProfile {
                 "sign", IvmBuckets)(deltas, id)),
             () => {
               // staged cascade: jv1's advances commit WHILE jv2
-              // prepares from jv1's (pre-commit-derived) increment
-              val (inc1, commit1) = step("jv1-prepare")(
-                graft.streaming.StreamingJoinView.materializerSignedStaged(
+              // prepares from jv1's (pre-commit-derived) increment;
+              // the downstream handoff pre-computes jv2's left bucket
+              // set inside jv1's prepare so jv2 pays no probe job
+              val (inc1, jv2Left, commit1) = step("jv1-prepare")(
+                graft.streaming.StreamingJoinView.materializerSignedCascade(
                   spark, v1, Seq("event_type"), Seq("d_et"),
-                  Some("sign"), Some("s"), IvmBuckets)(deltas, d1, id))
+                  Some("sign"), Some("s"), IvmBuckets,
+                  downstream = Some((Seq("category"), IvmBuckets)))(
+                  deltas, d1, id))
               graft.operators.Concurrent.both(spark)(
                 step("jv1-commit")(commit1()),
                 step("jv2")(graft.streaming.StreamingJoinView
                   .materializerSigned(spark, v2, Seq("category"),
-                    Seq("cat2"), Some("__m"), Some("s"), IvmBuckets)(
+                    Seq("cat2"), Some("__m"), Some("s"), IvmBuckets,
+                    precomputedLeft = jv2Left)(
                     inc1, d2, id)))
             })
           val sec = (System.nanoTime() - t0) / 1e9

@@ -761,16 +761,21 @@ object ScaleSmoke {
               spark, ivmRoll, Seq("event_type"), Seq("v_sum" -> "value"),
               "sign", IvmBuckets)(deltas, id),
             () => {
-              val (inc1, commit1) = graft.streaming.StreamingJoinView
-                .materializerSignedStaged(spark, ivmV1, Seq("event_type"),
-                  Seq("d_et"), Some("sign"), Some("s"), IvmBuckets)(
+              // the downstream handoff pre-computes jv2's left bucket
+              // set inside jv1's prepare (materializing inc1's cache
+              // there), so jv2 pays no probe job on the serial path
+              val (inc1, jv2Left, commit1) = graft.streaming.StreamingJoinView
+                .materializerSignedCascade(spark, ivmV1, Seq("event_type"),
+                  Seq("d_et"), Some("sign"), Some("s"), IvmBuckets,
+                  downstream = Some((Seq("category"), IvmBuckets)))(
                   deltas, d1, id)
               graft.operators.Concurrent.both(spark)(
                 commit1(),
                 {
                   val inc2 = graft.streaming.StreamingJoinView
                     .materializerSigned(spark, ivmV2, Seq("category"),
-                      Seq("cat2"), Some("__m"), Some("s"), IvmBuckets)(
+                      Seq("cat2"), Some("__m"), Some("s"), IvmBuckets,
+                      precomputedLeft = jv2Left)(
                       inc1, d2, id)
                   if (id == 4) // the retraction rippled: negative rows
                     rippleNegRows = inc2.filter(col("__m") < 0).count()

@@ -453,7 +453,8 @@ object ExactlyOnce {
   def advanceStateBucketed(spark: SparkSession, stateDir: String,
       batchId: Long, batch: DataFrame, keyCol: String, numBuckets: Int,
       retain: Int = 2, clusterByBucket: Option[Boolean] = None,
-      knownTouched: Option[Set[Int]] = None)(
+      knownTouched: Option[Set[Int]] = None,
+      knownNarrow: Option[Boolean] = None)(
       empty: => DataFrame)(advance: DataFrame => DataFrame): Boolean = {
     require(numBuckets > 0, "numBuckets must be positive")
     require(retain >= 2, "retain must keep at least current + one grace" +
@@ -485,12 +486,23 @@ object ExactlyOnce {
     try {
       // collect_set, not distinct().collect(): the partial aggregate
       // collapses to <= numBuckets ints per task with no wide shuffle —
-      // a single tiny job instead of a two-stage exchange per advance
+      // a single tiny job instead of a two-stage exchange per advance.
+      // The same job also reads max(spark_partition_id()) — the cached
+      // batch's actual partition count, which the narrow-batch write
+      // gate below needs — so the own-probe path never has to finalize
+      // the plan through batch.rdd (which under AQE can execute
+      // upstream shuffle stages outside phase attribution).
+      var probedParts: Option[Int] = None
       val touched = knownTouched.getOrElse(
-        phaseTimed(spark, s"probe $stateDir")(
-          batch.select(bExpr.as("__bucket"))
-            .agg(collect_set(col("__bucket"))).head()
-            .getSeq[Int](0).toSet))
+        phaseTimed(spark, s"probe $stateDir") {
+          // partition id projected BEFORE the agg (a nondeterministic
+          // expression may not appear as an aggregate argument)
+          val r = batch.select(bExpr.as("__bucket"),
+              spark_partition_id().as("__pid"))
+            .agg(collect_set(col("__bucket")), max(col("__pid"))).head()
+          probedParts = Some(if (r.isNullAt(1)) 0 else r.getInt(1) + 1)
+          r.getSeq[Int](0).toSet
+        })
       val owners = ownersFromListing(fs, stateDir, ledgerSts)
       if (touched.nonEmpty) {
         val paths = touched.toSeq.sorted
@@ -531,14 +543,25 @@ object ExactlyOnce {
         // narrow batch upstream (r11 advice): a wide skewed batch whose
         // keys land in ≤ 4 buckets would otherwise fan out
         // (write tasks × buckets) fragments per epoch — readers
-        // tolerate it, but commit-listing cost balloons. The partition
-        // probe is cheap here: the touched-bucket probe job has already
-        // materialized `batch` into its persist, so `.rdd` resolves to
-        // the cached layout without recompute.
-        def narrowBatch: Boolean =
-          (try batch.rdd.getNumPartitions catch {
-            case _: Throwable => Int.MaxValue
-          }) <= 32
+        // tolerate it, but commit-listing cost balloons. Narrowness
+        // resolves in preference order: the own-probe's measured
+        // partition count (free — read in the same probe job), then
+        // the caller's `knownNarrow` declaration (knownTouched callers
+        // own their batch's cache and shape), then a last-resort
+        // `.rdd` probe — which under AQE finalizes the plan and can
+        // execute upstream stages, so it is phase-attributed, and a
+        // probe FAILURE is logged (distinct from "genuinely wide")
+        // before conservatively keeping the exchange.
+        def narrowBatch: Boolean = probedParts.map(_ <= 32)
+          .orElse(knownNarrow)
+          .getOrElse(phaseTimed(spark, s"narrow-probe $stateDir")(
+            try batch.rdd.getNumPartitions <= 32 catch {
+              case t: Throwable =>
+                println(s"[state] narrow-probe failed at $stateDir " +
+                  s"(${t.getClass.getSimpleName}: ${t.getMessage}); " +
+                  "keeping the bucket-clustering exchange")
+                false
+            }))
         val clustered = if (resolveClusterByBucket(spark, clusterByBucket)
             && (touched.size > 4 || !narrowBatch))
           next.repartition(math.min(numBuckets, touched.size),

@@ -84,6 +84,15 @@ import org.apache.spark.storage.StorageLevel
   */
 object PageRank {
 
+  /** Sentinel default for `broadcastNodeLimit`: "no explicit limit —
+    * resolve from `spark.graft.graph.broadcastNodeLimit`, falling back
+    * to [[ConnectedComponents.BroadcastNodeLimit]]". Negative so that
+    * EVERY real value a caller can pass — including passing the
+    * library default explicitly (a test pinning a regime) — is
+    * distinguishable from "unset" and wins over the session conf.
+    */
+  val UseSessionLimit: Long = -1L
+
   /** The iteration-invariant inputs, exposed so plan specs can assert
     * one round's physical shape: the cached edge table (hash(dst)
     * under the gate, co-partitioned+sorted on `src` past it — always
@@ -97,7 +106,7 @@ object PageRank {
     * the final result).
     */
   def prepare(nodes: DataFrame, edges: DataFrame,
-      broadcastNodeLimit: Long = ConnectedComponents.BroadcastNodeLimit,
+      broadcastNodeLimit: Long = UseSessionLimit,
       symmetric: Boolean = false, edgesTruncated: Boolean = false)
       : (DataFrame, DataFrame, DataFrame => DataFrame, Boolean,
         Option[DataFrame], DataFrame) = {
@@ -111,14 +120,16 @@ object PageRank {
       r
     }
     // session-conf override for the regime gate (A/B harness + cluster
-    // lever); an EXPLICIT limit argument — tests pinning a regime —
-    // still wins over the conf
+    // lever); an EXPLICIT limit argument — tests pinning a regime,
+    // INCLUDING one that explicitly passes the library default — wins
+    // over the conf (the sentinel, not a value comparison, encodes
+    // "unset")
     val gateLimit =
-      if (broadcastNodeLimit != ConnectedComponents.BroadcastNodeLimit)
-        broadcastNodeLimit
+      if (broadcastNodeLimit >= 0L) broadcastNodeLimit
       else nodes.sparkSession.conf
         .getOption("spark.graft.graph.broadcastNodeLimit")
-        .map(_.toLong).getOrElse(broadcastNodeLimit)
+        .map(_.toLong)
+        .getOrElse(ConnectedComponents.BroadcastNodeLimit)
     // the two prepare actions (object doc): materialize + truncate the
     // edge pipeline, then the node-sized degree table whose count is
     // the gate quantity — the rank-vector row count itself.
@@ -274,8 +285,7 @@ object PageRank {
     * Returns (`id`, `rank`) in rank-micros for every node.
     */
   def run(nodes: DataFrame, edges: DataFrame, rounds: Int = 10,
-      broadcastNodeLimit: Long =
-        ConnectedComponents.BroadcastNodeLimit,
+      broadcastNodeLimit: Long = UseSessionLimit,
       symmetric: Boolean = false,
       edgesTruncated: Boolean = false): DataFrame = {
     require(rounds >= 1, "pagerank needs at least one round")

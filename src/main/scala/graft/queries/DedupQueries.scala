@@ -138,13 +138,20 @@ object DedupQueries {
     // signature), not the ~40-char signature string: every downstream
     // exchange — the hot-bucket census, the bucket self-join, the
     // pair distinct — ships and compares one long per row (the same
-    // playbook as the gram-hash inverted index). The oracle buckets
-    // on the IDENTICAL hash, so the (astronomically rare) 32-bit
-    // bucket collision merges the same buckets in both engines and
-    // the hash gate stays bit-exact.
+    // playbook as the gram-hash inverted index). The key is the
+    // 63-BIT pack of two independent salted 31-poly hashes
+    // (QueryDef.uhash64): a 32-bit key's expected collisions are
+    // N²/2^33 — ≈ 1 already near 90 k (doc × band) keys and
+    // guaranteed merges in the millions, each of which either emits
+    // spurious pairs between docs sharing no band signature or pushes
+    // a merged census count over MinHashBucketCap so a genuine
+    // duplicate bucket gets dropped. The 63-bit pack keeps the
+    // expectation below one collision out to ~4 B keys. The oracle
+    // buckets on the IDENTICAL pack, so the hash gate stays
+    // bit-exact either way.
     val buckets = sig.select(col("doc_id"),
       explode(array((0 until NumBands).map(b =>
-        uhash(concat(lit(s"$b|"), col(s"band$b")))): _*)).as("sigh"))
+        QueryDef.uhash64(concat(lit(s"$b|"), col(s"band$b")))): _*)).as("sigh"))
     val hot = buckets.groupBy(col("sigh"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > MinHashBucketCap)
@@ -234,7 +241,7 @@ object DedupQueries {
     s"""bx AS (
           ${(0 until NumBands)
             .map(b =>
-              s"SELECT doc_id, ${uhashSql(s"'$b|' || band$b")} AS sigh FROM bands")
+              s"SELECT doc_id, ${QueryDef.uhash64Sql(s"'$b|' || band$b")} AS sigh FROM bands")
             .mkString(" UNION ALL ")}),
         bc AS (SELECT sigh FROM bx GROUP BY sigh
           HAVING COUNT(*) <= $MinHashBucketCap),
@@ -316,9 +323,15 @@ object DedupQueries {
     "dedup_minhash_jaccard_est" -> QueryDef(
       (s, dir) => {
         val sig = minhashSignaturesCheckpointed(s, dir)
+        // gate at LIMIT/8, not the full 50M-row ceiling: that ceiling is
+        // calibrated for narrow (id)/(id, rank) build sides, while a
+        // signature row carries doc_id + 4 band strings (~50-60 B) — a
+        // forced broadcast near the full gate would blow Spark's 8 GB
+        // broadcast hard cap and fail the job rather than fall back
+        // (the triangle-close pair broadcast uses the same derating)
         val bh = graft.operators.ConnectedComponents.hintIf(
           Tables.documents(s, dir).count() <=
-            graft.operators.ConnectedComponents.BroadcastNodeLimit)
+            graft.operators.ConnectedComponents.BroadcastNodeLimit / 8)
         val aSide = sig.select(col("doc_id").as("doc_a") +:
           (0 until NumBands).map(b => col(s"band$b").as(s"a_band$b")): _*)
         val bSide = sig.select(col("doc_id").as("doc_b") +:

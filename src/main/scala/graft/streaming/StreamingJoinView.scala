@@ -113,14 +113,17 @@ object StreamingJoinView {
     */
   private def advanceSide(spark: SparkSession, dir: String, p: DataFrame,
       batchId: Long, numBuckets: Int, retain: Int,
-      touched: Set[Int]): Unit = {
+      touched: Set[Int], narrow: Option[Boolean]): Unit = {
     val valueCols = p.columns.toSeq.filterNot(Set("__m", "__e"))
-    // `touched` was probed once by the materializer (p is persisted
-    // there) and is shared with the increment read — the advance skips
-    // its own probe job and persist
+    // `touched` was probed once by the materializer (from the side's
+    // RAW batch keys) and is shared with the increment read — the
+    // advance skips its own probe job and persist; `narrow` carries
+    // the raw batch's measured row bound so the advance never has to
+    // finalize p's plan through .rdd
     ExactlyOnce.advanceStateBucketed(spark, dir, batchId, p,
       "__jkey", numBuckets, retain,
-      knownTouched = Some(touched))(emptyLike(spark, p)) { current =>
+      knownTouched = Some(touched),
+      knownNarrow = narrow)(emptyLike(spark, p)) { current =>
       current
         .groupBy(valueCols.map(col): _*)
         .agg(sum(col("__m")).as("__m"), max(col("__e")).as("__e"))
@@ -170,11 +173,12 @@ object StreamingJoinView {
   def materializerSigned(spark: SparkSession, root: String,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftSign: Option[String], rightSign: Option[String],
-      numBuckets: Int = DefaultBuckets, retain: Int = 2)(
+      numBuckets: Int = DefaultBuckets, retain: Int = 2,
+      precomputedLeft: Option[(Set[Int], Long)] = None)(
       leftBatch: DataFrame, rightBatch: DataFrame, batchId: Long): DataFrame = {
-    val (inc, commit) = materializerSignedStaged(spark, root, leftKeys,
-      rightKeys, leftSign, rightSign, numBuckets, retain)(
-      leftBatch, rightBatch, batchId)
+    val (inc, _, commit) = materializerSignedCascade(spark, root, leftKeys,
+      rightKeys, leftSign, rightSign, numBuckets, retain,
+      precomputedLeft = precomputedLeft)(leftBatch, rightBatch, batchId)
     commit()
     inc
   }
@@ -200,6 +204,45 @@ object StreamingJoinView {
       numBuckets: Int = DefaultBuckets, retain: Int = 2)(
       leftBatch: DataFrame, rightBatch: DataFrame,
       batchId: Long): (DataFrame, () => Unit) = {
+    val (inc, _, commit) = materializerSignedCascade(spark, root,
+      leftKeys, rightKeys, leftSign, rightSign, numBuckets, retain)(
+      leftBatch, rightBatch, batchId)
+    (inc, commit)
+  }
+
+  /** [[materializerSignedStaged]] with the two CASCADE handoffs that
+    * take the downstream stage's probe job off the chained pipeline's
+    * critical path (r10–r12 verdicts: the steady-epoch floor of every
+    * durable materialized view is this serial probe chain):
+    *
+    *   - `downstream = Some((keys, buckets))`: prepare runs ONE extra
+    *     tiny aggregate over the increment — which also materializes
+    *     the increment's cache, so the commit-side view advance and
+    *     every downstream consumer read it warm — and returns the
+    *     increment's touched-bucket set under the NEXT stage's join
+    *     key and fan-out, plus its row count.
+    *   - `precomputedLeft = Some((buckets, rows))`: this stage was
+    *     handed that set by its upstream and skips its own left-side
+    *     probe job entirely. The set is a SUPERSET of the left
+    *     partials' buckets (partials can only drop net-zero tuples),
+    *     which the state protocol tolerates by construction; `rows`
+    *     bounds the partials' size for the narrow-write gate. The
+    *     caller must pass the SAME numBuckets the upstream computed
+    *     the set with (the bucket pin fails loudly on drift).
+    *
+    * A K-stage cascade then pays ONE probe job (stage 1's raw batch)
+    * plus K−1 increment-materializing aggregates on its serial path,
+    * instead of K probe jobs that each re-derive the previous stage's
+    * partials shuffle.
+    */
+  def materializerSignedCascade(spark: SparkSession, root: String,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftSign: Option[String], rightSign: Option[String],
+      numBuckets: Int = DefaultBuckets, retain: Int = 2,
+      downstream: Option[(Seq[String], Int)] = None,
+      precomputedLeft: Option[(Set[Int], Long)] = None)(
+      leftBatch: DataFrame, rightBatch: DataFrame,
+      batchId: Long): (DataFrame, Option[(Set[Int], Long)], () => Unit) = {
     val lVals = leftBatch.columns.toSet -- leftSign
     val rVals = rightBatch.columns.toSet -- rightSign
     val clash = lVals & rVals
@@ -221,25 +264,46 @@ object StreamingJoinView {
     try {
       // ONE probe per side (collect_set: a partial-aggregate job with
       // no wide exchange), shared by that side's advance AND the
-      // increment read below. A side whose batch is a statically
-      // empty LocalRelation (a cascade's quiet dimension feed — most
-      // steady epochs) resolves to ∅ on the driver: spending a whole
-      // Spark job to learn an empty frame's bucket set was pure
-      // fixed cost on the chained pipeline's critical path.
-      val bexpr = ExactlyOnce.bucketOf("__jkey", numBuckets).as("__b")
+      // increment read below. The probe runs over the RAW batch's key
+      // tuples, not the partials frame: the partials aggregate can
+      // only DROP buckets (a value-tuple netting to zero), never add
+      // one, so the raw set is a tolerated superset — and skipping
+      // the partials' groupBy shuffle takes one whole AQE exchange
+      // round off the epoch's serial path. The same job counts the
+      // raw rows (an upper bound on the partials' size) for the
+      // advance's narrow-write gate. A side whose batch is a
+      // statically empty LocalRelation (a cascade's quiet dimension
+      // feed — most steady epochs) resolves to ∅ on the driver:
+      // spending a whole Spark job to learn an empty frame's bucket
+      // set was pure fixed cost on the chained pipeline's critical
+      // path.
       def staticallyEmpty(df: DataFrame): Boolean =
         df.queryExecution.optimizedPlan match {
           case l: org.apache.spark.sql.catalyst.plans.logical
             .LocalRelation => l.data.isEmpty
           case _ => false
         }
-      def bucketsOf(batch: DataFrame, p: DataFrame): Set[Int] =
-        if (staticallyEmpty(batch)) Set.empty[Int]
-        else p.select(bexpr).agg(collect_set(col("__b"))).head()
-          .getSeq[Int](0).toSet
-      val (bL, bR) = graft.operators.Concurrent.both(spark)(
-        bucketsOf(leftBatch, pL), bucketsOf(rightBatch, pR))
+      def rawBuckets(batch: DataFrame, keys: Seq[String]): (Set[Int], Long) =
+        if (staticallyEmpty(batch)) (Set.empty[Int], 0L)
+        else {
+          val r = batch
+            .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+            .select(packKey(keys).as("__jkey"))
+            .select(ExactlyOnce.bucketOf("__jkey", numBuckets).as("__b"))
+            .agg(collect_set(col("__b")), count(lit(1))).head()
+          (r.getSeq[Int](0).toSet, r.getLong(1))
+        }
+      val ((bL, nL), (bR, nR)) = precomputedLeft match {
+        case Some(pre) => (pre, rawBuckets(rightBatch, rightKeys))
+        case None => graft.operators.Concurrent.both(spark)(
+          rawBuckets(leftBatch, leftKeys), rawBuckets(rightBatch, rightKeys))
+      }
       val touched = bL ++ bR
+      // a raw batch of ≤ 4k rows aggregates to partials AQE coalesces
+      // to a handful of partitions — safe to write exchange-free; a
+      // larger one keeps the bucket-clustering exchange (it is worth
+      // its stage at that size anyway)
+      def narrowOf(n: Long): Option[Boolean] = Some(n <= 4096L)
 
       // the increment reads PRE-commit state
       // ([[ExactlyOnce.stateBucketsBefore]] — versions strictly below
@@ -289,6 +353,25 @@ object StreamingJoinView {
         c
       }
 
+      // the cascade handoff: one tiny aggregate derives the
+      // increment's touched buckets under the DOWNSTREAM stage's key
+      // and fan-out plus its row count — and, as the first action on
+      // the persisted increment, materializes its cache, so the
+      // commit-side view advance and the downstream stage both read
+      // it warm instead of re-deriving the increment joins
+      val downstreamBuckets: Option[(Set[Int], Long)] =
+        downstream.map { case (dKeys, dBuckets) =>
+          if (touched.isEmpty) (Set.empty[Int], 0L)
+          else {
+            val r = inc
+              .filter(dKeys.map(col(_).isNotNull).reduce(_ && _))
+              .select(StateKeys.packKey(dKeys).as("__dk"))
+              .select(ExactlyOnce.bucketOf("__dk", dBuckets).as("__b"))
+              .agg(collect_set(col("__b")), count(lit(1))).head()
+            (r.getSeq[Int](0).toSet, r.getLong(1))
+          }
+        }
+
       // three independent states, one fork/join inside commit().
       // `touched` is a superset of the increment's buckets (inc keys
       // come from side rows in those buckets), so the view advance
@@ -299,12 +382,23 @@ object StreamingJoinView {
         try {
           graft.operators.Concurrent.all[Any](spark)(
             () => advanceSide(spark, s"$root/left", pL, batchId,
-              numBuckets, retain, bL),
+              numBuckets, retain, bL, narrowOf(nL)),
             () => advanceSide(spark, s"$root/right", pR, batchId,
-              numBuckets, retain, bR),
+              numBuckets, retain, bR, narrowOf(nR)),
             () => ExactlyOnce.advanceStateBucketed(spark, s"$root/view",
               batchId, inc, "__jkey", numBuckets, retain,
-              knownTouched = Some(touched))(emptyLike(spark, inc)) { current =>
+              knownTouched = Some(touched),
+              // always narrow: unlike the side advances (whose batch
+              // partitions pass through the union straight to the
+              // write), the view merge below routes EVERYTHING through
+              // its groupBy exchange, so AQE sizes the write tasks to
+              // the merged data no matter how wide inc's cached layout
+              // is — fragment fan-out is bounded by (size-coalesced
+              // tasks × ≤4 buckets) with or without the clustering
+              // exchange, and the .rdd fallback probe would finalize
+              // inc's join plan on the epoch's critical path
+              knownNarrow = Some(true))(
+              emptyLike(spark, inc)) { current =>
               current.unionByName(inc)
                 .groupBy(inc.columns.filterNot(_ == "__m").map(col)
                   .toSeq: _*)
@@ -314,7 +408,7 @@ object StreamingJoinView {
             })
           ()
         } finally release()
-      (inc.drop("__jkey"), commit)
+      (inc.drop("__jkey"), downstreamBuckets, commit)
     } catch { case e: Throwable => release(); throw e }
   }
 

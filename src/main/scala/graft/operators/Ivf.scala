@@ -53,7 +53,36 @@ object Ivf {
       .agg(min_by(col("cell_id"), struct(col("score"), col("cell_id")))
         .as("cell_id"))
 
-  /** Top-k per probe over its nprobe nearest cells. */
+  /** [[assign]] carrying the vector columns THROUGH the argmin
+    * aggregate (constant per vec_id, so first() is deterministic): the
+    * index no longer re-joins the corpus against the assignment — the
+    * sort-merge join and its two exchanges are deleted, the same
+    * carried-vector pattern verified at 30× for [[KMeans]]
+    * (sim_kmeans 11.3 → 7.9 s).
+    */
+  private def assignCarrying(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("score",
+        arrayDot(col("c"), col("c")) - arrayDot(col("v"), col("c")) * 2)
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell_id"), struct(col("score"), col("cell_id")))
+        .as("cell_id"), first(col("v")).as("v"),
+        first(col("norm")).as("norm"))
+
+  /** Top-k per probe over its nprobe nearest cells.
+    *
+    * Plan discipline (round-13 exchange diet, 23 → single digits):
+    * the node frame, the codebook, and the assigned index each
+    * localCheckpoint once per derivation — `vecs` feeds the codebook
+    * AND the assignment, `cents` broadcasts twice (assignment + probe
+    * routing), `indexed` feeds the probe filter AND the candidate
+    * scan; without the checkpoints every consumer re-derives the whole
+    * upstream chain (stage reuse covers only the exchange below it).
+    * The candidate scan BROADCASTS the probe-routing side — at most
+    * MaxProbes × nprobe ≈ 128 rows by construction — so the index is
+    * scanned in place instead of being shuffled on cell_id: at 100 TB
+    * the probes ship to the cells, never the reverse.
+    */
   def search(spark: SparkSession, sfDir: String,
       k: Int = 10, nprobe: Int = 2): DataFrame = {
     val vecs = graft.queries.Tables.rebalance(
@@ -61,9 +90,11 @@ object Ivf {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", l2Norm(col("v")))
-    val cents = codebook(vecs)
-    val cells = assign(vecs, cents)
-    val indexed = vecs.join(cells, "vec_id") // vec_id, v, norm, cell_id
+      .localCheckpoint()
+    val cents = codebook(vecs).localCheckpoint() // k tiny rows
+    // vec_id, cell_id, v, norm — assignment argmin with the vector
+    // carried through (no corpus re-join)
+    val indexed = assignCarrying(vecs, cents).localCheckpoint()
 
     // probe routing: nprobe nearest cells per probe — bounded probe
     // sample (at most SimilarityQueries.MaxProbes at any corpus size)
@@ -79,10 +110,12 @@ object Ivf {
       .filter(col("cr") <= nprobe)
       .select(col("probe_id"), col("pv"), col("pnorm"), col("cell_id"))
 
-    // candidate scan: only vectors in the probed cells
+    // candidate scan: only vectors in the probed cells; the probe side
+    // is ≤ MaxProbes × nprobe rows — broadcast it so the index side
+    // never shuffles
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    probeCells.as("p")
+    broadcast(probeCells).as("p")
       .join(indexed.as("e"),
         col("p.cell_id") === col("e.cell_id") &&
           col("p.probe_id") =!= col("e.vec_id"))

@@ -74,6 +74,13 @@ object ScaleSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session derivation cache ON (the long-lived-session deployment
+    // shape): the LSH signature/pair derivation — shared verbatim by
+    // the whole dedup/graph family — is built ONCE, timed as its own
+    // `lsh_derivation` entry below, and every family op's time is its
+    // post-derivation cost. The cold whole-pipeline number is
+    // lsh_derivation + op.
+    spark.conf.set("spark.graft.dedup.derivationCache", "true")
     val dir = "/tmp/graft_scale"
 
     // ---- build the 30x tables (shifted ids keep keys unique) ----
@@ -155,9 +162,14 @@ object ScaleSmoke {
         // localCheckpoint per iteration): accumulated storage-memory
         // pressure made late iterative ops swing 2x between captures.
         // Blocking, so the removal work itself finishes BEFORE t0
-        // instead of bleeding into the timed window
-        spark.sparkContext.getPersistentRDDs.values.foreach(
-          _.unpersist(blocking = true))
+        // instead of bleeding into the timed window. The session
+        // derivation cache's own blocks are EXEMPT — destroying them
+        // would silently re-time the shared derivation inside whichever
+        // family op runs next.
+        val keep = queries.DedupQueries.memoOwnedRddIds(spark)
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => keep(id) }
+          .values.foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         val d = df
         d.write.format("noop").mode("overwrite").save()
@@ -176,6 +188,12 @@ object ScaleSmoke {
     timeOp("evt_sessionize")(SparkEntry.queries("evt_sessionize")(spark, dir))
     timeOp("cdc_scd2_history")(
       SparkEntry.queries("cdc_scd2_history")(spark, dir))
+    // the shared LSH derivation, cold, accounted ONCE (r12 verdict
+    // item 2): signatures -> bucket census -> candidate pairs,
+    // materialized into the session derivation cache; the noop pass
+    // scans the checkpointed result
+    timeOp("lsh_derivation")(
+      queries.DedupQueries.minhashPairsCheckpointed(spark, dir))
     ops.foreach(q => timeOp(q)(SparkEntry.queries(q)(spark, dir)))
 
     // ---- quality gates at 30x ----
@@ -894,7 +912,7 @@ object ScaleSmoke {
           .mkString("[", ",", "]")},"strata":$gkGroups,"reservoir_rows":$rsRows,"state_bound_pass":$sketchPass},"novelty":{"buckets":64,"epochs":${nvEpochs
           .mkString("[", ",", "]")},"steady_epoch_sec_max":${math.round(nvSteadySecMax * 1000) / 1000.0},"parity_pass":$nvParity},"cdc_ivm_e2e":{"buckets":$IvmBuckets,"epochs":${ivmEpochs
           .mkString("[", ",", "]")},"replica_live_rows":$repGot,"replica_batch_restatement":$repWant,"rollup_groups":${rollGot.size},"rollup_parity":${rollGot == rollWant},"cascade_mass":$cascadeGot,"cascade_batch_restatement":$cascadeWant,"ripple_neg_rows":$rippleNegRows,"ripple_epoch_sec_max":${math.round(ivmRippleSecMax * 1000) / 1000.0},"steady_overhead_sec":${math.round(ivmSteadyOverheadSec * 1000) / 1000.0},"parity_pass":$ivmPass}},"failed":${failed
-          .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"single timed noop-sink pass per op (cold plans; 30x scale: 90% of texts cloned 30x, 10% stratum singleton + one-token near-dup variant), untimed count for cardinality"}"""
+          .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"single timed noop-sink pass per op (cold plans; 30x scale: 90% of texts cloned 30x, 10% stratum singleton + one-token near-dup variant), untimed count for cardinality; session derivation cache ON: the shared LSH signature/pair derivation is timed once as lsh_derivation and every dedup/graph family op's entry is its post-derivation cost (cold whole-pipeline = lsh_derivation + op)"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[scale] wrote $outPath")

@@ -128,10 +128,82 @@ object DedupQueries {
     */
   private def minhashSignaturesCheckpointed(
       s: SparkSession, dir: String): DataFrame =
-    signatures(s, dir).localCheckpoint()
+    memoized(s, dir, "sigs")(signatures(s, dir).localCheckpoint())
 
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    minhashPairsFrom(minhashSignaturesCheckpointed(s, dir))
+    if (derivationCacheOn(s)) minhashPairsCheckpointed(s, dir)
+    else minhashPairsFrom(minhashSignaturesCheckpointed(s, dir))
+
+  /** The pair frame, rebalanced + materialized once: the graph
+    * operators (pagerank, triangles) consume it several times in-plan,
+    * and with the derivation cache on it is THE shared artifact every
+    * LSH-family query starts from. The rebalance runs BEFORE the
+    * checkpoint so AQE cannot coalesce the leaf to 1–2 partitions
+    * (the round-12 degree-job lesson).
+    */
+  def minhashPairsCheckpointed(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "pairs")(Tables.rebalance(
+      minhashPairsFrom(minhashSignaturesCheckpointed(s, dir)))
+      .localCheckpoint())
+
+  // --------------------------------------------------------------------
+  // Session-scoped LSH derivation cache — OFF by default.
+  //
+  // A long-lived analytics session (the ScaleSmoke harness; a real
+  // cluster deployment running the dedup/graph family back-to-back)
+  // derives the SAME minhash signatures and candidate pairs for every
+  // family member: pairs, clusters (both algorithms), canonical
+  // selection, cluster sizes, pagerank, triangles, the quality report.
+  // With `spark.graft.dedup.derivationCache=true` the checkpointed
+  // signature/pair frames are memoized per (session, sfDir) and the
+  // derivation cost is paid ONCE per session; every consumer's declared
+  // plan starts from the shared LogicalRDD leaf. Content is fully
+  // deterministic (integer minhash, deterministic bucket cap), so a
+  // memo hit can never change a result — only skip recompute.
+  //
+  // The default is OFF so the per-query harnesses (Verify, Bench, the
+  // plan census) keep timing and planning every query standalone.
+  //
+  // Memo validity: a hit probes the cached frame with a 1-row action —
+  // a localCheckpointed RDD whose blocks were unpersisted (e.g. by a
+  // harness storage sweep) fails that probe deterministically ("missing
+  // checkpoint block") and the entry rebuilds. The persisted RDD ids
+  // backing each entry are exposed via [[memoOwnedRddIds]] so sweeps
+  // can exempt them.
+  private case class DerivationMemo(df: DataFrame, rddIds: Set[Int])
+  private val derivationMemos =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DerivationMemo]()
+
+  def derivationCacheOn(s: SparkSession): Boolean =
+    s.conf.get("spark.graft.dedup.derivationCache", "false").toBoolean
+
+  /** Persisted RDD ids owned by live memo entries of this session —
+    * storage sweeps (ScaleSmoke's per-op unpersist) must skip these.
+    */
+  def memoOwnedRddIds(s: SparkSession): Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    derivationMemos.asScala.collect {
+      case ((ss, _, _), m) if ss eq s => m.rddIds
+    }.flatten.toSet
+  }
+
+  private def memoized(s: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame = {
+    if (!derivationCacheOn(s)) return build
+    val k = (s, dir, key)
+    val hit = Option(derivationMemos.get(k)).filter { m =>
+      try { m.df.limit(1).collect(); true }
+      catch { case _: Throwable => derivationMemos.remove(k); false }
+    }
+    hit.map(_.df).getOrElse {
+      val before = s.sparkContext.getPersistentRDDs.keySet.toSet
+      val df = build
+      val ids = s.sparkContext.getPersistentRDDs.keySet.toSet.diff(before)
+      derivationMemos.put(k, DerivationMemo(df, ids))
+      df
+    }
+  }
 
   private def minhashPairsFrom(sig: DataFrame): DataFrame = {
     // the bucket key is the 8-byte shared hash of (band id | band
@@ -342,7 +414,13 @@ object DedupQueries {
               (x, y) => when(x === y, lit(1)).otherwise(lit(null))),
             x => x.isNotNull)).cast("long")
         }.reduce(_ + _)
-        minhashPairsFrom(sig)
+        // cache off: derive pairs from the SAME sig leaf the lookup
+        // sides use (one checkpoint in-plan); cache on: the shared
+        // checkpointed pair frame
+        val pairs =
+          if (derivationCacheOn(s)) minhashPairsCheckpointed(s, dir)
+          else minhashPairsFrom(sig)
+        pairs
           .join(bh(aSide), "doc_a")
           .join(bh(bSide), "doc_b")
           .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
@@ -483,17 +561,17 @@ object DedupQueries {
       (s, dir) => {
         val nodes = Tables.documents(s, dir)
           .select(col("doc_id").as("id"))
-        // checkpoint the DIRECTED pair set (a < b), then symmetrize
-        // from the leaf: the expensive LSH derivation materializes
-        // once at HALF the row count the symmetrized union would
-        // write, and the union over two leaf scans is nearly free.
-        // `edgesTruncated = true` tells the operator the plan is
-        // already leaf-cheap so it must not re-checkpoint it (that
-        // double materialization measured ~6 s slower at 30x when
-        // both checkpoints ran).
-        val half = Tables.rebalance(minhashPairs(s, dir)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-          .localCheckpoint()
+        // the DIRECTED pair set (a < b) comes from the shared
+        // checkpointed derivation (memoized under the session
+        // derivation cache), then symmetrizes from the leaf: the
+        // expensive LSH derivation materializes once at HALF the row
+        // count the symmetrized union would write, and the union over
+        // two leaf scans is nearly free. `edgesTruncated = true` tells
+        // the operator the plan is already leaf-cheap so it must not
+        // re-checkpoint it (that double materialization measured ~6 s
+        // slower at 30x when both checkpoints ran).
+        val half = minhashPairsCheckpointed(s, dir)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         // symmetrize by in-row explode, not union-of-leaf: a union
         // scans the checkpointed leaf once per branch (2x the task
         // count in the degree job and the cache fill); the explode
@@ -548,12 +626,13 @@ object DedupQueries {
     // plain a<b<c form and the hash check pins equality.
     "graph_triangles" -> QueryDef(
       (s, dir) => {
-        // one minhashPairs instance, reused 3× in-plan: localCheckpoint
-        // both truncates the re-executed lineage and keeps its observed
-        // metric single-instanced (the pagerank pattern)
-        val pairs = minhashPairs(s, dir)
+        // one checkpointed pair instance (the shared derivation),
+        // reused 3× in-plan: the truncation both kills the re-executed
+        // lineage and keeps the observed metric single-instanced (the
+        // pagerank pattern); rebalanced at the leaf so the degree job
+        // is not AQE-coalesced to 1–2 partitions
+        val pairs = minhashPairsCheckpointed(s, dir)
           .select(col("doc_a").as("a"), col("doc_b").as("b"))
-          .localCheckpoint()
         val deg = pairs.select(explode(array(col("a"), col("b"))).as("id"))
           .groupBy(col("id")).agg(count(lit(1)).as("dg"))
         val lowFirst = col("da") < col("db") ||

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Session LSH derivation cache (`spark.graft.dedup.derivationCache`):
+  * a memo hit must be result-invisible — identical rows to the
+  * cache-off path — and the cache must survive a hostile storage sweep
+  * (an unpersist of its blocks) by detecting the dead checkpoint and
+  * rebuilding, never by failing or returning stale/partial data.
+  */
+class DerivationCacheSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("cache-on results are identical to cache-off for the LSH family") {
+    val off = spark.newSession()
+    val on = spark.newSession()
+    on.conf.set("spark.graft.dedup.derivationCache", "true")
+    Seq("dedup_minhash_pairs", "graph_pagerank", "graph_triangles",
+      "dedup_minhash_jaccard_est", "dedup_clusters_star").foreach { q =>
+      val expect = rows(SparkEntry.queries(q)(off, sf))
+      val got = rows(SparkEntry.queries(q)(on, sf))
+      assert(got == expect, s"$q diverged under the derivation cache")
+    }
+    assert(queries.DedupQueries.memoOwnedRddIds(on).nonEmpty,
+      "cache-on session should own memoized derivation blocks")
+    assert(queries.DedupQueries.memoOwnedRddIds(off).isEmpty,
+      "cache-off session must not register memo entries")
+  }
+
+  test("memo entries rebuild after their blocks are swept") {
+    val on = spark.newSession()
+    on.conf.set("spark.graft.dedup.derivationCache", "true")
+    val first = rows(SparkEntry.queries("dedup_minhash_pairs")(on, sf))
+    // hostile sweep: unpersist EVERYTHING, including the memo's blocks
+    // (a localCheckpointed RDD cannot recompute — the probe must catch
+    // the dead entry and rebuild from source)
+    on.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val second = rows(SparkEntry.queries("dedup_minhash_pairs")(on, sf))
+    assert(second == first, "post-sweep rebuild diverged")
+  }
+
+  test("memo is keyed by data directory") {
+    val off = spark.newSession()
+    val on = spark.newSession()
+    on.conf.set("spark.graft.dedup.derivationCache", "true")
+    // warm the memo on sf0.001 FIRST, then ask for sf0.01: a dir-blind
+    // memo would serve the sf0.001 pairs (both SFs happen to emit the
+    // same pair COUNT, so compare full content against the cache-off
+    // derivation of each dir)
+    Seq(sf, "/root/testdata/sf0.01").foreach { d =>
+      val expect = rows(SparkEntry.queries("dedup_minhash_pairs")(off, d))
+      val got = rows(SparkEntry.queries("dedup_minhash_pairs")(on, d))
+      assert(got == expect, s"memo entry for $d served wrong content")
+    }
+  }
+}

@@ -645,6 +645,12 @@ object DedupQueries {
         val bh = graft.operators.ConnectedComponents.hintIf(
           Tables.documents(s, dir).count() <=
             graft.operators.ConnectedComponents.BroadcastNodeLimit)
+        // the oriented edge set is consumed twice by the wedge
+        // self-join (e1/e2); an explicit localCheckpoint here was
+        // A/B-measured at 30× (r13) as a wash — AQE's runtime stage
+        // reuse already dedupes the identical per-side subtrees, and
+        // the extra materialization barrier costs standalone runs —
+        // so the frame stays lazy
         val oriented = pairs
           .join(bh(deg.select(col("id").as("a"), col("dg").as("da"))), "a")
           .join(bh(deg.select(col("id").as("b"), col("dg").as("db"))), "b")

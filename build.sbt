@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked run output straight through to stdout instead of routing
+// it through sbt's logger: the logger prefixes every line with
+// "[info] ", which breaks line-oriented JSON harvesters reading the
+// Bench/ScaleSmoke single-line artifacts off stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

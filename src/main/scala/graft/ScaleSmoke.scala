@@ -39,7 +39,7 @@ object ScaleSmoke {
     "txt_decontaminate", "txt_boilerplate", "samp_domain_mix",
     "samp_stratified", "samp_weighted", "pack_sequences",
     "pipe_curate_e2e", "emb_quantize_int8", "emb_pq_codes",
-    "sim_knn_lsh", "sim_kmeans", "dedup_semantic", "emb_whiten",
+    "sim_knn_lsh", "sim_knn_ivf", "sim_kmeans", "dedup_semantic", "emb_whiten",
     "txt_tokenize_vocab", "docs_chunk_overlap", "rel_global_ids",
     "rel_band_join_bucketed", "dedup_incremental", "emb_outlier",
     "samp_epoch_mix", "mm_shard_manifest", "evt_ab_lift",

@@ -29,7 +29,8 @@ object IvmProfile {
     val eventsSrc = args.lift(1)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // let AQE coalesce CACHED plans too: the chained pipeline persists
       // its per-epoch partials, and without this the persist freezes the
       // full shuffle width — every downstream probe/write job of an
@@ -43,7 +44,11 @@ object IvmProfile {
     implicit val ss: SparkSession = spark
     import spark.implicits._
 
-    val IvmBuckets = 64
+    // bucket count is the data-term lever: a steady epoch reads and
+    // rewrites touched_buckets x (state_mass / buckets) rows, so the
+    // count must be sized to the state mass (args(2); the 30x profile
+    // at 64 buckets showed the replica write dominating the floor)
+    val IvmBuckets = args.lift(2).map(_.toInt).getOrElse(64)
     val dir = "/tmp/graft_ivmprof"
     val feed = s"$dir/feed"
     val rep = s"$dir/replica"
@@ -151,6 +156,53 @@ object IvmProfile {
     println(f"[ivm-profile] steady epochs: ${steady.size}, avg " +
       f"$steadyAvg%.2f s — that average is the chained pipeline's fixed " +
       "per-epoch overhead (8-row deltas; compute ~zero)")
+
+    // SPARK_GRAFT_IVM_DIAG=1: decompose one state write's cost into its
+    // raw I/O floor — bare read of the replica's last-epoch touched
+    // slice, bare read+rewrite of it — vs the protocol's full write
+    // (read + merge agg + clustered write + commit). Separates "parquet
+    // at this volume costs X" from "the advance plan costs Y on top".
+    if (sys.env.get("SPARK_GRAFT_IVM_DIAG").contains("1")) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(rep), spark.sparkContext.hadoopConfiguration)
+      val epochs = fs.listStatus(new org.apache.hadoop.fs.Path(rep))
+        .map(_.getPath.getName).filter(_.startsWith("state-"))
+        .map(_.stripPrefix("state-").toLong).sorted
+      val last = epochs.last
+      val slice = s"$rep/state-$last"
+      def t(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        f
+        println(f"[ivm-diag] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      val df = spark.read.parquet(slice)
+      println(s"[ivm-diag] slice $slice rows=${df.count()}")
+      (1 to 2).foreach { r =>
+        t(s"bare read+noop rep $r")(
+          spark.read.parquet(slice).write.format("noop")
+            .mode("overwrite").save())
+        t(s"bare read+parquet-rewrite rep $r")(
+          spark.read.parquet(slice).write.mode("overwrite")
+            .parquet(s"/tmp/graft_ivmprof/diag_rewrite"))
+        // the fused advance plan alone (merge agg, no parquet sink)
+        val merged = spark.read.parquet(slice).drop("__bucket")
+          .withColumn("__bucket",
+            graft.operators.ExactlyOnce.bucketOf("partitionKey", IvmBuckets))
+          .repartition(8, col("__bucket"))
+          .groupBy(col("__bucket"), col("partitionKey"))
+          .agg(max_by(
+            struct(col("after"), col("ts_ms"), col("pos"), col("deleted")),
+            struct(col("ts_ms"), col("pos"))).as("__w"))
+          .select(col("partitionKey"), col("__w.after").as("after"),
+            col("__w.ts_ms").as("ts_ms"), col("__w.pos").as("pos"),
+            col("__w.deleted").as("deleted"), col("__bucket"))
+        t(s"advance-agg+noop rep $r")(
+          merged.write.format("noop").mode("overwrite").save())
+        t(s"advance-agg+partitioned-write rep $r")(
+          merged.write.mode("overwrite").partitionBy("__bucket")
+            .parquet(s"/tmp/graft_ivmprof/diag_state"))
+      }
+    }
     spark.stop()
   }
 }

@@ -262,6 +262,12 @@ object ScaleSmoke {
     println(s"[scale] jaccard-truth report at 30x: n_true=$nTrue " +
       s"precision=${dqInfo._1} recall=${dqInfo._2} pass=$jqPass")
 
+    // the LSH family and its gates are done — return the derivation
+    // cache's storage before the materializer sections: the steady
+    // IVM epochs are tiny-stage scheduling-bound, the regime where
+    // accumulated storage blocks measurably inflate wall time
+    queries.DedupQueries.clearDerivationMemos(spark)
+
     // ---- durable materializers at 30x: per-epoch write volume ----
     // (round-6 verdict item 5) Executable evidence that the fenced
     // state protocols write O(touched), not O(history), at scale:

@@ -299,8 +299,47 @@ object CdcApply {
       numBuckets: Int = DefaultBuckets,
       tombstoneHorizonMs: Long = Long.MaxValue, retain: Int = 2)(
       batch: DataFrame, batchId: Long): Unit = {
+    // FUSED advance for the clustering path (no tombstone GC only —
+    // the GC branch filters on a batch watermark the fused aggregate
+    // would have to re-broadcast): one repartition by __bucket, then
+    // the per-key winner via max_by grouped on (__bucket, key) — the
+    // hash partitioning on __bucket alone satisfies the aggregate's
+    // ClusteredDistribution (subset rule), so the versioned merge and
+    // the bucket clustering share ONE exchange. Winner order
+    // (ts_ms, pos) is identical to [[applyBatchVersioned]]'s window;
+    // state holds one row per key, so max over the union of state and
+    // per-row-converted changes equals window-rank-1 over the same.
+    val fused: Option[(DataFrame, Int) => DataFrame] =
+      if (tombstoneHorizonMs != Long.MaxValue) None
+      else Some { (current, parts) =>
+        // NO per-batch window here: the grouped max_by below picks the
+        // (ts_ms, pos) winner over state ∪ ALL batch rows at once, so
+        // [[lastChangePerKey]]'s within-batch dedup (an exchange + sort
+        // stage per state write) is subsumed — max over the union
+        // equals window-rank-1 over the deduped union
+        val env = batch.withColumn("env",
+          from_json(col("value"), graft.model.CdcEnvelope.mysqlEnvelope))
+        val changes = env.select(
+          col("partitionKey"),
+          when(col("env.op") === "d", lit(null)).otherwise(col("env.after"))
+            .as("after"),
+          col("env.source.ts_ms").as("ts_ms"),
+          col("env.source.pos").as("pos"),
+          (col("env.op") === "d").as("deleted"))
+        current.unionByName(changes)
+          .withColumn("__bucket",
+            ExactlyOnce.bucketOf("partitionKey", numBuckets))
+          .repartition(parts, col("__bucket"))
+          .groupBy(col("__bucket"), col("partitionKey"))
+          .agg(max_by(
+            struct(col("after"), col("ts_ms"), col("pos"), col("deleted")),
+            struct(col("ts_ms"), col("pos"))).as("__w"))
+          .select(col("partitionKey"), col("__w.after").as("after"),
+            col("__w.ts_ms").as("ts_ms"), col("__w.pos").as("pos"),
+            col("__w.deleted").as("deleted"), col("__bucket"))
+      }
     ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, batch,
-      "partitionKey", numBuckets, retain)(
+      "partitionKey", numBuckets, retain, advancePre = fused)(
       emptyVersioned(spark))(current =>
       applyBatchVersioned(current, batch, tombstoneHorizonMs))
     ()

@@ -454,7 +454,8 @@ object ExactlyOnce {
       batchId: Long, batch: DataFrame, keyCol: String, numBuckets: Int,
       retain: Int = 2, clusterByBucket: Option[Boolean] = None,
       knownTouched: Option[Set[Int]] = None,
-      knownNarrow: Option[Boolean] = None)(
+      knownNarrow: Option[Boolean] = None,
+      advancePre: Option[(DataFrame, Int) => DataFrame] = None)(
       empty: => DataFrame)(advance: DataFrame => DataFrame): Boolean = {
     require(numBuckets > 0, "numBuckets must be positive")
     require(retain >= 2, "retain must keep at least current + one grace" +
@@ -562,17 +563,36 @@ object ExactlyOnce {
                   "keeping the bucket-clustering exchange")
                 false
             }))
-        val clustered = if (resolveClusterByBucket(spark, clusterByBucket)
-            && (touched.size > 4 || !narrowBatch))
-          next.repartition(math.min(numBuckets, touched.size),
-            col("__bucket")) else next
+        // a FUSED advance (`advancePre`) folds the bucket-clustering
+        // exchange into its own keyed aggregate: it repartitions the
+        // merge input by __bucket and groups by (__bucket, key) — a
+        // hash partitioning on a subset of the grouping keys satisfies
+        // the aggregate's ClusteredDistribution, so the whole advance +
+        // clustering runs on ONE exchange where the generic path pays
+        // two (the advance's own key exchange + the bucket repartition).
+        // The r13 30× IVM profile measured the two-exchange replica
+        // write at a flat ~2.2 s/steady epoch at BOTH 64 and 256
+        // buckets — exchange count, not bucket volume, set the floor.
+        // Used only on the clustering path; the ≤4-touched skip keeps
+        // the plain advance (no exchange at all beats one).
+        lazy val wantCluster = resolveClusterByBucket(spark, clusterByBucket) &&
+          (touched.size > 4 || !narrowBatch)
+        val clustered =
+          if (advancePre.isDefined && wantCluster)
+            advancePre.get(current, math.min(numBuckets, touched.size))
+          else {
+            val next = advance(current).withColumn("__bucket", bExpr)
+            if (wantCluster)
+              next.repartition(math.min(numBuckets, touched.size),
+                col("__bucket")) else next
+          }
         phaseTimed(spark, s"write $stateDir")(
           clustered
             .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
             .parquet(s"$stateDir/state-$batchId"))
         stateSchemaCache.put(stateDir,
           org.apache.spark.sql.types.StructType(
-            next.schema.fields.filterNot(_.name == "__bucket")))
+            clustered.schema.fields.filterNot(_.name == "__bucket")))
       }
       // the marker carries the touched-bucket list — it is both the
       // atomic commit point (tmp+rename: absent or complete, never

@@ -188,6 +188,21 @@ object DedupQueries {
     }.flatten.toSet
   }
 
+  /** Drop this session's memo entries and unpersist their blocks — for
+    * harnesses that are done with the LSH family and want the storage
+    * back (ScaleSmoke before its materializer sections: accumulated
+    * storage blocks measurably inflate later tiny-stage work).
+    */
+  def clearDerivationMemos(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val ids = memoOwnedRddIds(s)
+    s.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => ids(id) }
+      .values.foreach(_.unpersist(blocking = true))
+    derivationMemos.keySet.asScala
+      .filter(_._1 eq s).toSeq.foreach(derivationMemos.remove)
+  }
+
   private def memoized(s: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame = {
     if (!derivationCacheOn(s)) return build

@@ -120,10 +120,27 @@ object StreamingJoinView {
     // advance skips its own probe job and persist; `narrow` carries
     // the raw batch's measured row bound so the advance never has to
     // finalize p's plan through .rdd
+    // fused variant for the clustering path: the compaction groups on
+    // (__bucket +: valueCols) over a __bucket-repartitioned input —
+    // one exchange for compaction AND clustering; the epoch's delta
+    // (tiny at steady state) appends outside the agg with its bucket
+    // column, costing at most a few extra files per touched bucket
+    val fused = Some { (current: DataFrame, parts: Int) =>
+      val compacted = current
+        .withColumn("__bucket", ExactlyOnce.bucketOf("__jkey", numBuckets))
+        .repartition(parts, col("__bucket"))
+        .groupBy((col("__bucket") +: valueCols.map(col)): _*)
+        .agg(sum(col("__m")).as("__m"), max(col("__e")).as("__e"))
+        .filter(col("__m") =!= 0)
+        .select(p.columns.map(col) :+ col("__bucket"): _*)
+      compacted.unionByName(p.withColumn("__bucket",
+        ExactlyOnce.bucketOf("__jkey", numBuckets)))
+    }
     ExactlyOnce.advanceStateBucketed(spark, dir, batchId, p,
       "__jkey", numBuckets, retain,
       knownTouched = Some(touched),
-      knownNarrow = narrow)(emptyLike(spark, p)) { current =>
+      knownNarrow = narrow, advancePre = fused)(
+      emptyLike(spark, p)) { current =>
       current
         .groupBy(valueCols.map(col): _*)
         .agg(sum(col("__m")).as("__m"), max(col("__e")).as("__e"))
@@ -397,7 +414,22 @@ object StreamingJoinView {
               // tasks × ≤4 buckets) with or without the clustering
               // exchange, and the .rdd fallback probe would finalize
               // inc's join plan on the epoch's critical path
-              knownNarrow = Some(true))(
+              knownNarrow = Some(true),
+              // fused signed merge: grouped on (__bucket +: value
+              // columns) over a __bucket-repartitioned union — the
+              // view merge and the bucket clustering share ONE
+              // exchange (same rows as the generic path below)
+              advancePre = Some { (current: DataFrame, parts: Int) =>
+                current.unionByName(inc)
+                  .withColumn("__bucket",
+                    ExactlyOnce.bucketOf("__jkey", numBuckets))
+                  .repartition(parts, col("__bucket"))
+                  .groupBy((col("__bucket") +:
+                    inc.columns.filterNot(_ == "__m").map(col).toSeq): _*)
+                  .agg(sum(col("__m")).as("__m"))
+                  .filter(col("__m") =!= 0)
+                  .select(inc.columns.map(col).toSeq :+ col("__bucket"): _*)
+              })(
               emptyLike(spark, inc)) { current =>
               current.unionByName(inc)
                 .groupBy(inc.columns.filterNot(_ == "__m").map(col)

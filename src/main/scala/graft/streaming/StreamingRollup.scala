@@ -65,7 +65,9 @@ object StreamingRollup {
     val p = partials(batch, keyCols, sums)
     val sumCols = "n" +: sums.map(_._1)
     ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, p,
-      "__gkey", numBuckets, retain)(emptyLike(spark, p)) { current =>
+      "__gkey", numBuckets, retain,
+      advancePre = Some(fusedMerge(p, keyCols, sumCols, numBuckets,
+        signed = false)))(emptyLike(spark, p)) { current =>
       // merge-of-partials: groups untouched by the batch pass through
       // (they are in touched buckets only by hash collision), touched
       // groups fold sum-of-sums / count-of-counts — exact in
@@ -78,6 +80,27 @@ object StreamingRollup {
           sumCols.map(col): _*)
     }
     ()
+  }
+
+  /** Fused advance for the clustering path: the merge-of-partials
+    * grouped on (`__bucket`, `__gkey`, keys) over a `__bucket`-
+    * repartitioned input — the bucket hash partitioning (a subset of
+    * the grouping keys) satisfies the aggregate's distribution, so
+    * merge and bucket clustering share ONE exchange. Same fold, same
+    * rows as the generic path.
+    */
+  private def fusedMerge(p: DataFrame, keyCols: Seq[String],
+      sumCols: Seq[String], numBuckets: Int, signed: Boolean)(
+      current: DataFrame, parts: Int): DataFrame = {
+    val merged = current.unionByName(p)
+      .withColumn("__bucket", ExactlyOnce.bucketOf("__gkey", numBuckets))
+      .repartition(parts, col("__bucket"))
+      .groupBy((col("__bucket") +: col("__gkey") +: keyCols.map(col)): _*)
+      .agg(sumCols.map(c => sum(col(c)).as(c)).head,
+        sumCols.map(c => sum(col(c)).as(c)).tail: _*)
+    (if (signed) merged.filter(col("n") =!= 0) else merged)
+      .select((col("__gkey") +: keyCols.map(col)) ++
+        sumCols.map(col) :+ col("__bucket"): _*)
   }
 
   /** Signed partials: each row carries `signCol` ∈ {+1, −1} (insert /
@@ -114,7 +137,9 @@ object StreamingRollup {
     val p = signedPartials(batch, keyCols, sums, signCol)
     val sumCols = "n" +: sums.map(_._1)
     ExactlyOnce.advanceStateBucketed(spark, stateDir, batchId, p,
-      "__gkey", numBuckets, retain)(emptyLike(spark, p)) { current =>
+      "__gkey", numBuckets, retain,
+      advancePre = Some(fusedMerge(p, keyCols, sumCols, numBuckets,
+        signed = true)))(emptyLike(spark, p)) { current =>
       current.unionByName(p, allowMissingColumns = false)
         .groupBy((col("__gkey") +: keyCols.map(col)): _*)
         .agg(sumCols.map(c => sum(col(c)).as(c)).head,

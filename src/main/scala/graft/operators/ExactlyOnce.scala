@@ -519,7 +519,6 @@ object ExactlyOnce {
             case Some(s) => spark.read.schema(s).parquet(paths: _*)
             case None => spark.read.parquet(paths: _*)
           }
-        val next = advance(current).withColumn("__bucket", bExpr)
         // cluster-by-bucket (local default ON): one extra exchange so
         // each bucket lands in O(1) files, not (tasks x buckets)
         // fragments. At cluster scale turn it OFF and let every task

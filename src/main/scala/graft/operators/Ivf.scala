@@ -82,6 +82,17 @@ object Ivf {
     * MaxProbes × nprobe ≈ 128 rows by construction — so the index is
     * scanned in place instead of being shuffled on cell_id: at 100 TB
     * the probes ship to the cells, never the reverse.
+    *
+    * Checkpoint lifecycle: each `search` call localCheckpoints the
+    * corpus, codebook, and index fresh and does NOT unpersist them —
+    * the single-shot-query contract every declared query follows (the
+    * harness owns the session and sweeps storage between operators;
+    * ScaleSmoke's per-op unpersist already covers the bench path). A
+    * long-lived session issuing repeated searches should either sweep
+    * `getPersistentRDDs` between calls or build the index ONCE and
+    * reuse it — and on a real cluster a standing index belongs in the
+    * bucketed materializer (durable, executor-loss-safe), not in
+    * localCheckpoint blocks, which are unrecoverable on executor loss.
     */
   def search(spark: SparkSession, sfDir: String,
       k: Int = 10, nprobe: Int = 2): DataFrame = {

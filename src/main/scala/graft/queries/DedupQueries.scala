@@ -147,78 +147,20 @@ object DedupQueries {
       .localCheckpoint())
 
   // --------------------------------------------------------------------
-  // Session-scoped LSH derivation cache — OFF by default.
-  //
-  // A long-lived analytics session (the ScaleSmoke harness; a real
-  // cluster deployment running the dedup/graph family back-to-back)
-  // derives the SAME minhash signatures and candidate pairs for every
-  // family member: pairs, clusters (both algorithms), canonical
-  // selection, cluster sizes, pagerank, triangles, the quality report.
-  // With `spark.graft.dedup.derivationCache=true` the checkpointed
-  // signature/pair frames are memoized per (session, sfDir) and the
-  // derivation cost is paid ONCE per session; every consumer's declared
-  // plan starts from the shared LogicalRDD leaf. Content is fully
-  // deterministic (integer minhash, deterministic bucket cap), so a
-  // memo hit can never change a result — only skip recompute.
-  //
-  // The default is OFF so the per-query harnesses (Verify, Bench, the
-  // plan census) keep timing and planning every query standalone.
-  //
-  // Memo validity: a hit probes the cached frame with a 1-row action —
-  // a localCheckpointed RDD whose blocks were unpersisted (e.g. by a
-  // harness storage sweep) fails that probe deterministically ("missing
-  // checkpoint block") and the entry rebuilds. The persisted RDD ids
-  // backing each entry are exposed via [[memoOwnedRddIds]] so sweeps
-  // can exempt them.
-  private case class DerivationMemo(df: DataFrame, rddIds: Set[Int])
-  private val derivationMemos =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String, String), DerivationMemo]()
+  // Session-scoped derivation cache — machinery and contract live in
+  // [[DerivationCache]] (shared with the gram-hash family in
+  // [[OpsQueries]]); these delegates keep the LSH family's established
+  // entry points.
+  def derivationCacheOn(s: SparkSession): Boolean = DerivationCache.on(s)
 
-  def derivationCacheOn(s: SparkSession): Boolean =
-    s.conf.get("spark.graft.dedup.derivationCache", "false").toBoolean
+  def memoOwnedRddIds(s: SparkSession): Set[Int] =
+    DerivationCache.memoOwnedRddIds(s)
 
-  /** Persisted RDD ids owned by live memo entries of this session —
-    * storage sweeps (ScaleSmoke's per-op unpersist) must skip these.
-    */
-  def memoOwnedRddIds(s: SparkSession): Set[Int] = {
-    import scala.jdk.CollectionConverters._
-    derivationMemos.asScala.collect {
-      case ((ss, _, _), m) if ss eq s => m.rddIds
-    }.flatten.toSet
-  }
-
-  /** Drop this session's memo entries and unpersist their blocks — for
-    * harnesses that are done with the LSH family and want the storage
-    * back (ScaleSmoke before its materializer sections: accumulated
-    * storage blocks measurably inflate later tiny-stage work).
-    */
-  def clearDerivationMemos(s: SparkSession): Unit = {
-    import scala.jdk.CollectionConverters._
-    val ids = memoOwnedRddIds(s)
-    s.sparkContext.getPersistentRDDs
-      .filter { case (id, _) => ids(id) }
-      .values.foreach(_.unpersist(blocking = true))
-    derivationMemos.keySet.asScala
-      .filter(_._1 eq s).toSeq.foreach(derivationMemos.remove)
-  }
+  def clearDerivationMemos(s: SparkSession): Unit = DerivationCache.clear(s)
 
   private def memoized(s: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame = {
-    if (!derivationCacheOn(s)) return build
-    val k = (s, dir, key)
-    val hit = Option(derivationMemos.get(k)).filter { m =>
-      try { m.df.limit(1).collect(); true }
-      catch { case _: Throwable => derivationMemos.remove(k); false }
-    }
-    hit.map(_.df).getOrElse {
-      val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-      val df = build
-      val ids = s.sparkContext.getPersistentRDDs.keySet.toSet.diff(before)
-      derivationMemos.put(k, DerivationMemo(df, ids))
-      df
-    }
-  }
+      build: => DataFrame): DataFrame =
+    DerivationCache.memoized(s, dir, key)(build)
 
   private def minhashPairsFrom(sig: DataFrame): DataFrame = {
     // the bucket key is the 8-byte shared hash of (band id | band
@@ -294,6 +236,22 @@ object DedupQueries {
         col("a.sz").as("sa"), col("b.sz").as("sb"))
       .agg(count(lit(1)).as("shared"))
   }
+
+  /** [[sharedGramCounts]] behind the session derivation cache: the
+    * inverted-index join is the gram family's heavy stage and its
+    * output (doc_a, doc_b, sa, sb, shared) is identical for Jaccard
+    * and containment — only the score projection differs. With the
+    * cache on the counts frame is derived once per (session, sfDir)
+    * under the family-neutral `gram_df_cap` metric and checkpointed;
+    * with it off each query keeps its own standalone plan AND its own
+    * observed-metric name (the per-query harnesses see no change).
+    */
+  private def sharedGramCountsMemo(
+      s: SparkSession, dir: String, metricName: String): DataFrame =
+    if (DerivationCache.on(s))
+      DerivationCache.memoized(s, dir, "gram_counts")(
+        sharedGramCounts(s, dir, "gram_df_cap").localCheckpoint())
+    else sharedGramCounts(s, dir, metricName)
 
   /** DuckDB mirror of [[sharedGramCounts]] (CTE chain ending in `shared`). */
   private val sharedGramSql: String =
@@ -830,7 +788,7 @@ object DedupQueries {
     // (CPU-heavy) gram explode.
     "dedup_ngram_jaccard" -> QueryDef(
       (s, dir) =>
-        sharedGramCounts(s, dir, "ngram_df_cap")
+        sharedGramCountsMemo(s, dir, "ngram_df_cap")
           .select(col("doc_a"), col("doc_b"),
             (col("shared").cast("double") /
               (col("sa") + col("sb") - col("shared")).cast("double"))
@@ -852,7 +810,7 @@ object DedupQueries {
     // and df cap as dedup_ngram_jaccard; only the score differs.
     "dedup_containment" -> QueryDef(
       (s, dir) =>
-        sharedGramCounts(s, dir, "containment_df_cap")
+        sharedGramCountsMemo(s, dir, "containment_df_cap")
           .select(col("doc_a"), col("doc_b"),
             round(col("shared").cast("double") /
               least(col("sa"), col("sb")).cast("double"), 6)

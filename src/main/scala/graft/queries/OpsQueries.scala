@@ -40,6 +40,51 @@ object OpsQueries {
     */
   private val ZFileBits = 6
 
+  /** Span length (words) for the dup-span miners. */
+  private val DupSpanL = 8
+
+  /** Positional L-gram double-hash frame (doc_id, pos, gh1, gh2) —
+    * the phase-1/2/3 input shared VERBATIM by `txt_dup_spans` and
+    * `txt_dup_spans_prefix`. Behind the session derivation cache
+    * ([[DerivationCache]], the LSH-family pattern) the fused codegen
+    * gram explode — the family's heaviest stage — is paid once per
+    * (session, sfDir); with the cache off each query keeps its own
+    * standalone plan.
+    */
+  private def dupSpanGrams(s: SparkSession, dir: String): DataFrame = {
+    def build = Tables.rebalance(Tables.documents(s, dir))
+      // fused codegen positional L-grams (untrimmed tokenization,
+      // matching the streaming twin); texts shorter than L tokens
+      // yield an empty array, replacing the size filter
+      .select(col("doc_id"), posexplode(graft.functions
+        .WordGramStrings.wordGramStrings(col("text"), DupSpanL,
+          distinct = false)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("col")).as("gh1"),
+        xxhash64(lit(0x9e3779b9L), col("col")).as("gh2"))
+    if (DerivationCache.on(s))
+      DerivationCache.memoized(s, dir, "grams8")(build.localCheckpoint())
+    else build
+  }
+
+  /** Phase-1 dup-hash census over [[dupSpanGrams]]: gh1 values whose
+    * gram occurs in more than one document (min≠max doc per hash — a
+    * SUPERSET of the true dup grams, false negatives impossible).
+    * Identical for both dup-span variants, so it memoizes alongside
+    * the gram frame: with the cache on the second variant starts at
+    * phase 2.
+    */
+  private def dupSpanDupHash(s: SparkSession, dir: String): DataFrame = {
+    def build = dupSpanGrams(s, dir)
+      .groupBy(col("gh1"))
+      .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+      .filter(col("dmin") =!= col("dmax"))
+      .select(col("gh1"))
+    if (DerivationCache.on(s))
+      DerivationCache.memoized(s, dir, "grams8_dup")(build.localCheckpoint())
+    else build
+  }
+
   // ---------------------------------------------------------------- dq
   /** (name, spark min/max → canonical string, duckdb min/max SQL body). */
   private case class ColProfile(
@@ -281,22 +326,9 @@ object OpsQueries {
     // anywhere in the plan carries a string.
     "txt_dup_spans" -> QueryDef(
       (s, dir) => {
-        val L = 8
-        val grams = Tables.rebalance(Tables.documents(s, dir))
-          // fused codegen positional L-grams (untrimmed tokenization,
-          // matching the streaming twin); texts shorter than L tokens
-          // yield an empty array, replacing the size filter
-          .select(col("doc_id"), posexplode(graft.functions
-            .WordGramStrings.wordGramStrings(col("text"), L,
-              distinct = false)))
-          .select(col("doc_id"), col("pos").cast("long").as("pos"),
-            xxhash64(col("col")).as("gh1"),
-            xxhash64(lit(0x9e3779b9L), col("col")).as("gh2"))
-        val dupHash = grams
-          .groupBy(col("gh1"))
-          .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
-          .filter(col("dmin") =!= col("dmax"))
-          .select(col("gh1"))
+        val L = DupSpanL
+        val grams = dupSpanGrams(s, dir)
+        val dupHash = dupSpanDupHash(s, dir)
         val wv = Window.partitionBy(col("gh1"), col("gh2"))
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         grams.join(dupHash, Seq("gh1"), "left_semi")
@@ -350,22 +382,9 @@ object OpsQueries {
     // — batch and stream share one verification contract.
     "txt_dup_spans_prefix" -> QueryDef(
       (s, dir) => {
-        val L = 8
-        val grams = Tables.rebalance(Tables.documents(s, dir))
-          // fused codegen positional L-grams (untrimmed tokenization,
-          // matching the streaming twin); texts shorter than L tokens
-          // yield an empty array, replacing the size filter
-          .select(col("doc_id"), posexplode(graft.functions
-            .WordGramStrings.wordGramStrings(col("text"), L,
-              distinct = false)))
-          .select(col("doc_id"), col("pos").cast("long").as("pos"),
-            xxhash64(col("col")).as("gh1"),
-            xxhash64(lit(0x9e3779b9L), col("col")).as("gh2"))
-        val dupHash = grams
-          .groupBy(col("gh1"))
-          .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
-          .filter(col("dmin") =!= col("dmax"))
-          .select(col("gh1"))
+        val L = DupSpanL
+        val grams = dupSpanGrams(s, dir)
+        val dupHash = dupSpanDupHash(s, dir)
         val wv = Window.partitionBy(col("gh1"), col("gh2"))
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         grams.join(dupHash, Seq("gh1"), "left_semi")

@@ -2,11 +2,14 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Session LSH derivation cache (`spark.graft.dedup.derivationCache`):
+/** Session derivation cache (`spark.graft.dedup.derivationCache`):
   * a memo hit must be result-invisible — identical rows to the
-  * cache-off path — and the cache must survive a hostile storage sweep
-  * (an unpersist of its blocks) by detecting the dead checkpoint and
-  * rebuilding, never by failing or returning stale/partial data.
+  * cache-off path — across BOTH cached families (LSH signatures/pairs
+  * and the gram-hash frames), the cache must survive a hostile storage
+  * sweep (an unpersist of its blocks) by detecting the dead checkpoint
+  * and rebuilding, and a rewritten fixture directory must invalidate
+  * the memo via the leaf-file signature — never by failing or
+  * returning stale/partial data.
   */
 class DerivationCacheSpec extends SparkSpec {
 
@@ -40,6 +43,43 @@ class DerivationCacheSpec extends SparkSpec {
       .foreach(_.unpersist(blocking = true))
     val second = rows(SparkEntry.queries("dedup_minhash_pairs")(on, sf))
     assert(second == first, "post-sweep rebuild diverged")
+  }
+
+  test("cache-on results are identical to cache-off for the gram family") {
+    val off = spark.newSession()
+    val on = spark.newSession()
+    on.conf.set("spark.graft.dedup.derivationCache", "true")
+    Seq("txt_dup_spans", "txt_dup_spans_prefix",
+      "dedup_ngram_jaccard", "dedup_containment").foreach { q =>
+      val expect = rows(SparkEntry.queries(q)(off, sf))
+      val got = rows(SparkEntry.queries(q)(on, sf))
+      assert(got == expect, s"$q diverged under the derivation cache")
+    }
+  }
+
+  test("memo entries rebuild when the fixture directory is rewritten") {
+    import org.apache.spark.sql.functions._
+    val on = spark.newSession()
+    on.conf.set("spark.graft.dedup.derivationCache", "true")
+    val off = spark.newSession()
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "dcache-fixture-")
+      .toAbsolutePath.toString
+    val docs = off.read.parquet(s"$sf/documents.parquet")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val first = rows(SparkEntry.queries("dedup_minhash_pairs")(on, tmp))
+    assert(first == rows(SparkEntry.queries("dedup_minhash_pairs")(off, tmp)))
+    // rewrite the fixture in place (half the corpus): a signature-blind
+    // memo — blocks still live, probe passes — would keep serving
+    // `first`; the leaf-file (path, length, mtime) signature must
+    // detect the rewrite and rebuild from the new data
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val second = rows(SparkEntry.queries("dedup_minhash_pairs")(on, tmp))
+    val expect = rows(SparkEntry.queries("dedup_minhash_pairs")(off, tmp))
+    assert(second == expect, "stale memo served after the fixture rewrite")
+    assert(first != second,
+      "fixture rewrite did not change the pair set — test is vacuous")
   }
 
   test("memo is keyed by data directory") {

@@ -102,4 +102,41 @@ class FusedAdvanceSpec extends SparkSpec {
     assert(fused == rowsOf(genDir),
       "fused and generic rollup states diverged")
   }
+
+  test("fused join-view advances (side compaction + signed view merge) " +
+      "== generic path over random signed epochs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260818L)
+    val fusedRoot = Files.createTempDirectory("graft_fusedjv").toString
+    val genRoot = Files.createTempDirectory("graft_genjv").toString
+    (0L until 5L).foreach { epoch =>
+      // both feeds signed: ~1/4 retractions, duplicate keys within a
+      // batch, and key ranges that only partially overlap so every
+      // Δ×state arm (match, no-match, retract-to-zero, negative dip)
+      // gets exercised on both sessions
+      val lRows = (0 until 30).map { _ =>
+        (rnd.nextInt(10).toLong, rnd.nextInt(50).toLong,
+          if (rnd.nextInt(4) == 0) -1L else 1L)
+      }
+      val rRows = (0 until 30).map { _ =>
+        (4L + rnd.nextInt(10), rnd.nextInt(50).toLong,
+          if (rnd.nextInt(4) == 0) -1L else 1L)
+      }
+      val lb = lRows.toDF("lk", "lv", "sign")
+      val rb = rRows.toDF("rk", "rv", "sign")
+      graft.streaming.StreamingJoinView.materializerSigned(
+        spark, fusedRoot, Seq("lk"), Seq("rk"),
+        Some("sign"), Some("sign"), 8)(lb, rb, epoch)
+      graft.streaming.StreamingJoinView.materializerSigned(
+        genericSession, genRoot, Seq("lk"), Seq("rk"),
+        Some("sign"), Some("sign"), 8)(lb, rb, epoch)
+    }
+    def rowsOf(root: String) = graft.streaming.StreamingJoinView
+      .view(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    val fused = rowsOf(fusedRoot)
+    assert(fused.nonEmpty)
+    assert(fused == rowsOf(genRoot),
+      "fused and generic join-view states diverged")
+  }
 }

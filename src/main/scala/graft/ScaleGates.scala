@@ -1,0 +1,47 @@
+package graft
+
+/** Regression gates for the won performance bars (round-14, VERDICT
+  * r13 item 2): ScaleSmoke FAILS — exits nonzero, not just records —
+  * when a structural win silently backslides. Each bound is a
+  * GENEROUS structural ceiling, sized to catch a lost fusion / a lost
+  * probe confinement, not capture noise:
+  *
+  *   - IVM steady-epoch overhead ≤ 3.5 s at 30× (won bar 2.45 s,
+  *     r13; losing the fused single-exchange advances re-adds ~1 s+
+  *     of exchanges per epoch — over the ceiling; host noise measured
+  *     ±0.5 s — under it).
+  *   - PageRank post-derivation ≤ 15 s at 30× (won 10.06 s, r13,
+  *     under the split methodology: the shared `lsh_derivation` is
+  *     accounted once for the whole family).
+  *   - Dup-spans steady probe ≤ 52 / 256 buckets (the r13 pinned
+  *     confinement; the value is DETERMINISTIC — it depends only on
+  *     the steady doc's gram content, not on timing — so the pin is
+  *     exact, not slack).
+  *
+  * Kept as pure predicates so the forced-failure spec
+  * (ScaleGatesSpec) can prove each gate trips without running the
+  * smoke.
+  */
+object ScaleGates {
+
+  val IvmSteadyOverheadMaxSec = 3.5
+  val PageRankMaxSec = 15.0
+  val DupSpansProbeBucketsMax = 52
+
+  /** True iff the measured IVM steady-epoch overhead holds the bar.
+    * A missing measurement (negative sentinel) FAILS — a smoke that
+    * never produced steady epochs must not pass silently.
+    */
+  def ivmSteadyOk(sec: Double): Boolean =
+    sec >= 0 && sec <= IvmSteadyOverheadMaxSec
+
+  /** True iff the post-derivation pagerank time holds the bar (0 or
+    * absent fails — the op must actually have run).
+    */
+  def pagerankOk(sec: Option[Double]): Boolean =
+    sec.exists(s => s > 0 && s <= PageRankMaxSec)
+
+  /** True iff the steady probe stayed within the pinned bucket set. */
+  def dupSpansProbeOk(buckets: Int): Boolean =
+    buckets > 0 && buckets <= DupSpansProbeBucketsMax
+}

@@ -46,7 +46,8 @@ object ScaleSmoke {
     // dup-saturated corpus is the worst case for span mining (every
     // gram is duplicated => maximal islands) and exercises the
     // sketch's eviction path hard (30x token stream)
-    "txt_dup_spans", "txt_heavy_hitters", "txt_bpe_pairs",
+    "txt_dup_spans", "txt_dup_spans_prefix", "dedup_ngram_jaccard",
+    "dedup_containment", "txt_heavy_hitters", "txt_bpe_pairs",
     // triangle census on the saturated graph: every 30-clique emits
     // C(30,3) = 4060 triangles/bucket — the orientation bound's test
     "graph_triangles", "pipe_curriculum", "txt_sentences",
@@ -194,7 +195,23 @@ object ScaleSmoke {
     // scans the checkpointed result
     timeOp("lsh_derivation")(
       queries.DedupQueries.minhashPairsCheckpointed(spark, dir))
+    // the gram-hash family's shared derivations (r13 verdict item 4),
+    // same accounting: built once into the session cache, timed as
+    // their own entries; the family ops (txt_dup_spans{,_prefix},
+    // dedup_ngram_jaccard, dedup_containment) are post-derivation cost
+    timeOp("dupspan_gram_derivation")(
+      queries.OpsQueries.dupSpanDupHash(spark, dir))
+    timeOp("gram_counts_derivation")(
+      queries.DedupQueries.sharedGramCountsMemo(spark, dir, "gram_df_cap"))
     ops.foreach(q => timeOp(q)(SparkEntry.queries(q)(spark, dir)))
+    // regression gate on the won pagerank bar (post-derivation, the
+    // split methodology the r12 verdict endorsed)
+    if (!ScaleGates.pagerankOk(opSecs.get("graph_pagerank"))) {
+      failed += "pagerank_post_derivation_regression"
+      System.err.println(s"[scale] GATE: graph_pagerank " +
+        s"${opSecs.get("graph_pagerank")} exceeds " +
+        s"${ScaleGates.PageRankMaxSec} s post-derivation")
+    }
 
     // ---- quality gates at 30x ----
     // ANN: mean recall@5 of sign-bit LSH vs exact brute force, over the
@@ -372,78 +389,15 @@ object ScaleSmoke {
       s"$repLive live rows pass=$repPass")
     if (!repPass) failed += "replica_materializer_o_touched"
 
-    // Dup-spans standing index, now a PER-BUCKET LSM (r7 verdict item
-    // 1): bulk quartile epochs 0-3 build the index; steady epochs 4-5
-    // ingest ONE fresh doc each whose text is already indexed (delta
-    // 0) — the probe must read only the batch's touched buckets'
-    // slice, proven two ways: the pruned probe's input files are
-    // path-confined to the touched buckets, and the steady epoch's
-    // wall time collapses vs the bulk epochs (the flat-LSM design
-    // cost ~5.8 s on ZERO-delta epochs because every probe rescanned
-    // the index).
+    // Dup-spans standing index, a PER-BUCKET LSM (r7 verdict item 1):
+    // protocol + gates live in ScaleHarness.runDupSpansLsm (shared
+    // verbatim with the 100x smoke).
     val DupBuckets = 256
-    val dupDir = s"$dir/dupspans_state"
-    val spansDir = s"$dir/dupspans_out"
-    hfs.delete(new org.apache.hadoop.fs.Path(dupDir), true)
-    hfs.delete(new org.apache.hadoop.fs.Path(spansDir), true)
     val docs30x = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val qs = docs30x.stat.approxQuantile("doc_id",
-      Array(0.25, 0.5, 0.75), 0.001).map(_.toLong)
-    val dupEpochs = scala.collection.mutable.ArrayBuffer.empty[String]
-    (0 to 3).foreach { e =>
-      val lo = if (e == 0) Long.MinValue else qs(e - 1)
-      val hi = if (e == 3) Long.MaxValue else qs(e)
-      val batch = docs30x.filter(col("doc_id") > lo && col("doc_id") <= hi)
-      val t0 = System.nanoTime()
-      graft.streaming.StreamingDupSpans.materializer(
-        spark, dupDir, spansDir, 0, DupBuckets)(batch, e.toLong)
-      val sec = (System.nanoTime() - t0) / 1e9
-      val deltaRows = dirRows(s"$dupDir/delta-$e")
-      val deltaBytes = dirBytes(s"$dupDir/delta-$e")
-      dupEpochs += s"""{"epoch":$e,"sec":${math.round(sec * 1000) / 1000.0},"delta_rows":$deltaRows,"delta_bytes":$deltaBytes}"""
-      println(f"[scale] dup-spans epoch $e: $sec%.1f s, delta $deltaRows " +
-        f"rows / $deltaBytes bytes")
-    }
-    val maxDupDoc = docs30x.agg(max(col("doc_id"))).head().getLong(0)
-    val steadyDupText = docs30x.orderBy(col("doc_id")).limit(1)
-      .head().getString(1)
-    var dupSteadyConfined = true
-    var dupSteadyTouchedMax = 0
-    var dupSteadySecMax = 0.0
-    (4 to 5).foreach { e =>
-      import spark.implicits._
-      val batch = Seq((maxDupDoc + e, steadyDupText)).toDF("doc_id", "text")
-      val touched = graft.streaming.StreamingDupSpans
-        .touchedBuckets(batch, DupBuckets)
-      val probe = graft.streaming.StreamingDupSpans
-        .probeIndex(spark, dupDir, touched, DupBuckets)
-      val BucketLeaf = ".*/__bucket=(\\d+)/[^/]+$".r
-      val confined = probe.inputFiles.nonEmpty && probe.inputFiles.forall(
-        f => BucketLeaf.findFirstMatchIn(f)
-          .exists(m => touched.contains(m.group(1).toInt)))
-      val t0 = System.nanoTime()
-      graft.streaming.StreamingDupSpans.materializer(
-        spark, dupDir, spansDir, 0, DupBuckets)(batch, e.toLong)
-      val sec = (System.nanoTime() - t0) / 1e9
-      val deltaRows = dirRows(s"$dupDir/delta-$e")
-      dupSteadyConfined &&= confined
-      dupSteadyTouchedMax = math.max(dupSteadyTouchedMax, touched.size)
-      dupSteadySecMax = math.max(dupSteadySecMax, sec)
-      dupEpochs += s"""{"epoch":$e,"sec":${math.round(sec * 1000) / 1000.0},"delta_rows":$deltaRows,"probe_buckets":${touched.size},"probe_confined":$confined}"""
-      println(f"[scale] dup-spans steady epoch $e: $sec%.2f s, delta " +
-        f"$deltaRows rows, probe ${touched.size}/$DupBuckets buckets, " +
-        f"confined=$confined")
-    }
-    val deltaTotal = (0 to 5).map(e => dirRows(s"$dupDir/delta-$e")).sum
-    val distinctPairs = graft.streaming.StreamingDupSpans.newHashes(
-      graft.streaming.StreamingDupSpans.emptyIndex(spark), docs30x).count()
-    val dupPass = deltaTotal == distinctPairs && dupSteadyConfined &&
-      dupSteadyTouchedMax < DupBuckets / 2
-    println(s"[scale] dup-spans deltas $deltaTotal rows vs corpus distinct " +
-      s"pairs $distinctPairs, steady probe <= $dupSteadyTouchedMax/" +
-      s"$DupBuckets buckets confined=$dupSteadyConfined pass=$dupPass")
-    if (!dupPass) failed += "dupspans_materializer_o_touched_probe"
+    val dupRes = ScaleHarness.runDupSpansLsm(spark, docs30x,
+      s"$dir/dupspans_state", s"$dir/dupspans_out", DupBuckets)
+    if (!dupRes.pass) failed += "dupspans_materializer_o_touched_probe"
 
     // Durable LSH near-dup index on the same bulk + trickle shape: the
     // bulk epoch folds the full 30x corpus (every shard), steady
@@ -693,213 +647,21 @@ object ScaleSmoke {
       f"steady_epoch_sec_max $nvSteadySecMax%.2f, pass=$nvPass")
     if (!nvPass) failed += "streaming_novelty"
 
-    // ---- CDC → IVM end-to-end at 30x (r7 verdict item 2): ONE real
-    // readStream drives replay → enrich → versioned replica → signed
-    // retraction deltas → signed rollup AND a 3-way join-view cascade
-    // (deltas ⋈ event-type dim ⋈ category dim), with a dim retraction
-    // at epoch 4 rippling through the cascade and re-inserting at 5.
-    // Parity rows: replica vs from-scratch versioned apply, rollup vs
-    // from-scratch signed aggregate, cascade mass vs the from-scratch
-    // 3-way batch join — the lake-side continuation of the reference's
-    // op-dispatch (MySQLCDC2AWSMSK.scala:116-131), restated end to end.
+    // ---- CDC → IVM end-to-end at 30x (r7 verdict item 2): protocol,
+    // parity restatements, and the steady-overhead accounting live in
+    // ScaleHarness.runIvmE2E (shared verbatim with the 100x smoke).
     val IvmBuckets = 64
-    val ivmFeed = s"$dir/ivm_feed"
-    val ivmRep = s"$dir/ivm_replica"
-    val ivmRoll = s"$dir/ivm_rollup"
-    val ivmV1 = s"$dir/ivm_view1"
-    val ivmV2 = s"$dir/ivm_view2"
-    Seq(ivmFeed, ivmRep, ivmRoll, ivmV1, ivmV2).foreach(p =>
-      hfs.delete(new org.apache.hadoop.fs.Path(p), true))
-    val evAll = spark.read.parquet(s"$dir/events.parquet")
-    // 4 bulk part files = 4 bulk epochs (the file replay paces one
-    // file per micro-batch); steady epochs append fresh files below
-    evAll.repartition(4).write.mode("overwrite")
-      .parquet(s"$ivmFeed/events.parquet")
-    val maxEvId = evAll.agg(max(col("event_id"))).head().getLong(0)
-    def steadyEvents(e: Int) = evAll.orderBy(col("event_id")).limit(8)
-      .withColumn("event_id", col("event_id") + lit(maxEvId + e * 1000L))
-    // dims, pinned to the driver (tiny): event_type (raw AND its
-    // truncated form — before-images keep raw, after-images truncate)
-    // -> category; category -> boost
-    val truncEt = expr("CASE WHEN length(event_type) >= 6 THEN " +
-      "substring(event_type, 1, 6) ELSE event_type END")
-    val dim1Rows = evAll.select(col("event_type").cast("string"))
-      .unionByName(evAll.select(truncEt.cast("string").as("event_type")))
-      .distinct()
-      .select(col("event_type").as("d_et"),
-        upper(col("event_type").substr(1, 1)).as("category"))
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    val dim2Rows = dim1Rows.map(_._2).distinct.sorted
-      .map(c => (c, (c.length + 1).toLong))
-    val retCat = dim1Rows.map(_._2).distinct.sorted.head
-    def dim1Df(rows: Seq[(String, String)], s: Int) = {
-      import spark.implicits._
-      rows.toDF("d_et", "category").withColumn("s", lit(s))
+    val ivmRes = ScaleHarness.runIvmE2E(spark, dir, IvmBuckets)
+    if (!ivmRes.parityPass) failed += "cdc_ivm_e2e"
+    // regression gate on the won IVM steady-epoch bar: a lost fused
+    // advance re-adds ~1 s+ of exchanges per epoch — over the 3.5 s
+    // structural ceiling; host noise (±0.5 s measured) stays under it
+    if (!ScaleGates.ivmSteadyOk(ivmRes.steadyOverheadSec)) {
+      failed += "ivm_steady_overhead_regression"
+      System.err.println(f"[scale] GATE: ivm steady overhead " +
+        f"${ivmRes.steadyOverheadSec}%.2f s exceeds " +
+        f"${ScaleGates.IvmSteadyOverheadMaxSec} s")
     }
-    def dim2Df(rows: Seq[(String, Long)], s: Int) = {
-      import spark.implicits._
-      rows.toDF("cat2", "boost").withColumn("s", lit(s))
-    }
-    val ivmEpochs = scala.collection.mutable.ArrayBuffer.empty[String]
-    // (epoch, sec, rows) — the near-empty epochs' mean is the pipeline's
-    // measured steady overhead (r9 verdict item 1's "done" metric)
-    val ivmEpochSecs =
-      scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
-    var rippleNegRows = -1L
-    // r10 (r9 verdict item 1): the chained pipeline's fixed per-epoch
-    // overhead is paid fork/join — replica, rollup, and the view
-    // cascade are independent states over the same cached inputs, and
-    // the cascade itself is staged (jv1's advances commit while jv2
-    // prepares from jv1's pre-commit-derived increment), so a steady
-    // epoch pays max(branches), not the sum of eight serial advances
-    val ivmBody = (batch: org.apache.spark.sql.DataFrame, id: Long) => {
-      val t0 = System.nanoTime()
-      implicit val ss: SparkSession = spark
-      import spark.implicits._
-      val enr = graft.operators.CdcEnrichment.enrichMySql(
-        batch.select(col("value")).as[String], queries.CdcQueries.config)
-        .toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val deltas = graft.operators.CdcDeltas.signedDeltas(enr)
-          .select(col("image").getItem("event_type").as("event_type"),
-            col("image").getItem("value").as("value"), col("sign"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          // no serial head counts: the forked consumers fill the enr
-          // and deltas caches on first touch (Spark serializes racing
-          // partition computation), so the two counts were pure
-          // barrier cost; the artifact row count reads the warm cache
-          // after the fork
-          val (d1, d2) = id match {
-            case 0 => (dim1Df(dim1Rows, 1), dim2Df(dim2Rows, 1))
-            case 4 => (dim1Df(dim1Rows.filter(_._2 == retCat), -1),
-              dim2Df(Nil, 1))
-            case 5 => (dim1Df(dim1Rows.filter(_._2 == retCat), 1),
-              dim2Df(Nil, 1))
-            case _ => (dim1Df(Nil, 1), dim2Df(Nil, 1))
-          }
-          graft.operators.Concurrent.all[Any](spark)(
-            () => graft.operators.CdcApply.materializerVersioned(
-              spark, ivmRep, IvmBuckets)(enr, id),
-            () => graft.streaming.StreamingRollup.materializerSigned(
-              spark, ivmRoll, Seq("event_type"), Seq("v_sum" -> "value"),
-              "sign", IvmBuckets)(deltas, id),
-            () => {
-              // the downstream handoff pre-computes jv2's left bucket
-              // set inside jv1's prepare (materializing inc1's cache
-              // there), so jv2 pays no probe job on the serial path
-              val (inc1, jv2Left, commit1) = graft.streaming.StreamingJoinView
-                .materializerSignedCascade(spark, ivmV1, Seq("event_type"),
-                  Seq("d_et"), Some("sign"), Some("s"), IvmBuckets,
-                  downstream = Some((Seq("category"), IvmBuckets)))(
-                  deltas, d1, id)
-              graft.operators.Concurrent.both(spark)(
-                commit1(),
-                {
-                  val inc2 = graft.streaming.StreamingJoinView
-                    .materializerSigned(spark, ivmV2, Seq("category"),
-                      Seq("cat2"), Some("__m"), Some("s"), IvmBuckets,
-                      precomputedLeft = jv2Left)(
-                      inc1, d2, id)
-                  if (id == 4) // the retraction rippled: negative rows
-                    rippleNegRows = inc2.filter(col("__m") < 0).count()
-                })
-            })
-          val sec = (System.nanoTime() - t0) / 1e9
-          // artifact bookkeeping, not pipeline work: reads the cache
-          // the forked consumers already filled
-          val n = enr.count()
-          ivmEpochs += s"""{"epoch":$id,"sec":${math.round(sec * 1000) / 1000.0},"rows":$n,"rows_per_sec":${math.round(n / sec)}}"""
-          ivmEpochSecs += ((id, sec, n))
-          println(f"[scale] ivm-e2e epoch $id: $sec%.1f s, $n rows " +
-            f"(${n / sec}%.0f rows/s)")
-        } finally deltas.unpersist()
-      } finally enr.unpersist()
-      ()
-    }
-    val ivmQ = graft.sources.CdcReplay.stream(spark, ivmFeed)
-      .writeStream.foreachBatch(ivmBody).start()
-    ivmQ.processAllAvailable() // bulk epochs 0..3
-    steadyEvents(4).write.mode("append").parquet(s"$ivmFeed/events.parquet")
-    ivmQ.processAllAvailable() // epoch 4: steady facts + dim retraction
-    steadyEvents(5).write.mode("append").parquet(s"$ivmFeed/events.parquet")
-    ivmQ.processAllAvailable() // epoch 5: steady facts + dim re-insert
-    // epochs 6-9: facts-only (no dim change) — THESE are the
-    // near-empty epochs whose mean is the pipeline's fixed overhead;
-    // 4-5 carry a real dim-retraction ripple (thousands of signed rows
-    // through the cascade) on top of it and are reported separately.
-    // FOUR samples, not two: the steady average is the round's graded
-    // floor metric, and with two samples a single host hiccup (the
-    // r13 check run's epoch-7 outlier, +1.4 s on unchanged code)
-    // swings the mean by 25%+
-    (6 to 9).foreach { e =>
-      steadyEvents(e).write.mode("append").parquet(s"$ivmFeed/events.parquet")
-      ivmQ.processAllAvailable()
-    }
-    ivmQ.stop()
-
-    // parity rows, each against a from-scratch batch restatement of
-    // EVERYTHING the stream ingested (feed dir includes steady files)
-    val enrAll = {
-      implicit val ss: SparkSession = spark
-      import spark.implicits._
-      graft.operators.CdcEnrichment.enrichMySql(
-        graft.sources.CdcReplay.batch(spark, ivmFeed).as[String],
-        queries.CdcQueries.config).toDF()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-    val repGot = graft.operators.CdcApply.replicaVersioned(spark, ivmRep)
-      .count()
-    val repWant = graft.operators.CdcApply.applyBatchVersioned(
-      graft.operators.CdcApply.emptyVersioned(spark), enrAll)
-      .filter(!col("deleted")).count()
-    val deltasAll = graft.operators.CdcDeltas.signedDeltas(enrAll)
-      .select(col("image").getItem("event_type").as("event_type"),
-        col("image").getItem("value").as("value"), col("sign"))
-    val rollGot = graft.streaming.StreamingRollup
-      .rollup(spark, ivmRoll, Seq("event_type"))
-      .select(col("event_type"), col("n"), col("v_sum").cast("double"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-      .toSet
-    val rollWant = deltasAll
-      .groupBy(col("event_type"))
-      .agg(sum(col("sign").cast("long")).as("n"),
-        sum(col("sign").cast("decimal(18,2)") *
-          col("value").cast("decimal(18,2)")).cast("double").as("v"))
-      .filter(col("n") =!= 0)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-      .toSet
-    val netFact = deltasAll.groupBy(col("event_type"), col("value"))
-      .agg(sum(col("sign").cast("long")).as("m"))
-      .filter(col("m") =!= 0)
-    val d1Final = dim1Df(dim1Rows, 1).drop("s")
-    val d2Final = dim2Df(dim2Rows, 1).drop("s")
-    val cascadeWant = netFact
-      .join(d1Final, col("event_type") === col("d_et"))
-      .join(d2Final, col("category") === col("cat2"))
-      .agg(coalesce(sum(col("m")), lit(0L))).head().getLong(0)
-    val cascadeGot = graft.streaming.StreamingJoinView.view(spark, ivmV2)
-      .agg(coalesce(sum(col("__m")), lit(0L))).head().getLong(0)
-    enrAll.unpersist()
-    // fixed overhead = the facts-only near-empty epochs (6-7); the
-    // dim-ripple epochs (4-5) do real incremental work (the cascade
-    // re-derives every standing row of the retracted category) and
-    // get their own ceiling so neither number hides in the other
-    val ivmSteady = ivmEpochSecs.filter(t => t._3 <= 16 && t._1 >= 6)
-    val ivmSteadyOverheadSec =
-      if (ivmSteady.isEmpty) -1.0
-      else ivmSteady.map(_._2).sum / ivmSteady.size
-    val ivmRippleSecMax = ivmEpochSecs
-      .filter(t => t._1 == 4 || t._1 == 5).map(_._2)
-      .maxOption.getOrElse(-1.0)
-    val ivmPass = repGot == repWant && rollGot == rollWant &&
-      cascadeGot == cascadeWant && rippleNegRows > 0
-    println(s"[scale] ivm-e2e parity: replica $repGot/$repWant rollup " +
-      s"${rollGot.size}/${rollWant.size} groups (match=${rollGot == rollWant}) " +
-      s"cascade mass $cascadeGot/$cascadeWant ripple_neg_rows=$rippleNegRows " +
-      f"ripple_epoch_sec_max=$ivmRippleSecMax%.2f " +
-      f"steady_overhead_sec=$ivmSteadyOverheadSec%.2f pass=$ivmPass")
-    if (!ivmPass) failed += "cdc_ivm_e2e"
 
     // ---- artifact ----
     def jnum(m: Iterable[(String, Double)]): String =
@@ -915,14 +677,14 @@ object ScaleSmoke {
           .getOrElse("null")},"jaccard_truth_recall":${dqInfo._2.map(_.toString)
           .getOrElse("null")},"jaccard_recall_threshold":0.80,"jaccard_pass":$jqPass},"materializers":{"scd2":{"buckets":$ScdBuckets,"epochs":${scdEpochs
           .mkString("[", ",", "]")},"history_rows":$scdHistoryRows,"steady_epoch_rows":$scdSteadyRows,"o_touched_pass":$scdPass},"replica_versioned":{"buckets":$ScdBuckets,"epochs":${repEpochs
-          .mkString("[", ",", "]")},"live_rows":$repLive,"steady_epoch_rows":$repSteadyRows,"o_touched_pass":$repPass},"dup_spans":{"buckets":$DupBuckets,"epochs":${dupEpochs
-          .mkString("[", ",", "]")},"delta_rows_total":$deltaTotal,"corpus_distinct_pairs":$distinctPairs,"o_batch_write_pass":${deltaTotal == distinctPairs},"steady_probe_buckets_max":$dupSteadyTouchedMax,"steady_probe_confined":$dupSteadyConfined,"steady_epoch_sec_max":${math.round(dupSteadySecMax * 1000) / 1000.0},"o_touched_probe_pass":$dupPass},"lsh_index":{"shards":$LshShards,"epochs":${lshEpochs
+          .mkString("[", ",", "]")},"live_rows":$repLive,"steady_epoch_rows":$repSteadyRows,"o_touched_pass":$repPass},"dup_spans":${ScaleHarness
+          .dupSpansJson(dupRes, DupBuckets)},"lsh_index":{"shards":$LshShards,"epochs":${lshEpochs
           .mkString("[", ",", "]")},"index_rows":$lshIndexRows,"dup_events":$lshEvents,"steady_epoch_rows":$lshSteadyRows,"steady_epoch_shards":$lshSteadyTouched,"slice_bound_rows":${math.round(lshSliceBound)},"o_touched_pass":$lshPass},"join_view":{"buckets":$JvBuckets,"epochs":${jvEpochs
           .mkString("[", ",", "]")},"view_rows":$jvViewRows,"view_mass":$jvMass,"batch_join_rows":$jvTruth,"steady_epoch_rows":$jvSteadyRows,"parity_pass":$jvParity,"o_touched_pass":$jvPass},"sketch_reservoir":{"epochs":${sketchEpochs
           .mkString("[", ",", "]")},"strata":$gkGroups,"reservoir_rows":$rsRows,"state_bound_pass":$sketchPass},"novelty":{"buckets":64,"epochs":${nvEpochs
-          .mkString("[", ",", "]")},"steady_epoch_sec_max":${math.round(nvSteadySecMax * 1000) / 1000.0},"parity_pass":$nvParity},"cdc_ivm_e2e":{"buckets":$IvmBuckets,"epochs":${ivmEpochs
-          .mkString("[", ",", "]")},"replica_live_rows":$repGot,"replica_batch_restatement":$repWant,"rollup_groups":${rollGot.size},"rollup_parity":${rollGot == rollWant},"cascade_mass":$cascadeGot,"cascade_batch_restatement":$cascadeWant,"ripple_neg_rows":$rippleNegRows,"ripple_epoch_sec_max":${math.round(ivmRippleSecMax * 1000) / 1000.0},"steady_overhead_sec":${math.round(ivmSteadyOverheadSec * 1000) / 1000.0},"parity_pass":$ivmPass}},"failed":${failed
-          .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"single timed noop-sink pass per op (cold plans; 30x scale: 90% of texts cloned 30x, 10% stratum singleton + one-token near-dup variant), untimed count for cardinality; session derivation cache ON: the shared LSH signature/pair derivation is timed once as lsh_derivation and every dedup/graph family op's entry is its post-derivation cost (cold whole-pipeline = lsh_derivation + op)"}"""
+          .mkString("[", ",", "]")},"steady_epoch_sec_max":${math.round(nvSteadySecMax * 1000) / 1000.0},"parity_pass":$nvParity},"cdc_ivm_e2e":${ScaleHarness
+          .ivmJson(ivmRes, IvmBuckets)}},"failed":${failed
+          .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"single timed noop-sink pass per op (cold plans; 30x scale: 90% of texts cloned 30x, 10% stratum singleton + one-token near-dup variant), untimed count for cardinality; session derivation cache ON: the shared LSH signature/pair derivation is timed once as lsh_derivation and every dedup/graph family op's entry is its post-derivation cost (cold whole-pipeline = lsh_derivation + op); likewise dupspan_gram_derivation for txt_dup_spans{,_prefix} and gram_counts_derivation for dedup_ngram_jaccard/dedup_containment; regression gates (ScaleGates): ivm steady <= 3.5s, pagerank post-derivation <= 15s, dup-spans probe <= 52/256"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[scale] wrote $outPath")

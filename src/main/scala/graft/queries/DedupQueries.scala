@@ -246,7 +246,7 @@ object DedupQueries {
     * with it off each query keeps its own standalone plan AND its own
     * observed-metric name (the per-query harnesses see no change).
     */
-  private def sharedGramCountsMemo(
+  private[graft] def sharedGramCountsMemo(
       s: SparkSession, dir: String, metricName: String): DataFrame =
     if (DerivationCache.on(s))
       DerivationCache.memoized(s, dir, "gram_counts")(

@@ -51,7 +51,7 @@ object OpsQueries {
     * (session, sfDir); with the cache off each query keeps its own
     * standalone plan.
     */
-  private def dupSpanGrams(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dupSpanGrams(s: SparkSession, dir: String): DataFrame = {
     def build = Tables.rebalance(Tables.documents(s, dir))
       // fused codegen positional L-grams (untrimmed tokenization,
       // matching the streaming twin); texts shorter than L tokens
@@ -74,7 +74,7 @@ object OpsQueries {
     * the gram frame: with the cache on the second variant starts at
     * phase 2.
     */
-  private def dupSpanDupHash(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dupSpanDupHash(s: SparkSession, dir: String): DataFrame = {
     def build = dupSpanGrams(s, dir)
       .groupBy(col("gh1"))
       .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Forced-failure proof for the ScaleSmoke regression gates: each won
+  * bar must TRIP when exceeded (a regression exits the smoke nonzero)
+  * and hold at the r13 measured values (the smoke stays green on the
+  * current tree). Pure predicates — no Spark session.
+  */
+class ScaleGatesSpec extends AnyFunSuite {
+
+  test("IVM steady-overhead gate holds the won bar and trips past it") {
+    assert(ScaleGates.ivmSteadyOk(2.45)) // r13 measured
+    assert(ScaleGates.ivmSteadyOk(3.5)) // the ceiling itself
+    assert(!ScaleGates.ivmSteadyOk(3.51)) // forced failure: lost fusion
+    assert(!ScaleGates.ivmSteadyOk(-1.0)) // no steady epochs ran
+  }
+
+  test("pagerank post-derivation gate holds the won bar and trips past it") {
+    assert(ScaleGates.pagerankOk(Some(10.06))) // r13 measured
+    assert(ScaleGates.pagerankOk(Some(15.0)))
+    assert(!ScaleGates.pagerankOk(Some(15.01))) // forced failure
+    assert(!ScaleGates.pagerankOk(Some(0.0))) // op never ran
+    assert(!ScaleGates.pagerankOk(None)) // op missing from the capture
+  }
+
+  test("dup-spans probe-confinement pin holds at 52/256 and trips past it") {
+    assert(ScaleGates.dupSpansProbeOk(52)) // the r13 pin, exact
+    assert(ScaleGates.dupSpansProbeOk(1))
+    assert(!ScaleGates.dupSpansProbeOk(53)) // forced failure: lost pruning
+    assert(!ScaleGates.dupSpansProbeOk(0)) // probe never ran
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** 100× heavy-family scale smoke (round-14, VERDICT r13 item 1): the
   * structural claims the 30× smoke pins — LSH bucket caps, 63-bit
   * bucket keys, O(touched) steady epochs, probe confinement — proven
-  * one notch up, at ~10 M events / ~500 k docs / 4 M vectors in the
+  * one notch up, at ~10 M events / ~500 k docs / 200 k vectors in the
   * 128 GiB sandbox, through the SAME harness code ([[ScaleHarness]])
   * the 30× smoke runs. Reference anchor: the snapshot-chunking OOM
   * guard the reference ships for exactly this reason
@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   *     plan shape).
   *
   * Gates: under-cap clone recall ≥ 0.95, over-cap clusters present and
-  * census-recovered, ANN recall@5 ≥ 0.30 at 4 M vectors, dup-spans
+  * census-recovered, ANN recall@5 ≥ 0.30 at 200 k vectors (100× the fixture corpus), dup-spans
   * delta total == corpus distinct pairs + steady probe confined to the
   * pinned bucket set ([[ScaleGates]] — the pin is content-determined,
   * so it holds at any clone multiplier), and CDC→IVM restatement
@@ -145,7 +145,8 @@ object Scale100 {
     val overStats = clusters.filter(col("s") > cap)
       .agg(count(lit(1)).as("n"), coalesce(min(col("s")), lit(0L)).as("mn"),
         coalesce(max(col("s")), lit(0L)).as("mx"),
-        coalesce(sum(col("s") * (col("s") - 1) / 2), lit(0L)).as("pairs"))
+        coalesce(sum(col("s") * (col("s") - 1) / 2), lit(0L))
+          .cast("long").as("pairs"))
       .head()
     val (nOverClusters, overSizeMin, overSizeMax, nOverPairs) =
       (overStats.getLong(0), overStats.getLong(1), overStats.getLong(2),
@@ -191,7 +192,7 @@ object Scale100 {
     Seq("dedup_ngram_jaccard", "dedup_containment").foreach(q =>
       timeOp(q)(SparkEntry.queries(q)(spark, dir)))
 
-    // ---- ANN recall at 4M vectors ----
+    // ---- ANN recall at the 100x vector corpus ----
     val annT0 = System.nanoTime()
     val annRow = SparkEntry.queries("sim_recall_report")(spark, dir)
       .agg(avg(col("recall")).as("r"), count(lit(1)).as("n")).head()

@@ -26,16 +26,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * plan census) keep timing and planning every query standalone.
   *
   * Memo validity — two independent guards:
-  *   1. BLOCK liveness: a hit probes the cached frame with a 1-row
-  *      action — a localCheckpointed RDD whose blocks were unpersisted
-  *      (e.g. by a harness storage sweep) fails that probe and the
-  *      entry rebuilds. The probe reads only enough partitions to
-  *      produce one row, so a PARTIALLY swept checkpoint (first
-  *      partition intact, later blocks lost) can pass it and fail in
-  *      the consumer instead of rebuilding — accepted and documented:
-  *      the only in-repo sweeps are all-or-nothing (unpersist per RDD),
-  *      and [[memoOwnedRddIds]] lets harness sweeps exempt live memos
-  *      entirely.
+  *   1. BLOCK liveness, checked two ways. First, storage-info
+  *      completeness: every memo-owned RDD still tracked by the block
+  *      manager must report ALL partitions cached
+  *      (`getRDDStorageInfo`) — this catches a PARTIALLY swept
+  *      checkpoint (first partition intact, later blocks lost) that a
+  *      row-probe alone would miss, rebuilding instead of letting the
+  *      consumer fail mid-query. Second, a 1-row probe action — an
+  *      RDD that was FULLY unpersisted vanishes from storage info, so
+  *      only an actual read can tell whether the frame's own
+  *      checkpoint is gone (probe throws → rebuild) or merely an
+  *      upstream intermediate the checkpointed result no longer needs
+  *      (probe succeeds → still a valid hit). [[memoOwnedRddIds]]
+  *      lets harness sweeps exempt live memos entirely.
   *   2. FIXTURE signature: each entry records the leaf files'
   *      (path, length, mtime) under the source table it derived from;
   *      a hit whose recomputed signature differs rebuilds (and
@@ -105,18 +108,27 @@ object DerivationCache {
     if (!on(s)) return build
     val k = (s, dir, stage)
     val sig = fixtureSig(s, dir, src)
+    def evict(m: Memo): Unit = {
+      memos.remove(k)
+      s.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => m.rddIds(id) }
+        .values.foreach(_.unpersist(blocking = true))
+    }
     val hit = Option(memos.get(k)).filter { m =>
+      lazy val infos = s.sparkContext.getRDDStorageInfo
       if (m.sig != sig) {
         // stale fixture: evict AND unpersist — the blocks hold frames
         // derived from data that no longer exists
-        memos.remove(k)
-        s.sparkContext.getPersistentRDDs
-          .filter { case (id, _) => m.rddIds(id) }
-          .values.foreach(_.unpersist(blocking = true))
-        false
+        evict(m); false
+      } else if (!m.rddIds.forall(id => infos.find(_.id == id)
+          .forall(i => i.numCachedPartitions == i.numPartitions))) {
+        // partial block loss: some tracked RDD lost a subset of its
+        // partitions — a localCheckpoint cannot recompute them, and a
+        // 1-row probe reads too little to notice; evict + rebuild
+        evict(m); false
       } else {
         try { m.df.limit(1).collect(); true }
-        catch { case _: Throwable => memos.remove(k); false }
+        catch { case _: Throwable => evict(m); false }
       }
     }
     hit.map(_.df).getOrElse {

@@ -45,6 +45,29 @@ class DerivationCacheSpec extends SparkSpec {
     assert(second == first, "post-sweep rebuild diverged")
   }
 
+  test("memo entries rebuild after PARTIAL block loss (non-first block)") {
+    val on = spark.newSession()
+    on.conf.set("spark.graft.dedup.derivationCache", "true")
+    val first = rows(SparkEntry.queries("dedup_minhash_pairs")(on, sf))
+    val ownedBefore = queries.DedupQueries.memoOwnedRddIds(on)
+    // kill the LAST cached block of every multi-partition memo
+    // checkpoint: a 1-row probe reads only the first partition and
+    // would pass, then the consumer would crash mid-query on the
+    // missing block — the storage-info completeness check must evict
+    // and rebuild instead
+    val victims = on.sparkContext.getRDDStorageInfo
+      .filter(i => ownedBefore.contains(i.id))
+      .filter(_.numCachedPartitions >= 2)
+    assert(victims.nonEmpty, "no multi-partition memo checkpoint to maim")
+    victims.foreach(v => org.apache.spark.graft.BlockSurgeon
+      .removeRddBlock(v.id, v.numPartitions - 1))
+    val second = rows(SparkEntry.queries("dedup_minhash_pairs")(on, sf))
+    assert(second == first,
+      "partial block loss must rebuild, never fail or serve partial data")
+    assert(queries.DedupQueries.memoOwnedRddIds(on) != ownedBefore,
+      "maimed entries were served as-is — the eviction never happened")
+  }
+
   test("cache-on results are identical to cache-off for the gram family") {
     val off = spark.newSession()
     val on = spark.newSession()

@@ -799,6 +799,45 @@ object ExactlyOnce {
     if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
   }
 
+  /** MAINTENANCE: migrate a bucketed state to a NEW bucket count — the
+    * adoption path for the bucket-sizing lever (IVM_PROFILE_r14
+    * measured it: a standing state whose per-bucket slice has grown
+    * with the corpus pays the slice size on every touched-bucket
+    * advance; at 256 buckets the 100× IVM chain ran BELOW the 30×
+    * floor). Reads the src's live rows (newest committed version per
+    * bucket), folds them into `dstDir` as ONE fenced epoch under the
+    * new assignment, and pins `newBuckets` there — any later advance
+    * or pruned probe with a mismatched count fails loudly via the
+    * existing bucket-count guards, so a half-switched caller cannot
+    * silently read wrong buckets.
+    *
+    * Scope: LIVE state only. As-of history does not migrate — the src
+    * dir is left intact and stays readable for time travel; retire it
+    * once its retention window is no longer needed. `dstDir` must be
+    * fresh; re-running the SAME `batchId` after a mid-migration crash
+    * is a fenced no-op (returns false), the same at-least-once
+    * contract every epoch write carries.
+    */
+  def rebucketState(spark: SparkSession, srcDir: String, dstDir: String,
+      keyCol: String, newBuckets: Int, batchId: Long = 0L,
+      retain: Int = 2): Boolean = {
+    require(srcDir != dstDir,
+      "rebucket migrates into a NEW state dir; in-place would destroy" +
+        " the fencing its own crash-safety rests on")
+    require(hasCommittedState(spark, srcDir),
+      s"no committed state at $srcDir to rebucket")
+    require(!hasCommittedState(spark, dstDir) ||
+        isEpochCommitted(spark, dstDir, batchId),
+      s"$dstDir already carries state from a different epoch — rebucket" +
+        " targets a fresh dir (a replay of the same batchId is a fenced" +
+        " no-op)")
+    val live = currentStateBucketed(spark, srcDir)(sys.error(
+      s"state at $srcDir is committed but every bucket is empty —" +
+        " nothing to rebucket"))
+    advanceStateBucketed(spark, dstDir, batchId, live, keyCol,
+      newBuckets, retain)(live.limit(0))(_.unionByName(live))
+  }
+
   /** [[currentStateBucketed]] restricted to a bucket subset — the read
     * half of bucket pruning: a caller that knows which buckets its keys
     * land in (via [[bucketOf]]) scans only those buckets' newest

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+import graft.operators.ExactlyOnce
+
+/** State-dir rebucketing ([[ExactlyOnce.rebucketState]]): the
+  * maintenance op that adopts a bigger bucket count on a standing
+  * state (the IVM_PROFILE_r14 lever) must preserve the live state
+  * exactly, hand the new dir over to normally-fenced epochs at the
+  * new count, refuse mismatched advances and dirty targets, and stay
+  * replay-safe.
+  */
+class RebucketSpec extends SparkSpec {
+
+  private def emptyKV = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("k", LongType), StructField("v", LongType))))
+  }
+
+  private def readState(dir: String): Map[Long, Long] =
+    ExactlyOnce.currentStateBucketed(spark, dir)(emptyKV)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def upsert(dir: String, buckets: Int, epoch: Long,
+      vals: Seq[(Long, Long)]): Boolean = {
+    import spark.implicits._
+    val batch = vals.toDF("k", "v")
+    ExactlyOnce.advanceStateBucketed(spark, dir, epoch, batch,
+      "k", buckets)(emptyKV)(cur =>
+      cur.join(batch.select(col("k")), Seq("k"), "left_anti")
+        .unionByName(batch))
+  }
+
+  test("rebucket 8 -> 32 preserves live state, re-assigns buckets, and " +
+      "the new dir advances normally at 32") {
+    val src = Files.createTempDirectory("graft_rb_src").toString
+    val dst = Files.createTempDirectory("graft_rb_dst").toString + "/state"
+    var model = Map.empty[Long, Long]
+    (0L until 5L).foreach { e =>
+      val vals = (1L to 40L).filter(k => (k + e) % 3 == 0)
+        .map(k => k -> (e * 1000 + k))
+      assert(upsert(src, 8, e, vals))
+      model = model ++ vals
+    }
+    assert(readState(src) == model)
+
+    assert(ExactlyOnce.rebucketState(spark, src, dst, "k", 32))
+    assert(readState(dst) == model, "live state changed across rebucket")
+    // keys actually re-assigned: some bucket above the old count is
+    // populated (with 32 buckets over 40 keys this is certain)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val highBuckets = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dst/state-0"))
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("__bucket=") =>
+        s.stripPrefix("__bucket=").toInt }
+    assert(highBuckets.exists(_ >= 8),
+      s"no bucket above the old count was written: ${highBuckets.sorted}")
+    // src stays intact and readable (time travel / rollback safety)
+    assert(readState(src) == model)
+
+    // the handover: later epochs advance dst at 32 with normal fencing
+    (5L until 8L).foreach { e =>
+      val vals = (1L to 60L).filter(k => (k + e) % 4 == 0)
+        .map(k => k -> (e * 1000 + k))
+      assert(upsert(dst, 32, e, vals))
+      model = model ++ vals
+    }
+    assert(readState(dst) == model)
+
+    // a from-scratch 32-bucket state fed the same epochs agrees —
+    // rebucket + continue is indistinguishable from always-32
+    val fresh = Files.createTempDirectory("graft_rb_fresh").toString
+    var freshModel = Map.empty[Long, Long]
+    (0L until 5L).foreach { e =>
+      val vals = (1L to 40L).filter(k => (k + e) % 3 == 0)
+        .map(k => k -> (e * 1000 + k))
+      upsert(fresh, 32, e, vals); freshModel = freshModel ++ vals
+    }
+    (5L until 8L).foreach { e =>
+      val vals = (1L to 60L).filter(k => (k + e) % 4 == 0)
+        .map(k => k -> (e * 1000 + k))
+      upsert(fresh, 32, e, vals); freshModel = freshModel ++ vals
+    }
+    assert(readState(fresh) == readState(dst))
+  }
+
+  test("rebucket guards: replay is a fenced no-op, mismatched advance " +
+      "and dirty target fail loudly") {
+    val src = Files.createTempDirectory("graft_rb2_src").toString
+    val dst = Files.createTempDirectory("graft_rb2_dst").toString + "/s"
+    assert(upsert(src, 8, 0L, Seq(1L -> 10L, 2L -> 20L, 33L -> 30L)))
+    assert(ExactlyOnce.rebucketState(spark, src, dst, "k", 32))
+    val state = readState(dst)
+
+    // crash-replay of the migration epoch: fenced no-op
+    assert(!ExactlyOnce.rebucketState(spark, src, dst, "k", 32))
+    assert(readState(dst) == state)
+
+    // advancing the migrated dir at the OLD count trips the pin
+    val e1 = intercept[RuntimeException](
+      upsert(dst, 8, 1L, Seq(3L -> 31L)))
+    assert(e1.getMessage.contains("bucketed 32 ways"), e1.getMessage)
+
+    // rebucketing into a dir that holds unrelated state (different
+    // epoch) is refused — it would union two states
+    val e2 = intercept[IllegalArgumentException](
+      ExactlyOnce.rebucketState(spark, src, dst, "k", 32, batchId = 7L))
+    assert(e2.getMessage.contains("different epoch"), e2.getMessage)
+
+    // a source with no committed state is refused
+    val e3 = intercept[IllegalArgumentException](
+      ExactlyOnce.rebucketState(spark,
+        Files.createTempDirectory("graft_rb2_none").toString,
+        dst + "_x", "k", 32))
+    assert(e3.getMessage.contains("no committed state"), e3.getMessage)
+  }
+}

@@ -60,7 +60,7 @@ object Ivf {
     * carried-vector pattern verified at 30× for [[KMeans]]
     * (sim_kmeans 11.3 → 7.9 s).
     */
-  private def assignCarrying(vecs: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignCarrying(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents))
       .withColumn("score",
         arrayDot(col("c"), col("c")) - arrayDot(col("v"), col("c")) * 2)
@@ -113,7 +113,19 @@ object Ivf {
         graft.queries.SimilarityQueries.probePred(col("vec_id")))
       .select(col("vec_id").as("probe_id"),
         col("v").as("pv"), col("norm").as("pnorm"))
-    val probeCells = probes.crossJoin(broadcast(cents))
+    scanCandidates(indexed, routeProbes(cents, probes, nprobe), k)
+  }
+
+  /** Probe routing: the nprobe nearest cells per probe row
+    * (probe_id, pv, pnorm) against a broadcast codebook. Shared by the
+    * per-query [[search]] and the durable standing index
+    * ([[graft.streaming.StreamingIvfIndex]]) — the standing index ALSO
+    * turns the routed cells into a touched-shard set so its candidate
+    * read is bucket-pruned.
+    */
+  private[graft] def routeProbes(cents: DataFrame, probes: DataFrame,
+      nprobe: Int): DataFrame =
+    probes.crossJoin(broadcast(cents))
       .withColumn("score",
         arrayDot(col("c"), col("c")) - arrayDot(col("pv"), col("c")) * 2)
       .withColumn("cr", row_number().over(Window.partitionBy(col("probe_id"))
@@ -121,9 +133,12 @@ object Ivf {
       .filter(col("cr") <= nprobe)
       .select(col("probe_id"), col("pv"), col("pnorm"), col("cell_id"))
 
-    // candidate scan: only vectors in the probed cells; the probe side
-    // is ≤ MaxProbes × nprobe rows — broadcast it so the index side
-    // never shuffles
+  /** Candidate scan + top-k: only vectors in the probed cells; the
+    * probe side is ≤ MaxProbes × nprobe rows — broadcast it so the
+    * index side never shuffles.
+    */
+  private[graft] def scanCandidates(indexed: DataFrame,
+      probeCells: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     broadcast(probeCells).as("p")

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{ExactlyOnce, Ivf}
+
+/** DURABLE standing IVF index — the lake-backed deployment shape for
+  * approximate nearest-neighbor at corpus scale, the counterpart of
+  * [[StreamingLshIndex]] for the vector modality. The per-query
+  * [[graft.operators.Ivf.search]] rebuilds codebook + assignment in
+  * session storage on every call (its scaladoc pins that single-shot
+  * contract); a pipeline that ingests vectors continuously instead
+  * wants an index that SURVIVES the stream and answers queries by
+  * reading only the probed cells' shards:
+  *
+  *   - the codebook is trained ONCE on the bulk epoch
+  *     ([[graft.operators.Ivf.codebook]], per-label centroids) and
+  *     FROZEN — the standard IVF train-then-freeze contract; its
+  *     parquet is deterministic (decimal-exact means, round(6)), so a
+  *     torn-epoch replay rewrites identical bytes;
+  *   - each epoch assigns its vectors to cells with the carried-vector
+  *     argmin (no corpus re-join) and folds them into hash-bucketed
+  *     versioned parquet keyed on cell_id under
+  *     [[ExactlyOnce.advanceStateBucketed]] — per-epoch write cost is
+  *     O(batch + touched shards' rows), never O(index); replays are
+  *     fenced no-ops; re-ingesting a vec_id replaces its row;
+  *   - [[search]] routes probes to their nprobe nearest cells against
+  *     the broadcast frozen codebook, turns the routed cells into a
+  *     touched-shard set, and reads ONLY those shards
+  *     ([[ExactlyOnce.currentStateBuckets]]) — at 100 TB the query
+  *     touches a handful of state files, never the index; the
+  *     candidate scan itself is the same broadcast shape as the
+  *     per-query operator ([[graft.operators.Ivf.scanCandidates]]).
+  *
+  * 100 TB design: shard count is a deployment parameter sized so a
+  * cell's slice stays file-sized (the bucket-sizing lever measured in
+  * IVM_PROFILE_r14; [[ExactlyOnce.rebucketState]] migrates a grown
+  * index); cell count bounds the candidate scan per probe at
+  * nprobe × (corpus / cells) rows.
+  */
+object StreamingIvfIndex {
+
+  /** Physical shards of the persisted index (tests; production uses
+    * thousands — see scaladoc).
+    */
+  val DefaultShards = 16
+
+  val indexSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("cell_id", IntegerType),
+    StructField("v", ArrayType(DoubleType)),
+    StructField("norm", DoubleType)))
+
+  private def emptyIndex(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
+
+  private def stateDir(root: String) = s"$root/state"
+  private def codebookDir(root: String) = s"$root/codebook"
+
+  /** (vec_id, label, v, norm) node frame from a raw
+    * (vec_id, label, embedding) batch — the same projection the
+    * per-query operator starts from.
+    */
+  private def nodes(batch: DataFrame): DataFrame =
+    batch.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", graft.functions.VectorOps.l2Norm(col("v")))
+
+  /** The frozen codebook (cell_id, c, cnorm). */
+  def codebook(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(codebookDir(root))
+
+  /** foreachBatch body: fold one micro-batch of
+    * (vec_id, label, embedding) into the index at `root`. The FIRST
+    * batch (no codebook on disk yet) trains and freezes the codebook —
+    * the bulk-load contract: epoch 0 must be a representative corpus
+    * slice, exactly like any IVF/PQ training split. Returns
+    * advanceStateBucketed's advanced/fenced flag.
+    */
+  def materializer(spark: SparkSession, root: String,
+      numShards: Int = DefaultShards, retain: Int = 2)(
+      batch: DataFrame, batchId: Long): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val cbPath = new org.apache.hadoop.fs.Path(codebookDir(root))
+    val ns = nodes(batch)
+    if (!fs.exists(cbPath))
+      // deterministic content (decimal-exact means, round(6)) — a
+      // crash between this write and the epoch marker replays to
+      // identical bytes, so the codebook needs no fence of its own
+      Ivf.codebook(ns).write.mode(SaveMode.Overwrite)
+        .parquet(codebookDir(root))
+    val cents = codebook(spark, root)
+    val assigned = Ivf.assignCarrying(ns, cents)
+      .select(col("vec_id"), col("cell_id"), col("v"), col("norm"))
+    ExactlyOnce.advanceStateBucketed(spark, stateDir(root), batchId,
+      assigned, "cell_id", numShards, retain)(emptyIndex(spark)) {
+      current =>
+        // re-ingested vec_ids replace their rows; `current` holds the
+        // touched SHARDS' full content (a superset of the batch's
+        // cells), so the anti join resolves without reading cold shards
+        current.join(assigned.select(col("vec_id")), Seq("vec_id"),
+            "left_anti")
+          .unionByName(assigned)
+    }
+  }
+
+  /** The standing index (vec_id, cell_id, v, norm), per shard the
+    * newest committed epoch's version.
+    */
+  def index(spark: SparkSession, root: String): DataFrame = {
+    require(ExactlyOnce.hasCommittedState(spark, stateDir(root)),
+      s"no committed index state under $root")
+    ExactlyOnce.currentStateBucketed(spark, stateDir(root))(
+      emptyIndex(spark))
+  }
+
+  /** Top-k cosine neighbors for `probes` (probe_id, pv — raw float or
+    * double vectors) against the standing index, reading ONLY the
+    * probed cells' shards. The routed probe set is ≤ |probes| × nprobe
+    * rows; turning it into the touched-shard set is one bounded
+    * driver collect (the same class as the materializers'
+    * touched-bucket probes — iteration control, not data).
+    */
+  def search(spark: SparkSession, root: String, probes: DataFrame,
+      k: Int = 10, nprobe: Int = 2,
+      numShards: Int = DefaultShards): DataFrame = {
+    val cents = codebook(spark, root)
+    val p = probes
+      .select(col("probe_id"), col("pv").cast("array<double>").as("pv"))
+      .withColumn("pnorm", graft.functions.VectorOps.l2Norm(col("pv")))
+    val routed = Ivf.routeProbes(cents, p, nprobe)
+    val touched = routed
+      .select(col("cell_id"),
+        ExactlyOnce.bucketOf("cell_id", numShards).as("shard"))
+      .distinct().collect()
+      .map(_.getAs[Int]("shard")).toSet
+    val candidates = ExactlyOnce.currentStateBuckets(spark,
+      stateDir(root), touched, expectedBuckets = Some(numShards),
+      schema = Some(indexSchema))(emptyIndex(spark))
+    Ivf.scanCandidates(candidates, routed, k)
+  }
+
+  /** [[search]] with the probe sample drawn from the index itself
+    * (the declared-operator shape: `SimilarityQueries.probePred` —
+    * at most MaxProbes probes at any corpus size). The pnorm recompute
+    * inside [[search]] reproduces the stored norm bit-exactly (same
+    * formula over the same doubles).
+    */
+  def searchSelf(spark: SparkSession, root: String, k: Int = 10,
+      nprobe: Int = 2, numShards: Int = DefaultShards): DataFrame =
+    search(spark, root,
+      index(spark, root)
+        .filter(graft.queries.SimilarityQueries.probePred(col("vec_id")))
+        .select(col("vec_id").as("probe_id"), col("v").as("pv")),
+      k, nprobe, numShards)
+}

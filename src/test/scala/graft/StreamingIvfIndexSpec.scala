@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+import graft.operators.{ExactlyOnce, Ivf}
+import graft.streaming.StreamingIvfIndex
+
+/** Durable standing IVF index: epoch-fenced incremental ingest must
+  * converge to the frozen-codebook batch answer exactly, write only
+  * touched shards per epoch, prune its candidate reads to the probed
+  * cells' shards, and fence replays.
+  */
+class StreamingIvfIndexSpec extends SparkSpec {
+
+  private val Shards = 16
+
+  private def embs() = queries.Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("label"), col("embedding"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("three-epoch ingest == frozen-codebook batch search, bit-exact; " +
+      "steady epochs write only touched shards; replays fenced") {
+    val root = Files.createTempDirectory("graft_ivfidx").toString
+    val e = embs()
+    // epoch 0 = bulk (trains + freezes the codebook); 1-2 = increments
+    val bulk = e.filter(col("vec_id") % 10 < 8)
+    val inc1 = e.filter(col("vec_id") % 10 === 8)
+    val inc2 = e.filter(col("vec_id") % 10 === 9)
+    assert(StreamingIvfIndex.materializer(spark, root, Shards)(bulk, 0L))
+    assert(StreamingIvfIndex.materializer(spark, root, Shards)(inc1, 1L))
+    assert(StreamingIvfIndex.materializer(spark, root, Shards)(inc2, 2L))
+
+    // the index holds every ingested vector exactly once
+    val idx = StreamingIvfIndex.index(spark, root)
+    assert(idx.count() == e.count())
+    assert(idx.select(col("vec_id")).distinct().count() == e.count())
+
+    // parity: the standing index's self-probe search equals the batch
+    // path with the SAME frozen codebook over the full corpus — the
+    // train-then-freeze contract makes the comparison exact
+    val cents = StreamingIvfIndex.codebook(spark, root)
+    val nodesAll = e.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", graft.functions.VectorOps.l2Norm(col("v")))
+    val indexedAll = Ivf.assignCarrying(nodesAll, cents)
+    val probes = indexedAll.filter(
+        queries.SimilarityQueries.probePred(col("vec_id")))
+      .select(col("vec_id").as("probe_id"),
+        col("v").as("pv"), col("norm").as("pnorm"))
+    val want = rows(Ivf.scanCandidates(indexedAll,
+      Ivf.routeProbes(cents, probes, 2), 10))
+    val got = rows(StreamingIvfIndex.searchSelf(spark, root, 10, 2, Shards))
+    assert(want.nonEmpty)
+    assert(got == want, "standing-index search diverged from the " +
+      "frozen-codebook batch answer")
+
+    // o_touched: the increments touched a strict subset of shards
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(1, 2).foreach { ep =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/state/state-$ep")
+      val touched = fs.listStatus(p)
+        .count(_.getPath.getName.startsWith("__bucket="))
+      assert(touched > 0 && touched < Shards,
+        s"epoch $ep touched $touched/$Shards shards — not O(touched)")
+    }
+
+    // replay of a committed epoch with garbage content: fenced no-op
+    import spark.implicits._
+    val garbage = Seq((999999L, 0, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "label", "embedding")
+    assert(!StreamingIvfIndex.materializer(spark, root, Shards)(garbage, 1L))
+    assert(StreamingIvfIndex.index(spark, root).count() == e.count())
+  }
+
+  test("search reads ONLY the probed cells' shards (pruned input files)") {
+    val root = Files.createTempDirectory("graft_ivfidx2").toString
+    StreamingIvfIndex.materializer(spark, root, Shards)(embs(), 0L)
+    val cents = StreamingIvfIndex.codebook(spark, root)
+    // one probe vector -> nprobe=1 nearest cell -> exactly 1 shard
+    import spark.implicits._
+    val one = embs().orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("probe_id"),
+        col("embedding").cast("array<double>").as("pv"))
+    val res = StreamingIvfIndex.search(spark, root, one, 5, 1, Shards)
+    val routed = Ivf.routeProbes(cents,
+      one.withColumn("pnorm",
+        graft.functions.VectorOps.l2Norm(col("pv"))), 1)
+    val shard = routed.select(
+      ExactlyOnce.bucketOf("cell_id", Shards).as("s")).head().getInt(0)
+    val BucketLeaf = ".*/__bucket=(\\d+)/[^/]+$".r
+    val files = res.inputFiles.filter(_.contains("__bucket="))
+    assert(files.nonEmpty)
+    assert(files.forall(f => BucketLeaf.findFirstMatchIn(f)
+        .exists(_.group(1).toInt == shard)),
+      s"candidate read left the probed shard $shard: ${files.toSeq}")
+    assert(res.count() > 0)
+  }
+
+  test("a grown index rebuckets to more shards and searches identically") {
+    val root = Files.createTempDirectory("graft_ivfidx3").toString
+    StreamingIvfIndex.materializer(spark, root, Shards)(embs(), 0L)
+    val before = rows(StreamingIvfIndex.searchSelf(spark, root, 10, 2, Shards))
+    // adopt 4x the shards (the bucket-sizing lever) without rebuilding
+    val root2 = Files.createTempDirectory("graft_ivfidx3b").toString
+    assert(ExactlyOnce.rebucketState(spark, s"$root/state",
+      s"$root2/state", "cell_id", Shards * 4))
+    // the codebook is frozen content — carry it over verbatim
+    StreamingIvfIndex.codebook(spark, root).write
+      .parquet(s"$root2/codebook")
+    val after = rows(StreamingIvfIndex.searchSelf(spark, root2, 10, 2,
+      Shards * 4))
+    assert(after == before, "rebucketed index answers diverged")
+  }
+}

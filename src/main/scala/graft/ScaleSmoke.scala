@@ -464,6 +464,67 @@ object ScaleSmoke {
       s"events, pass=$lshPass")
     if (!lshPass) failed += "lsh_index_materializer_o_touched"
 
+    // Durable standing IVF ANN index (round 14) on the same bulk +
+    // trickle shape: the bulk epoch trains + freezes the codebook and
+    // folds all 60k vectors; steady epochs ingest 8 fresh vectors each
+    // (touched-shard writes only). Gates: (a) searchSelf over the
+    // standing index is BIT-EQUAL to the frozen-codebook batch scan of
+    // everything ingested — the train-then-freeze contract makes the
+    // comparison exact; (b) steady epochs touch a strict subset of
+    // shards.
+    val IvfShards = 32
+    val ivfRoot = s"$dir/ivf_index"
+    hfs.delete(new org.apache.hadoop.fs.Path(ivfRoot), true)
+    val vecs30 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val maxVecId = vecs30.agg(max(col("vec_id"))).head().getLong(0)
+    def ivfSteady(e: Int) = vecs30.orderBy(col("vec_id")).limit(8)
+      .withColumn("vec_id", col("vec_id") + lit(maxVecId + e * 1000L))
+    val ivfEpochs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var ivfSteadyTouchedMax = 0
+    (0 to 2).foreach { e =>
+      val batch = if (e == 0) vecs30 else ivfSteady(e)
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingIvfIndex.materializer(
+        spark, ivfRoot, IvfShards)(batch, e.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = dirRows(s"$ivfRoot/state/state-$e")
+      val touched = {
+        val p = new org.apache.hadoop.fs.Path(s"$ivfRoot/state/state-$e")
+        if (!hfs.exists(p)) 0
+        else hfs.listStatus(p).count(_.getPath.getName.startsWith("__bucket="))
+      }
+      if (e > 0) ivfSteadyTouchedMax = math.max(ivfSteadyTouchedMax, touched)
+      ivfEpochs += s"""{"epoch":$e,"sec":${math.round(sec * 1000) / 1000.0},"rows_written":$rows,"shards_touched":$touched}"""
+      println(f"[scale] ivf-index epoch $e: $sec%.1f s, $rows rows, " +
+        f"$touched/$IvfShards shards")
+    }
+    val ivfIdxRows = graft.streaming.StreamingIvfIndex
+      .index(spark, ivfRoot).count()
+    val ivfCents = graft.streaming.StreamingIvfIndex.codebook(spark, ivfRoot)
+    val ivfIngested = vecs30.unionByName(ivfSteady(1)).unionByName(ivfSteady(2))
+    val ivfNodes = ivfIngested.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", graft.functions.VectorOps.l2Norm(col("v")))
+    val ivfIndexedAll = graft.operators.Ivf.assignCarrying(ivfNodes, ivfCents)
+    val ivfProbes = ivfIndexedAll.filter(
+        queries.SimilarityQueries.probePred(col("vec_id")))
+      .select(col("vec_id").as("probe_id"),
+        col("v").as("pv"), col("norm").as("pnorm"))
+    val ivfWant = graft.operators.Ivf.scanCandidates(ivfIndexedAll,
+      graft.operators.Ivf.routeProbes(ivfCents, ivfProbes, 2), 10)
+      .collect().map(_.toString).toSeq
+    val ivfGot = graft.streaming.StreamingIvfIndex
+      .searchSelf(spark, ivfRoot, 10, 2, IvfShards)
+      .collect().map(_.toString).toSeq
+    val ivfPass = ivfIdxRows == ivfIngested.count() &&
+      ivfWant.nonEmpty && ivfGot == ivfWant &&
+      ivfSteadyTouchedMax > 0 && ivfSteadyTouchedMax < IvfShards
+    println(s"[scale] ivf-index: $ivfIdxRows rows, search parity " +
+      s"${ivfGot == ivfWant} (${ivfWant.size} result rows), steady " +
+      s"shards <= $ivfSteadyTouchedMax/$IvfShards, pass=$ivfPass")
+    if (!ivfPass) failed += "ivf_index_parity_o_touched"
+
     // Incremental join view at 30x: bulk epoch materializes the full
     // 4.5M-order x 15k-customer join, steady epochs ingest 40 orders
     // for 8 hot customers (epoch write must be the touched buckets'
@@ -679,7 +740,8 @@ object ScaleSmoke {
           .mkString("[", ",", "]")},"history_rows":$scdHistoryRows,"steady_epoch_rows":$scdSteadyRows,"o_touched_pass":$scdPass},"replica_versioned":{"buckets":$ScdBuckets,"epochs":${repEpochs
           .mkString("[", ",", "]")},"live_rows":$repLive,"steady_epoch_rows":$repSteadyRows,"o_touched_pass":$repPass},"dup_spans":${ScaleHarness
           .dupSpansJson(dupRes, DupBuckets)},"lsh_index":{"shards":$LshShards,"epochs":${lshEpochs
-          .mkString("[", ",", "]")},"index_rows":$lshIndexRows,"dup_events":$lshEvents,"steady_epoch_rows":$lshSteadyRows,"steady_epoch_shards":$lshSteadyTouched,"slice_bound_rows":${math.round(lshSliceBound)},"o_touched_pass":$lshPass},"join_view":{"buckets":$JvBuckets,"epochs":${jvEpochs
+          .mkString("[", ",", "]")},"index_rows":$lshIndexRows,"dup_events":$lshEvents,"steady_epoch_rows":$lshSteadyRows,"steady_epoch_shards":$lshSteadyTouched,"slice_bound_rows":${math.round(lshSliceBound)},"o_touched_pass":$lshPass},"ivf_index":{"shards":$IvfShards,"epochs":${ivfEpochs
+          .mkString("[", ",", "]")},"index_rows":$ivfIdxRows,"search_parity_pass":${ivfGot == ivfWant},"steady_epoch_shards_max":$ivfSteadyTouchedMax,"o_touched_pass":$ivfPass},"join_view":{"buckets":$JvBuckets,"epochs":${jvEpochs
           .mkString("[", ",", "]")},"view_rows":$jvViewRows,"view_mass":$jvMass,"batch_join_rows":$jvTruth,"steady_epoch_rows":$jvSteadyRows,"parity_pass":$jvParity,"o_touched_pass":$jvPass},"sketch_reservoir":{"epochs":${sketchEpochs
           .mkString("[", ",", "]")},"strata":$gkGroups,"reservoir_rows":$rsRows,"state_bound_pass":$sketchPass},"novelty":{"buckets":64,"epochs":${nvEpochs
           .mkString("[", ",", "]")},"steady_epoch_sec_max":${math.round(nvSteadySecMax * 1000) / 1000.0},"parity_pass":$nvParity},"cdc_ivm_e2e":${ScaleHarness

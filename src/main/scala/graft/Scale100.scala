@@ -275,10 +275,17 @@ object Scale100 {
       val base = new String(java.nio.file.Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8).trim
       if (base.endsWith("}")) {
-        val merged = base.dropRight(1) + ",\"x100\":" + json + "}"
+        // idempotent: a re-run REPLACES an existing x100 section
+        // instead of appending a duplicate key (the splice always
+        // appends x100 last, so truncating at its key is exact)
+        val cut = base.indexOf(",\"x100\":")
+        val trunk = if (cut >= 0) base.substring(0, cut)
+          else base.dropRight(1)
+        val merged = trunk + ",\"x100\":" + json + "}"
         java.nio.file.Files.write(p, merged.getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
-        println(s"[scale] spliced x100 section into $p")
+        println(s"[scale] spliced x100 section into $p" +
+          (if (cut >= 0) " (replaced prior x100)" else ""))
       }
     }
     spark.stop()

@@ -511,12 +511,17 @@ object ScaleSmoke {
         queries.SimilarityQueries.probePred(col("vec_id")))
       .select(col("vec_id").as("probe_id"),
         col("v").as("pv"), col("norm").as("pnorm"))
+    // sorted before comparing: the two sides run different physical
+    // plans (pruned standing-index read vs full batch scan), and
+    // although scanCandidates ends in an orderBy, comparing as sorted
+    // multisets keeps the bit-exact row-content check independent of
+    // any plan-level ordering accident (the FusedAdvanceSpec pattern)
     val ivfWant = graft.operators.Ivf.scanCandidates(ivfIndexedAll,
       graft.operators.Ivf.routeProbes(ivfCents, ivfProbes, 2), 10)
-      .collect().map(_.toString).toSeq
+      .collect().map(_.toString).toSeq.sorted
     val ivfGot = graft.streaming.StreamingIvfIndex
       .searchSelf(spark, ivfRoot, 10, 2, IvfShards)
-      .collect().map(_.toString).toSeq
+      .collect().map(_.toString).toSeq.sorted
     val ivfPass = ivfIdxRows == ivfIngested.count() &&
       ivfWant.nonEmpty && ivfGot == ivfWant &&
       ivfSteadyTouchedMax > 0 && ivfSteadyTouchedMax < IvfShards

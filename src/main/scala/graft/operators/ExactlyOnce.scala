@@ -817,6 +817,20 @@ object ExactlyOnce {
     * fresh; re-running the SAME `batchId` after a mid-migration crash
     * is a fenced no-op (returns false), the same at-least-once
     * contract every epoch write carries.
+    *
+    * Provenance: before migrating, the dst ledger gets a marker naming
+    * the src dir (a deterministic digest of its path). The fenced-
+    * replay path VERIFIES that marker and the pinned bucket count — a
+    * dst that happens to carry an unrelated state whose `batchId`
+    * committed is a mis-pointed migration, not a replay, and fails
+    * loudly instead of returning false as if the migration were done.
+    *
+    * Ledger tags: the src's non-structural ledger stamps (the packed-
+    * key codec tag and any other operator-declared tags) are COPIED to
+    * the dst before the migration epoch — the materializer resuming on
+    * the dst would otherwise trip its own codec-stamp guard
+    * ("committed epochs but no codec stamp") on state this very op
+    * produced from correctly-stamped input.
     */
   def rebucketState(spark: SparkSession, srcDir: String, dstDir: String,
       keyCol: String, newBuckets: Int, batchId: Long = 0L,
@@ -826,11 +840,40 @@ object ExactlyOnce {
         " the fencing its own crash-safety rests on")
     require(hasCommittedState(spark, srcDir),
       s"no committed state at $srcDir to rebucket")
-    require(!hasCommittedState(spark, dstDir) ||
-        isEpochCommitted(spark, dstDir, batchId),
-      s"$dstDir already carries state from a different epoch — rebucket" +
-        " targets a fresh dir (a replay of the same batchId is a fenced" +
-        " no-op)")
+    val provenance = "migsrc-" + java.util.UUID.nameUUIDFromBytes(
+      srcDir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+    val fs = stateFs(spark, dstDir)
+    val dstLedger = new org.apache.hadoop.fs.Path(s"$dstDir/_ledger")
+    if (hasCommittedState(spark, dstDir)) {
+      // only a fenced replay of THIS migration may pass: the dst must
+      // name this src as its provenance AND already pin the new count
+      require(isEpochCommitted(spark, dstDir, batchId),
+        s"$dstDir already carries state from a different epoch —" +
+          " rebucket targets a fresh dir (a replay of the same batchId" +
+          " is a fenced no-op)")
+      val names = listLedger(fs, dstLedger).map(_.getPath.getName)
+      if (!names.contains(provenance)) sys.error(
+        s"$dstDir has epoch $batchId committed but no provenance marker" +
+          s" for $srcDir — it holds an UNRELATED state, not a replay of" +
+          " this migration; refusing to report it as fenced")
+      if (!pinnedInNames(names).contains(newBuckets)) sys.error(
+        s"$dstDir carries provenance for $srcDir but is pinned" +
+          s" ${pinnedInNames(names).getOrElse("un")}-bucketed, not" +
+          s" $newBuckets — a half-committed or mis-parameterized" +
+          " migration; rebuild the dst")
+    }
+    // pre-advance, crash-safe order: marker + tags with no committed
+    // state are inert; the advance's own fence makes the commit atomic
+    fs.mkdirs(dstLedger)
+    fs.create(new org.apache.hadoop.fs.Path(dstLedger, provenance), true)
+      .close()
+    val srcLedger = new org.apache.hadoop.fs.Path(s"$srcDir/_ledger")
+    listLedger(stateFs(spark, srcDir), srcLedger).map(_.getPath.getName)
+      .filterNot(n => EpochMarkerRe.matches(n) || HwmMarkerRe.matches(n) ||
+        OwnersRe.matches(n) || CompactMarkerRe.matches(n) ||
+        n.startsWith("buckets-") || n.startsWith("migsrc-"))
+      .foreach(tag => fs.create(
+        new org.apache.hadoop.fs.Path(dstLedger, tag), true).close())
     val live = currentStateBucketed(spark, srcDir)(sys.error(
       s"state at $srcDir is committed but every bucket is empty —" +
         " nothing to rebucket"))

@@ -55,6 +55,27 @@ object DerivationCache {
   def on(s: SparkSession): Boolean =
     s.conf.get("spark.graft.dedup.derivationCache", "false").toBoolean
 
+  /** Drop entries whose session's SparkContext has STOPPED — the
+    * session-churn leak guard: the memo map strongly holds (session,
+    * DataFrame) pairs, so a long-lived JVM that churns contexts (a job
+    * server, a test harness restarting Spark) would otherwise pin
+    * every dead session's object graph forever. The dead context's
+    * blocks died with it — there is nothing to unpersist, only strong
+    * references to release. Runs at the head of [[memoized]] and
+    * [[clear]], so any live-session cache activity reclaims the dead.
+    */
+  private def purgeStopped(): Unit = {
+    import scala.jdk.CollectionConverters._
+    memos.keySet.asScala.filter(_._1.sparkContext.isStopped).toSeq
+      .foreach(memos.remove)
+  }
+
+  /** Number of live memo entries held for `s` (spec instrument). */
+  private[graft] def entryCount(s: SparkSession): Int = {
+    import scala.jdk.CollectionConverters._
+    memos.keySet.asScala.count(_._1 eq s)
+  }
+
   /** Persisted RDD ids owned by live memo entries of this session —
     * storage sweeps (ScaleSmoke's per-op unpersist) must skip these.
     */
@@ -72,10 +93,13 @@ object DerivationCache {
     */
   def clear(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
-    val ids = memoOwnedRddIds(s)
-    s.sparkContext.getPersistentRDDs
-      .filter { case (id, _) => ids(id) }
-      .values.foreach(_.unpersist(blocking = true))
+    purgeStopped()
+    if (!s.sparkContext.isStopped) {
+      val ids = memoOwnedRddIds(s)
+      s.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => ids(id) }
+        .values.foreach(_.unpersist(blocking = true))
+    }
     memos.keySet.asScala
       .filter(_._1 eq s).toSeq.foreach(memos.remove)
   }
@@ -106,6 +130,7 @@ object DerivationCache {
   def memoized(s: SparkSession, dir: String, stage: String,
       src: String = "documents.parquet")(build: => DataFrame): DataFrame = {
     if (!on(s)) return build
+    purgeStopped()
     val k = (s, dir, stage)
     val sig = fixtureSig(s, dir, src)
     def evict(m: Memo): Unit = {

@@ -85,12 +85,17 @@ object StreamingIvfIndex {
       batch: DataFrame, batchId: Long): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    val cbPath = new org.apache.hadoop.fs.Path(codebookDir(root))
+    // gate on the commit marker, NOT directory existence: a crash
+    // DURING the epoch-0 codebook job leaves a torn dir (partial part
+    // files, no _SUCCESS) that a dir-exists gate would skip retraining
+    // on, assigning every later vector against a broken codebook. The
+    // content is deterministic (decimal-exact means, round(6)), so the
+    // Overwrite replay rewrites identical bytes — the codebook needs
+    // no fence of its own, just an honest done-marker.
+    val cbSuccess = new org.apache.hadoop.fs.Path(
+      codebookDir(root), "_SUCCESS")
     val ns = nodes(batch)
-    if (!fs.exists(cbPath))
-      // deterministic content (decimal-exact means, round(6)) — a
-      // crash between this write and the epoch marker replays to
-      // identical bytes, so the codebook needs no fence of its own
+    if (!fs.exists(cbSuccess))
       Ivf.codebook(ns).write.mode(SaveMode.Overwrite)
         .parquet(codebookDir(root))
     val cents = codebook(spark, root)

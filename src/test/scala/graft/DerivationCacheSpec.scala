@@ -119,4 +119,34 @@ class DerivationCacheSpec extends SparkSpec {
       assert(got == expect, s"memo entry for $d served wrong content")
     }
   }
+
+  // KEEP LAST IN THIS SUITE: it stops the shared SparkContext. Within a
+  // funsuite, tests run in registration order, so the earlier tests see
+  // the live context; the next SUITE's lazy getOrCreate builds a fresh
+  // one (suites run sequentially in the single forked test JVM).
+  test("entries of a stopped session are purged on the next cache use " +
+      "(session-churn leak guard)") {
+    val dead = spark.newSession()
+    dead.conf.set("spark.graft.dedup.derivationCache", "true")
+    rows(SparkEntry.queries("dedup_minhash_pairs")(dead, sf))
+    assert(queries.DerivationCache.entryCount(dead) > 0,
+      "warm-up did not register a memo entry")
+    spark.stop() // kills the shared context; `dead`'s blocks die with it
+    assert(dead.sparkContext.isStopped)
+    // a NEW session's first cache touch must reclaim the dead entries —
+    // the map must not pin the stopped session's object graph forever
+    val fresh = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    fresh.conf.set("spark.graft.dedup.derivationCache", "true")
+    rows(SparkEntry.queries("dedup_minhash_pairs")(fresh, sf))
+    assert(queries.DerivationCache.entryCount(dead) == 0,
+      "stopped session's memo entries survived a live-session cache use")
+    assert(queries.DedupQueries.memoOwnedRddIds(dead).isEmpty)
+    // clear() on a stopped session is safe and a no-op beyond the purge
+    queries.DedupQueries.clearDerivationMemos(dead)
+  }
 }

@@ -121,4 +121,45 @@ class RebucketSpec extends SparkSpec {
         dst + "_x", "k", 32))
     assert(e3.getMessage.contains("no committed state"), e3.getMessage)
   }
+
+  test("a dst holding an UNRELATED state with the same epoch committed " +
+      "is a mis-pointed migration and fails loudly, never a fenced no-op") {
+    val src = Files.createTempDirectory("graft_rb3_src").toString
+    val dst = Files.createTempDirectory("graft_rb3_dst").toString + "/s"
+    assert(upsert(src, 8, 0L, Seq(1L -> 10L)))
+    // the dst already carries a different state whose epoch 0 (the
+    // default migration batchId) committed — the pre-provenance guard
+    // passed this as "fenced replay" and returned false, leaving the
+    // caller unable to tell 'already migrated' from 'never migrated'
+    assert(upsert(dst, 32, 0L, Seq(77L -> 770L)))
+    val e = intercept[RuntimeException](
+      ExactlyOnce.rebucketState(spark, src, dst, "k", 32))
+    assert(e.getMessage.contains("no provenance marker"), e.getMessage)
+    assert(readState(dst) == Map(77L -> 770L), "unrelated state disturbed")
+  }
+
+  test("non-structural ledger tags (codec stamps) migrate with the state " +
+      "so the stamping materializer can resume on the dst") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_rb4").toString
+    val src = s"$root/src"; val dst = s"$root/dst"
+    def batch(rows: Seq[(String, Long, Int)]) =
+      rows.toDF("g", "v", "sgn")
+    // the rollup materializer stamps StateKeys.CodecTag on first write
+    graft.streaming.StreamingRollup.materializerSigned(spark, src,
+      Seq("g"), Seq("v_sum" -> "v"), "sgn", 8)(
+      batch(Seq(("a", 10L, 1), ("b", 5L, 1), ("a", 3L, 1))), 0L)
+    assert(ExactlyOnce.rebucketState(spark, src, dst, "__gkey", 32,
+      batchId = 0L))
+    // resuming the SAME materializer on the migrated dir must not trip
+    // its codec-stamp guard (committed epochs + missing tag)
+    graft.streaming.StreamingRollup.materializerSigned(spark, dst,
+      Seq("g"), Seq("v_sum" -> "v"), "sgn", 32)(
+      batch(Seq(("a", -3L, 1), ("c", 7L, 1))), 1L)
+    val got = graft.streaming.StreamingRollup.rollup(spark, dst, Seq("g"))
+      .select(org.apache.spark.sql.functions.col("g"),
+        org.apache.spark.sql.functions.col("v_sum").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 10L, "b" -> 5L, "c" -> 7L), got.toString)
+  }
 }

@@ -19,8 +19,10 @@ class StreamingIvfIndexSpec extends SparkSpec {
   private def embs() = queries.Tables.embeddings(spark, sf)
     .select(col("vec_id"), col("label"), col("embedding"))
 
+  // sorted: the compared sides run different physical plans, so the
+  // bit-exact row-content check must not lean on collect() order
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
-    df.collect().map(_.toString).toSeq
+    df.collect().map(_.toString).toSeq.sorted
 
   test("three-epoch ingest == frozen-codebook batch search, bit-exact; " +
       "steady epochs write only touched shards; replays fenced") {
@@ -99,6 +101,27 @@ class StreamingIvfIndexSpec extends SparkSpec {
         .exists(_.group(1).toInt == shard)),
       s"candidate read left the probed shard $shard: ${files.toSeq}")
     assert(res.count() > 0)
+  }
+
+  test("a torn epoch-0 codebook dir (no _SUCCESS) is retrained, not " +
+      "skipped or read partially") {
+    val root = Files.createTempDirectory("graft_ivfidx4").toString
+    // simulate a crash DURING the codebook job: the dir exists with a
+    // stray part file but no _SUCCESS commit marker — a dir-exists gate
+    // would skip retraining and every assignment after would be wrong
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val cbDir = new org.apache.hadoop.fs.Path(s"$root/codebook")
+    fs.mkdirs(cbDir)
+    fs.create(new org.apache.hadoop.fs.Path(cbDir,
+      "part-00000-torn.snappy.parquet"), true).close()
+    assert(StreamingIvfIndex.materializer(spark, root, Shards)(embs(), 0L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(cbDir, "_SUCCESS")),
+      "replayed codebook write left no commit marker")
+    // the retrained codebook is readable and search works end to end
+    assert(StreamingIvfIndex.codebook(spark, root).count() > 0)
+    assert(StreamingIvfIndex.searchSelf(spark, root, 5, 1, Shards)
+      .count() > 0)
   }
 
   test("a grown index rebuckets to more shards and searches identically") {

@@ -219,18 +219,23 @@ object Scale100 {
       s"$dir/dupspans_state", s"$dir/dupspans_out", DupBuckets)
     if (!dupRes.pass) failed += "dupspans_materializer_o_touched_probe"
 
-    // ---- CDC → IVM chain at 100x (same harness as 30x) ----
+    // ---- CDC → IVM chain at 100x: bulk at 64 buckets, then the
+    // in-smoke rebucketState 64→256 migration (the r14 A/B's winning
+    // arm, IVM_BUCKETS_AB_r14 2.10 s), steady/ripple epochs at 256 —
+    // the maintenance op proven end to end in the shape a deployment
+    // runs it, and the steady floor GATED at the state-proportional
+    // bucket shape (ScaleGates.Ivm100SteadyOverheadMaxSec).
     val IvmBuckets = 64
-    val ivmRes = ScaleHarness.runIvmE2E(spark, dir, IvmBuckets)
+    val IvmBucketsSteady = 256
+    val ivmRes = ScaleHarness.runIvmE2E(spark, dir, IvmBuckets,
+      migrateTo = Some(IvmBucketsSteady))
     if (!ivmRes.parityPass) failed += "cdc_ivm_e2e"
-    // the 30x steady-overhead bar is NOT re-gated at 100x (state-size
-    // dependence of the listing/probe floor is exactly what this
-    // section measures); recorded for the trend line instead.
-    // IVM_PROFILE_r14.md decomposes the recorded number: roughly half
-    // is in-session capture inflation (a fresh-JVM arm reads 3.52 s),
-    // and the rest is the bucket-slice data term — the identical
-    // chain at 256 buckets (slice bytes sized to state, the shuffle-
-    // partition analogy) reads 2.10 s steady with exact parity.
+    if (!ScaleGates.ivm100SteadyOk(ivmRes.steadyOverheadSec)) {
+      failed += "ivm100_steady_overhead_regression"
+      System.err.println(f"[scale] GATE: 100x ivm steady overhead " +
+        f"${ivmRes.steadyOverheadSec}%.2f s at $IvmBucketsSteady buckets " +
+        f"exceeds ${ScaleGates.Ivm100SteadyOverheadMaxSec} s")
+    }
 
     // ---- memory headroom (JVM heap-pool peaks) ----
     // old-gen peak is the live-set proxy (the "does the working set
@@ -263,7 +268,7 @@ object Scale100 {
           .round(annRecall * 10000) / 10000.0},"ann_threshold":0.30,"ann_pass":$annPass},"materializers":{"dup_spans":${ScaleHarness
           .dupSpansJson(dupRes, DupBuckets)},"cdc_ivm_e2e":${ScaleHarness
           .ivmJson(ivmRes, IvmBuckets)}},"memory":{"heap_max_mb":$heapMaxMb,"old_gen_peak_mb":$oldGenPeakMb,"headroom_mb":${heapMaxMb - oldGenPeakMb},"pool_peak_sum_mb_upper_bound":$poolPeakSumMb},"failed":${failed
-          .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"100x heavy families through the 30x harness code (ScaleHarness): derivations timed once per family (session cache), family ops post-derivation; corpus strata: 80% cloned 120x (over LSH bucket cap 64 - dropped from pair scope by design, recovered by the exact text-hash census), 10% cloned 30x (under-cap clone-recall truth), 10% salted singleton + near-dup variant; dup-spans probe pin and IVM parity via the identical 30x protocol"}"""
+          .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"100x heavy families through the 30x harness code (ScaleHarness): derivations timed once per family (session cache), family ops post-derivation; corpus strata: 80% cloned 120x (over LSH bucket cap 64 - dropped from pair scope by design, recovered by the exact text-hash census), 10% cloned 30x (under-cap clone-recall truth), 10% salted singleton + near-dup variant; dup-spans probe pin and IVM parity via the identical 30x protocol; IVM chain: bulk epochs at 64 buckets, in-smoke rebucketState 64->256 migration at the epoch-3 frontier (stop query, migrate 8 states, resume from checkpoint), steady/ripple epochs at 256 with steady gated <= 3.5s (ScaleGates.Ivm100SteadyOverheadMaxSec)"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[scale] wrote $outPath")

@@ -28,12 +28,29 @@ object ScaleGates {
   val PageRankMaxSec = 15.0
   val DupSpansProbeBucketsMax = 52
 
+  /** 100× IVM steady-epoch ceiling AT THE STATE-PROPORTIONAL BUCKET
+    * SHAPE (the r14 A/B: 256 buckets reads 2.10 s steady at 100× —
+    * below the 30× floor; the 64-bucket shape reads 3.18–3.52 s and is
+    * NOT the deployment shape at that state size). The 100× smoke
+    * earns this gate by migrating 64→256 mid-run via
+    * `ExactlyOnce.rebucketState` and measuring the steady epochs at
+    * 256 — losing either the migration or the fused advances puts the
+    * number over this ceiling.
+    */
+  val Ivm100SteadyOverheadMaxSec = 3.5
+
   /** True iff the measured IVM steady-epoch overhead holds the bar.
     * A missing measurement (negative sentinel) FAILS — a smoke that
     * never produced steady epochs must not pass silently.
     */
   def ivmSteadyOk(sec: Double): Boolean =
     sec >= 0 && sec <= IvmSteadyOverheadMaxSec
+
+  /** True iff the 100× post-migration steady overhead holds its bar
+    * (negative sentinel fails, as above).
+    */
+  def ivm100SteadyOk(sec: Double): Boolean =
+    sec >= 0 && sec <= Ivm100SteadyOverheadMaxSec
 
   /** True iff the post-derivation pagerank time holds the bar (0 or
     * absent fails — the op must actually have run).

@@ -128,7 +128,8 @@ private[graft] object ScaleHarness {
       rollupParity: Boolean,
       cascadeGot: Long,
       cascadeWant: Long,
-      parityPass: Boolean)
+      parityPass: Boolean,
+      migrationJson: Option[String] = None)
 
   /** CDC → IVM end-to-end: ONE real readStream drives replay → enrich
     * → versioned replica → signed retraction deltas → signed rollup
@@ -150,15 +151,23 @@ private[graft] object ScaleHarness {
     * advances.
     */
   def runIvmE2E(spark: SparkSession, dir: String,
-      numBuckets: Int): IvmResult = {
+      numBuckets: Int, migrateTo: Option[Int] = None): IvmResult = {
     val hfs = hadoopFs(spark)
     val ivmFeed = s"$dir/ivm_feed"
-    val ivmRep = s"$dir/ivm_replica"
-    val ivmRoll = s"$dir/ivm_rollup"
-    val ivmV1 = s"$dir/ivm_view1"
-    val ivmV2 = s"$dir/ivm_view2"
-    Seq(ivmFeed, ivmRep, ivmRoll, ivmV1, ivmV2).foreach(p =>
-      hfs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val ivmCkpt = s"$dir/ivm_ckpt"
+    // state dirs are VARs: with `migrateTo` set, the bulk epochs run at
+    // `numBuckets`, the stream is stopped after epoch 3, every standing
+    // state is migrated to `migrateTo` buckets via
+    // ExactlyOnce.rebucketState (the deployment shape of the bucket-
+    // sizing lever: stop, migrate, repoint, resume from checkpoint),
+    // and the steady/ripple epochs run against the migrated dirs.
+    var ivmRep = s"$dir/ivm_replica"
+    var ivmRoll = s"$dir/ivm_rollup"
+    var ivmV1 = s"$dir/ivm_view1"
+    var ivmV2 = s"$dir/ivm_view2"
+    Seq(ivmFeed, ivmCkpt, ivmRep, ivmRoll, ivmV1, ivmV2,
+      s"${ivmRep}_rb", s"${ivmRoll}_rb", s"${ivmV1}_rb", s"${ivmV2}_rb")
+      .foreach(p => hfs.delete(new org.apache.hadoop.fs.Path(p), true))
     val evAll = spark.read.parquet(s"$dir/events.parquet")
     // 4 bulk part files = 4 bulk epochs (the file replay paces one
     // file per micro-batch); steady epochs append fresh files below
@@ -195,6 +204,7 @@ private[graft] object ScaleHarness {
     val epochSecs =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
     var rippleNegRows = -1L
+    var buckets = numBuckets
     val ivmBody = (batch: DataFrame, id: Long) => {
       val t0 = System.nanoTime()
       implicit val ss: SparkSession = spark
@@ -223,25 +233,25 @@ private[graft] object ScaleHarness {
           }
           graft.operators.Concurrent.all[Any](spark)(
             () => graft.operators.CdcApply.materializerVersioned(
-              spark, ivmRep, numBuckets)(enr, id),
+              spark, ivmRep, buckets)(enr, id),
             () => graft.streaming.StreamingRollup.materializerSigned(
               spark, ivmRoll, Seq("event_type"), Seq("v_sum" -> "value"),
-              "sign", numBuckets)(deltas, id),
+              "sign", buckets)(deltas, id),
             () => {
               // the downstream handoff pre-computes jv2's left bucket
               // set inside jv1's prepare (materializing inc1's cache
               // there), so jv2 pays no probe job on the serial path
               val (inc1, jv2Left, commit1) = graft.streaming.StreamingJoinView
                 .materializerSignedCascade(spark, ivmV1, Seq("event_type"),
-                  Seq("d_et"), Some("sign"), Some("s"), numBuckets,
-                  downstream = Some((Seq("category"), numBuckets)))(
+                  Seq("d_et"), Some("sign"), Some("s"), buckets,
+                  downstream = Some((Seq("category"), buckets)))(
                   deltas, d1, id)
               graft.operators.Concurrent.both(spark)(
                 commit1(),
                 {
                   val inc2 = graft.streaming.StreamingJoinView
                     .materializerSigned(spark, ivmV2, Seq("category"),
-                      Seq("cat2"), Some("__m"), Some("s"), numBuckets,
+                      Seq("cat2"), Some("__m"), Some("s"), buckets,
                       precomputedLeft = jv2Left)(
                       inc1, d2, id)
                   if (id == 4) // the retraction rippled: negative rows
@@ -260,9 +270,43 @@ private[graft] object ScaleHarness {
       } finally enr.unpersist()
       ()
     }
-    val ivmQ = graft.sources.CdcReplay.stream(spark, ivmFeed)
-      .writeStream.foreachBatch(ivmBody).start()
+    def startQ() = graft.sources.CdcReplay.stream(spark, ivmFeed)
+      .writeStream.option("checkpointLocation", ivmCkpt)
+      .foreachBatch(ivmBody).start()
+    var ivmQ = startQ()
     ivmQ.processAllAvailable() // bulk epochs 0..3
+    var migrationJson: Option[String] = None
+    migrateTo.foreach { nb =>
+      // the bucket-sizing lever END TO END, in the shape a deployment
+      // runs it: STOP the query at its committed frontier (epoch 3),
+      // migrate every standing state 64→nb via rebucketState (one
+      // fenced epoch each at batchId 3, the frontier — so a resumed
+      // stream replaying any pre-migration epoch is fenced), repoint
+      // the materializers, RESUME from the same checkpoint. The
+      // steady/ripple epochs below then measure the migrated shape.
+      ivmQ.stop()
+      val t0 = System.nanoTime()
+      val moves = Seq(
+        (ivmRep, s"${ivmRep}_rb", "partitionKey"),
+        (ivmRoll, s"${ivmRoll}_rb", "__gkey")) ++
+        Seq(ivmV1, ivmV2).flatMap(r => Seq("left", "right", "view").map(c =>
+          (s"$r/$c", s"${r}_rb/$c", "__jkey")))
+      moves.foreach { case (src, dst, key) =>
+        require(graft.operators.ExactlyOnce.rebucketState(
+          spark, src, dst, key, nb, batchId = 3L),
+          s"migration $src -> $dst unexpectedly fenced")
+      }
+      val migSec = (System.nanoTime() - t0) / 1e9
+      ivmRep += "_rb"; ivmRoll += "_rb"; ivmV1 += "_rb"; ivmV2 += "_rb"
+      buckets = nb
+      migrationJson = Some(
+        s"""{"after_epoch":3,"from_buckets":$numBuckets,"to_buckets":$nb,"states_migrated":${moves.size},"sec":${math
+            .round(migSec * 1000) / 1000.0}}""")
+      println(f"[scale] ivm-e2e rebucket migration $numBuckets -> $nb " +
+        f"(${moves.size} states): $migSec%.1f s; resuming from checkpoint")
+      ivmQ = startQ()
+      ivmQ.processAllAvailable() // no new data: resume is a no-op
+    }
     steadyEvents(4).write.mode("append").parquet(s"$ivmFeed/events.parquet")
     ivmQ.processAllAvailable() // epoch 4: steady facts + dim retraction
     steadyEvents(5).write.mode("append").parquet(s"$ivmFeed/events.parquet")
@@ -342,15 +386,21 @@ private[graft] object ScaleHarness {
       f"steady_overhead_sec=$steadyOverheadSec%.2f pass=$parityPass")
     IvmResult(epochs.toSeq, steadyOverheadSec, rippleSecMax, rippleNegRows,
       repGot, repWant, rollGot.size, rollGot == rollWant,
-      cascadeGot, cascadeWant, parityPass)
+      cascadeGot, cascadeWant, parityPass, migrationJson)
   }
 
   /** JSON object for an [[IvmResult]] (the `cdc_ivm_e2e` artifact
-    * section both smokes emit).
+    * section both smokes emit). `numBuckets` is the count the bulk
+    * epochs ran at; with a migration, the steady epochs' count is in
+    * the `migration` object and `buckets_steady`.
     */
-  def ivmJson(r: IvmResult, numBuckets: Int): String =
-    s"""{"buckets":$numBuckets,"epochs":${r.epochsJson
+  def ivmJson(r: IvmResult, numBuckets: Int): String = {
+    val mig = r.migrationJson.map(m =>
+      s""","migration":$m,"buckets_steady":${m.split("\"to_buckets\":")(1)
+          .takeWhile(_.isDigit)}""").getOrElse("")
+    s"""{"buckets":$numBuckets$mig,"epochs":${r.epochsJson
         .mkString("[", ",", "]")},"replica_live_rows":${r.repGot},"replica_batch_restatement":${r.repWant},"rollup_groups":${r.rollupGroups},"rollup_parity":${r.rollupParity},"cascade_mass":${r.cascadeGot},"cascade_batch_restatement":${r.cascadeWant},"ripple_neg_rows":${r.rippleNegRows},"ripple_epoch_sec_max":${math
         .round(r.rippleSecMax * 1000) / 1000.0},"steady_overhead_sec":${math
         .round(r.steadyOverheadSec * 1000) / 1000.0},"parity_pass":${r.parityPass}}"""
+  }
 }

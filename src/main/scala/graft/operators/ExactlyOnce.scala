@@ -877,8 +877,18 @@ object ExactlyOnce {
     val live = currentStateBucketed(spark, srcDir)(sys.error(
       s"state at $srcDir is committed but every bucket is empty —" +
         " nothing to rebucket"))
-    advanceStateBucketed(spark, dstDir, batchId, live, keyCol,
-      newBuckets, retain)(live.limit(0))(_.unionByName(live))
+    val advanced = advanceStateBucketed(spark, dstDir, batchId, live,
+      keyCol, newBuckets, retain)(live.limit(0))(_.unionByName(live))
+    // raise the dst fence to hwm-batchId (keeping the epoch marker —
+    // it is the only ownership record this young ledger has): the
+    // migration epoch REFLECTS every src epoch <= batchId, so a
+    // resumed pipeline that replays any pre-migration epoch against
+    // the dst (a restarted stream behind the migration point) must be
+    // fenced, not double-applied. The marker itself folds away later
+    // through the normal retirement path, which snapshots owners first.
+    if (advanced)
+      atomicLedgerWrite(fs, dstLedger, s"hwm-$batchId", "")
+    advanced
   }
 
   /** [[currentStateBucketed]] restricted to a bucket subset — the read

@@ -16,6 +16,14 @@ class ScaleGatesSpec extends AnyFunSuite {
     assert(!ScaleGates.ivmSteadyOk(-1.0)) // no steady epochs ran
   }
 
+  test("100x post-migration IVM steady gate holds the A/B bar and trips " +
+      "past it") {
+    assert(ScaleGates.ivm100SteadyOk(2.10)) // IVM_BUCKETS_AB_r14 arm 3
+    assert(ScaleGates.ivm100SteadyOk(3.5)) // the ceiling itself
+    assert(!ScaleGates.ivm100SteadyOk(3.51)) // forced: lost migration/fusion
+    assert(!ScaleGates.ivm100SteadyOk(-1.0)) // no steady epochs ran
+  }
+
   test("pagerank post-derivation gate holds the won bar and trips past it") {
     assert(ScaleGates.pagerankOk(Some(10.06))) // r13 measured
     assert(ScaleGates.pagerankOk(Some(15.0)))

@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   *     cluster IS found by the text-hash census, the dedup_exact
   *     plan shape).
   *
-  * Gates: under-cap clone recall ≥ 0.95, over-cap clusters present and
+  * Gates: IN-SCOPE clone recall ≥ 0.97 (clusters whose full-signature
+  * set ≤ cap; signature-merged clusters are trivially-duplicate mass —
+  * LSH_RECALL_PROFILE_r15) + every lost cluster exact-recovered
+  * (composed LSH ∪ exact == 1.0), over-cap clusters present and
   * census-recovered, ANN recall@5 ≥ 0.30 at 200 k vectors (100× the fixture corpus), dup-spans
   * delta total == corpus distinct pairs + steady probe confined to the
   * pinned bucket set ([[ScaleGates]] — the pin is content-determined,
@@ -63,40 +66,9 @@ object Scale100 {
     val dir = "/tmp/graft_scale100"
     val sf = "/root/testdata/sf0.1"
 
-    // ---- build the 100x tables ----
-    val base = queries.Tables.events(spark, sf)
-    (0 until 100).map(i =>
-      base.withColumn("event_id", col("event_id") + lit(i.toLong * 100000)))
-      .reduce(_ unionAll _)
-      .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val docs = queries.Tables.documents(spark, sf)
-    val salt = concat_ws(" ", (0 until 20).map(j =>
-      concat(lit("u"), col("doc_id"), lit(s"x$j"))): _*)
-    val stratum = docs.filter(col("doc_id") % 10 === 0)
-      .withColumn("text", concat(col("text"), lit(" "), salt))
-    val stratumVariant = stratum
-      .withColumn("doc_id", col("doc_id") + lit(500000000L))
-      .withColumn("text", concat(col("text"), lit(" graftvariantmark")))
-    val underCap = (0 until 30).map(i =>
-      docs.filter(col("doc_id") % 10 === 1)
-        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000)))
-      .reduce(_ unionAll _)
-    val overCap = (0 until 120).map(i =>
-      docs.filter(col("doc_id") % 10 >= 2)
-        .withColumn("doc_id", col("doc_id") + lit(100000000L + i.toLong * 1000000)))
-      .reduce(_ unionAll _)
-    overCap.unionAll(underCap).unionAll(stratum).unionAll(stratumVariant)
-      .repartition(32).write.mode("overwrite")
-      .parquet(s"$dir/documents.parquet")
-    val embs = queries.Tables.embeddings(spark, sf)
-    (0 until 100).map(i =>
-      embs.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000)))
-      .reduce(_ unionAll _)
-      .repartition(32).write.mode("overwrite")
-      .parquet(s"$dir/embeddings.parquet")
-    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
-    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
-    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    // ---- build the 100x tables (shared with LshRecallProfile) ----
+    val (nEvents, nDocs, nVecs) =
+      ScaleHarness.build100xTables(spark, sf, dir)
     println(s"[scale] built 100x: $nEvents events, $nDocs docs, $nVecs vectors")
 
     val opSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -135,8 +107,11 @@ object Scale100 {
     // exist in bulk and be recovered by the exact text-hash census
     val cap = queries.DedupQueries.MinHashBucketCap
     val docs100 = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), xxhash64(col("lang"), col("text")).as("th"))
-    val clusters = docs100.groupBy(col("th")).agg(count(lit(1)).as("s"))
+      .select(col("doc_id"), xxhash64(col("lang"), col("text")).as("th"),
+        xxhash64(lower(trim(col("text")))).as("tx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clusters = docs100.groupBy(col("th"))
+      .agg(count(lit(1)).as("s"), min(col("doc_id")).as("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val underClusters = clusters.filter(col("s") <= cap && col("s") > 1)
     val nUnderPairs = underClusters
@@ -151,21 +126,88 @@ object Scale100 {
     val (nOverClusters, overSizeMin, overSizeMax, nOverPairs) =
       (overStats.getLong(0), overStats.getLong(1), overStats.getLong(2),
         overStats.getLong(3))
+    // Per-cluster recall census (LSH_RECALL_PROFILE_r15: the only loss
+    // mode at 100× is SIGNATURE-MERGED clusters — an under-cap text
+    // cluster whose full 16/16 minhash signature coincides with an
+    // over-cap clone set's, making every band bucket one >cap identity
+    // set; those are trivially-duplicate mass by the cap's own
+    // rationale and exact dedup's province, so they are out of LSH's
+    // scope the same way over-cap text clusters already are). Gates:
+    //   - IN-SCOPE recall (clusters whose full-signature set ≤ cap)
+    //     ≥ 0.97 — the measured profile reads 1.0;
+    //   - every LOST cluster's members sit inside ONE exact-dedup text
+    //     group of at least the cluster's size (composed recovery:
+    //     LSH ∪ exact == all truth pairs), asserted from the data.
+    // The RAW under-cap recall stays recorded for the trend line
+    // (0.9539 at r14; profiled, not gated — cap bumps were measured
+    // dead: +103M/+119M re-admitted pair-rows for ≤0.042 recall).
     val cand = queries.DedupQueries.minhashPairs(spark, dir)
-    val docsUnder = docs100.join(
+    val docsUnder = docs100.select(col("doc_id"), col("th")).join(
       underClusters.select(col("th")), Seq("th"), "left_semi")
-    val hitsUnder = cand
+    val hitsPerCluster = cand
       .join(docsUnder.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("th", "ha"), Seq("doc_a"))
       .join(docsUnder.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("th", "hb"), Seq("doc_b"))
-      .filter(col("ha") === col("hb")).count()
+      .filter(col("ha") === col("hb"))
+      .groupBy(col("ha").as("th")).agg(count(lit(1)).as("hit_pairs"))
+    val fsigDocs = queries.DedupQueries.lshBandFrame(spark, dir)
+      .select(col("doc_id"), col("fsig")).distinct()
+    val clusterFs = fsigDocs
+      .join(underClusters.select(col("rep").as("doc_id"), col("th")),
+        Seq("doc_id"))
+      .join(fsigDocs.groupBy(col("fsig")).agg(count(lit(1)).as("cluster_fs")),
+        Seq("fsig"))
+      .select(col("th"), col("cluster_fs"))
+    val perCluster = underClusters
+      .join(hitsPerCluster, Seq("th"), "left")
+      .withColumn("hit_pairs", coalesce(col("hit_pairs"), lit(0L)))
+      .join(clusterFs, Seq("th"))
+      .withColumn("truth_pairs",
+        (col("s") * (col("s") - 1) / 2).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cr = perCluster.agg(
+      coalesce(sum(col("hit_pairs")), lit(0L)).as("hits"),
+      coalesce(sum(when(col("cluster_fs") <= cap, col("truth_pairs"))),
+        lit(0L)).as("scope_pairs"),
+      coalesce(sum(when(col("cluster_fs") <= cap, col("hit_pairs"))),
+        lit(0L)).as("scope_hits"),
+      count(when(col("cluster_fs") > cap, 1)).as("sig_merged"),
+      coalesce(sum(when(col("cluster_fs") > cap, col("truth_pairs"))),
+        lit(0L)).as("sig_merged_pairs"),
+      count(when(col("hit_pairs") === 0, 1)).as("lost"),
+      count(when(col("hit_pairs") === 0 && col("cluster_fs") <= cap, 1))
+        .as("lost_in_scope"),
+      count(when(col("hit_pairs") > 0 &&
+        col("hit_pairs") < col("truth_pairs"), 1)).as("partial")).head()
+    val hitsUnder = cr.getAs[Long]("hits")
     val cloneRecall =
       if (nUnderPairs == 0) -1.0 else hitsUnder.toDouble / nUnderPairs
-    val clonePass = nUnderPairs > 0 && cloneRecall >= 0.95
-    println(f"[scale] 100x under-cap clone recall=$cloneRecall%.4f " +
-      f"($hitsUnder of $nUnderPairs pairs) pass=$clonePass")
-    if (!clonePass) failed += "clone_recall_undercap"
+    val scopePairs = cr.getAs[Long]("scope_pairs")
+    val recallInScope =
+      if (scopePairs == 0) -1.0
+      else cr.getAs[Long]("scope_hits").toDouble / scopePairs
+    val sigMerged = cr.getAs[Long]("sig_merged")
+    val sigMergedPairs = cr.getAs[Long]("sig_merged_pairs")
+    val nLost = cr.getAs[Long]("lost")
+    // composed recovery: each lost cluster's rep doc's exact text group
+    // must hold at least the cluster's member count
+    val exactGroups = docs100.groupBy(col("tx")).agg(count(lit(1)).as("xn"))
+    val lostUnrecovered = perCluster.filter(col("hit_pairs") === 0)
+      .join(underClusters.select(col("th"), col("rep")), Seq("th"))
+      .join(docs100.select(col("doc_id").as("rep"), col("tx")), Seq("rep"))
+      .join(exactGroups, Seq("tx"))
+      .filter(col("xn") < col("s")).count()
+    val lostExactRecovered = lostUnrecovered == 0
+    val clonePass = scopePairs > 0 && recallInScope >= 0.97 &&
+      lostExactRecovered && cr.getAs[Long]("lost_in_scope") == 0
+    println(f"[scale] 100x clone recall: raw=$cloneRecall%.4f " +
+      f"($hitsUnder/$nUnderPairs), in-scope=$recallInScope%.4f " +
+      f"($scopePairs pairs; $sigMerged sig-merged clusters/" +
+      f"$sigMergedPairs pairs out of LSH scope), lost=$nLost " +
+      f"(all exact-recovered=$lostExactRecovered) pass=$clonePass")
+    if (!clonePass) failed += "clone_recall_inscope"
+    perCluster.unpersist()
     // over-cap mass: present, dropped from pair work by construction
     // (the census would otherwise blow up at C(120,2)+ per bucket),
     // and FULLY recovered by the exact-dedup census — which is the
@@ -264,7 +306,8 @@ object Scale100 {
     val json =
       s"""{"metric":"scale_smoke_100x","value":${math.round(total * 100) / 100.0},"unit":"sec","scale":"100x-sf0.1","built":{"events":$nEvents,"documents":$nDocs,"embeddings":$nVecs},"op_sec":${jnum(
           opSecs)},"op_rows":$rowsJson,"gates":{"clone_recall_undercap":${math
-          .round(cloneRecall * 10000) / 10000.0},"clone_pairs_undercap":$nUnderPairs,"clone_recall_threshold":0.95,"clone_pass":$clonePass,"overcap_clusters":$nOverClusters,"overcap_cluster_size_min":$overSizeMin,"overcap_cluster_size_max":$overSizeMax,"overcap_docs":$overMass,"overcap_pairs_excluded":$nOverPairs,"overcap_pass":$overPass,"ann_recall_at5":${math
+          .round(cloneRecall * 10000) / 10000.0},"clone_pairs_undercap":$nUnderPairs,"clone_recall_in_scope":${math
+          .round(recallInScope * 10000) / 10000.0},"clone_pairs_in_scope":$scopePairs,"sig_merged_clusters":$sigMerged,"sig_merged_pairs":$sigMergedPairs,"lost_clusters":$nLost,"lost_all_exact_recovered":$lostExactRecovered,"clone_recall_threshold":0.97,"clone_recall_gated_on":"in_scope","clone_pass":$clonePass,"overcap_clusters":$nOverClusters,"overcap_cluster_size_min":$overSizeMin,"overcap_cluster_size_max":$overSizeMax,"overcap_docs":$overMass,"overcap_pairs_excluded":$nOverPairs,"overcap_pass":$overPass,"ann_recall_at5":${math
           .round(annRecall * 10000) / 10000.0},"ann_threshold":0.30,"ann_pass":$annPass},"materializers":{"dup_spans":${ScaleHarness
           .dupSpansJson(dupRes, DupBuckets)},"cdc_ivm_e2e":${ScaleHarness
           .ivmJson(ivmRes, IvmBuckets)}},"memory":{"heap_max_mb":$heapMaxMb,"old_gen_peak_mb":$oldGenPeakMb,"headroom_mb":${heapMaxMb - oldGenPeakMb},"pool_peak_sum_mb_upper_bound":$poolPeakSumMb},"failed":${failed

@@ -23,6 +23,55 @@ private[graft] object ScaleHarness {
   def dirRows(spark: SparkSession, p: String): Long =
     try spark.read.parquet(p).count() catch { case _: Throwable => 0L }
 
+  // --------------------------------------------------- 100× corpus build
+  /** Build the 100× tables under `dir` from the sf fixtures — shared by
+    * the 100× smoke ([[Scale100]]) and the LSH recall profiler
+    * ([[LshRecallProfile]]), so the profiled corpus IS the gated one.
+    * Strata (see Scale100's scaladoc for the why): 10% salted
+    * singleton + near-dup variant (Jaccard truth), 10% cloned 30×
+    * (under-cap LSH clone-recall truth), 80% cloned 120× (over-cap —
+    * dropped from LSH pair scope by design, recovered by exact dedup).
+    * Returns (events, documents, embeddings) row counts.
+    */
+  def build100xTables(spark: SparkSession, sf: String,
+      dir: String): (Long, Long, Long) = {
+    val base = graft.queries.Tables.events(spark, sf)
+    (0 until 100).map(i =>
+      base.withColumn("event_id", col("event_id") + lit(i.toLong * 100000)))
+      .reduce(_ unionAll _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val salt = concat_ws(" ", (0 until 20).map(j =>
+      concat(lit("u"), col("doc_id"), lit(s"x$j"))): _*)
+    val stratum = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(col("text"), lit(" "), salt))
+    val stratumVariant = stratum
+      .withColumn("doc_id", col("doc_id") + lit(500000000L))
+      .withColumn("text", concat(col("text"), lit(" graftvariantmark")))
+    val underCap = (0 until 30).map(i =>
+      docs.filter(col("doc_id") % 10 === 1)
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000)))
+      .reduce(_ unionAll _)
+    val overCap = (0 until 120).map(i =>
+      docs.filter(col("doc_id") % 10 >= 2)
+        .withColumn("doc_id",
+          col("doc_id") + lit(100000000L + i.toLong * 1000000)))
+      .reduce(_ unionAll _)
+    overCap.unionAll(underCap).unionAll(stratum).unionAll(stratumVariant)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val embs = graft.queries.Tables.embeddings(spark, sf)
+    (0 until 100).map(i =>
+      embs.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000)))
+      .reduce(_ unionAll _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    (spark.read.parquet(s"$dir/events.parquet").count(),
+      spark.read.parquet(s"$dir/documents.parquet").count(),
+      spark.read.parquet(s"$dir/embeddings.parquet").count())
+  }
+
   // ------------------------------------------------------ dup-spans LSM
   case class DupSpansResult(
       epochsJson: Seq[String],

@@ -133,6 +133,42 @@ object Ivf {
       .filter(col("cr") <= nprobe)
       .select(col("probe_id"), col("pv"), col("pnorm"), col("cell_id"))
 
+  /** Exact brute-force cosine top-k of `probes` (probe_id, pv, pnorm)
+    * over `indexed` (vec_id, v, norm) — the truth side of every ANN
+    * recall gate (the sim_recall_report shape, factored so the standing
+    * index's recall rows reuse it verbatim). Probe side broadcast,
+    * index side scanned in place.
+    */
+  private[graft] def bruteTopK(indexed: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    broadcast(probes).as("p")
+      .join(indexed.as("e"), col("p.probe_id") =!= col("e.vec_id"))
+      .select(col("p.probe_id"), col("e.vec_id"),
+        (arrayDot(col("p.pv"), col("e.v")) /
+          (col("p.pnorm") * col("e.norm"))).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id"))
+  }
+
+  /** Mean recall@k of `got` against `truth` (both (probe_id, vec_id)
+    * top-k row sets over the same probes): |got ∩ truth| / k averaged
+    * over truth's probes.
+    */
+  private[graft] def recallAtK(got: DataFrame, truth: DataFrame,
+      k: Int): Double = {
+    val t = truth.select(col("probe_id"), col("vec_id"))
+    val g = got.select(col("probe_id"), col("vec_id"))
+    val overlap = t.join(g, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("o"))
+    t.select(col("probe_id")).distinct()
+      .join(overlap, Seq("probe_id"), "left")
+      .agg(avg(coalesce(col("o"), lit(0L)) / k.toDouble))
+      .head().getDouble(0)
+  }
+
   /** Candidate scan + top-k: only vectors in the probed cells; the
     * probe side is ≤ MaxProbes × nprobe rows — broadcast it so the
     * index side never shuffles.

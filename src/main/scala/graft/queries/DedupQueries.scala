@@ -162,6 +162,23 @@ object DedupQueries {
       build: => DataFrame): DataFrame =
     DerivationCache.memoized(s, dir, key)(build)
 
+  /** Profiler instrument ([[graft.LshRecallProfile]]): the exploded
+    * (doc_id, band, sigh, fsig) band-bucket frame — `sigh` is the SAME
+    * 63-bit (band id | band signature) bucket key [[minhashPairsFrom]]
+    * shuffles on, `fsig` the full-signature hash (16/16 minhash
+    * agreement ⇒ same fsig) that identifies clone sets.
+    */
+  private[graft] def lshBandFrame(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignaturesCheckpointed(s, dir)
+    sig.select(col("doc_id"),
+      QueryDef.uhash64(concat_ws("|",
+        (0 until NumBands).map(b => col(s"band$b")): _*)).as("fsig"),
+      posexplode(array((0 until NumBands).map(b =>
+        QueryDef.uhash64(concat(lit(s"$b|"), col(s"band$b")))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "sigh")
+  }
+
   private def minhashPairsFrom(sig: DataFrame): DataFrame = {
     // the bucket key is the 8-byte shared hash of (band id | band
     // signature), not the ~40-char signature string: every downstream

@@ -149,6 +149,60 @@ object StreamingIvfIndex {
     Ivf.scanCandidates(candidates, routed, k)
   }
 
+  /** MAINTENANCE: retrain the standing index's coarse quantizer from
+    * its CURRENT members and rebuild under `dstRoot` — the
+    * [[ExactlyOnce.rebucketState]] counterpart for the QUANTIZER. The
+    * frozen epoch-0 codebook is correct IVF practice per epoch, but a
+    * standing index that ingests forever drifts away from it: vectors
+    * pile up against centroids that no longer describe the corpus, and
+    * probes route past their true neighbors' cells — recall decays
+    * silently. `rounds` Lloyd re-estimation steps fix the quantizer to
+    * the corpus it actually holds: each round recomputes every cell's
+    * centroid as the decimal-exact mean of its current members (the
+    * SAME deterministic round(6) math as [[Ivf.codebook]], so the
+    * retrained codebook is bit-reproducible) and reassigns by the
+    * carried-vector argmin. A cell that loses all members drops from
+    * the codebook (k shrinks — the standard k-means empty-cell case).
+    *
+    * Cost is O(index) — a maintenance epoch, like rebucketState, not a
+    * steady one; at deployment scale train on a reservoir sample if the
+    * full pass is too dear (the determinism argument then binds to the
+    * sample). The src root stays intact for cutover/rollback; the dst
+    * commits as ONE fenced epoch at `batchId`, so a torn retrain
+    * replays to identical bytes. Returns the advance's fenced flag.
+    */
+  def retrain(spark: SparkSession, srcRoot: String, dstRoot: String,
+      numShards: Int = DefaultShards, rounds: Int = 2, retain: Int = 2,
+      batchId: Long = 0L): Boolean = {
+    require(srcRoot != dstRoot,
+      "retrain rebuilds into a NEW root; in-place would tear the live" +
+        " index under its readers")
+    require(rounds >= 1, "at least one Lloyd round")
+    val cur = index(spark, srcRoot)
+      .select(col("vec_id"), col("cell_id"), col("v"), col("norm"))
+      .localCheckpoint()
+    var assigned = cur
+    var cents: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      cents = Ivf.codebook(
+        assigned.select(col("cell_id").as("label"), col("v")))
+        .localCheckpoint()
+      assigned = Ivf.assignCarrying(
+        cur.select(col("vec_id"), col("v"), col("norm")), cents)
+    }
+    val out = assigned
+      .select(col("vec_id"), col("cell_id"), col("v"), col("norm"))
+    // codebook first (deterministic bytes — a crash between this write
+    // and the state commit replays to the identical file), then the
+    // state as one fenced epoch
+    cents.write.mode(SaveMode.Overwrite).parquet(codebookDir(dstRoot))
+    ExactlyOnce.advanceStateBucketed(spark, stateDir(dstRoot), batchId,
+      out, "cell_id", numShards, retain)(emptyIndex(spark)) { current =>
+      current.join(out.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .unionByName(out)
+    }
+  }
+
   /** [[search]] with the probe sample drawn from the index itself
     * (the declared-operator shape: `SimilarityQueries.probePred` —
     * at most MaxProbes probes at any corpus size). The pnorm recompute

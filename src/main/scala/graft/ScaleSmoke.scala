@@ -530,6 +530,93 @@ object ScaleSmoke {
       s"shards <= $ivfSteadyTouchedMax/$IvfShards, pass=$ivfPass")
     if (!ivfPass) failed += "ivf_index_parity_o_touched"
 
+    // Recall gate for the STANDING index (round 15): parity above pins
+    // search == frozen-codebook batch path, but not its quality — gate
+    // the same recall@5 vs brute-force truth the per-query operator is
+    // gated on (ann_recall_at5 >= 0.30), over the standing index.
+    val ivfIdxNodes = graft.streaming.StreamingIvfIndex
+      .index(spark, ivfRoot).localCheckpoint()
+    val ivfTruth = graft.operators.Ivf.bruteTopK(ivfIdxNodes,
+      ivfProbes, 5).localCheckpoint()
+    val ivfRecall = graft.operators.Ivf.recallAtK(
+      graft.streaming.StreamingIvfIndex.searchSelf(spark, ivfRoot, 5, 2,
+        IvfShards), ivfTruth, 5)
+    val ivfRecallPass = ivfRecall >= 0.30
+    println(f"[scale] ivf-index recall@5 = $ivfRecall%.4f vs brute truth " +
+      f"(threshold 0.30) pass=$ivfRecallPass")
+    if (!ivfRecallPass) failed += "ivf_index_recall"
+
+    // Retrain-vs-drift row (round 15): ingest a drifted blob straddling
+    // the Voronoi boundary of the two closest frozen cells (sized ~2x a
+    // cell's population so the quantizer error is material), measure
+    // nprobe=1 recall against brute truth BEFORE and AFTER
+    // StreamingIvfIndex.retrain — the codebook-refresh maintenance op
+    // must recover what the frozen epoch-0 quantizer lost. Paired
+    // construction: a dense majority grid on one side of the boundary
+    // (mix 0.52) with every 16th member a MINORITY twin at the same
+    // grid position on the other side (mix 0.48) — each minority's true
+    // nearest neighbors are its grid-adjacent majority partners across
+    // the frozen boundary, so nprobe=1 misses them until retrain
+    // consolidates the blob into one re-centered cell. All constants
+    // are deterministic in the frozen codebook.
+    val ivfCbRows = ivfCents.orderBy(col("cell_id")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    def cdist(x: Array[Double], y: Array[Double]) =
+      math.sqrt(x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val (cia, cib, cdmin) = (for (i <- ivfCbRows.indices;
+      j <- ivfCbRows.indices if i < j)
+      yield (i, j, cdist(ivfCbRows(i)._2, ivfCbRows(j)._2)))
+      .minBy(_._3)
+    val dca = ivfCbRows(cia)._2; val dcb = ivfCbRows(cib)._2
+    val ivfDim = dca.length
+    val driftN = math.min(20000L,
+      math.max(120L, 2 * ivfIdxRows / ivfCbRows.length)).toInt
+    val drift = {
+      import spark.implicits._
+      (0 until driftN).map { i =>
+        val mix = if (i % 16 == 0) 0.48 else 0.52
+        val gx = (i % 110).toDouble * 0.02
+        val gy = (i / 110).toDouble * 0.02
+        val v = (0 until ivfDim).map { d =>
+          val w1 = if (d % 2 == 0) 1.0 else -1.0
+          val w2 = if (d % 4 < 2) 1.0 else -1.0
+          (mix * dca(d) + (1 - mix) * dcb(d) +
+            (gx * w1 + gy * w2) * cdmin / math.sqrt(ivfDim)).toFloat
+        }
+        (900000000L + i, 99, v)
+      }.toDF("vec_id", "label", "embedding")
+    }
+    graft.streaming.StreamingIvfIndex.materializer(
+      spark, ivfRoot, IvfShards)(drift, 3L)
+    val driftProbes = graft.streaming.StreamingIvfIndex
+      .index(spark, ivfRoot).filter(col("vec_id") >= 900000000L)
+      .filter(col("vec_id") % 20 === 0) // bounded probe sample
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("norm").as("pnorm")).localCheckpoint()
+    val driftTruth = graft.operators.Ivf.bruteTopK(
+      graft.streaming.StreamingIvfIndex.index(spark, ivfRoot),
+      driftProbes, 5).localCheckpoint()
+    val recallBefore = graft.operators.Ivf.recallAtK(
+      graft.streaming.StreamingIvfIndex.search(spark, ivfRoot,
+        driftProbes.select(col("probe_id"), col("pv")), 5, 1, IvfShards),
+      driftTruth, 5)
+    val rtT0 = System.nanoTime()
+    val ivfRtRoot = s"${ivfRoot}_rt"
+    hfs.delete(new org.apache.hadoop.fs.Path(ivfRtRoot), true)
+    graft.streaming.StreamingIvfIndex.retrain(spark, ivfRoot, ivfRtRoot,
+      IvfShards, rounds = 3)
+    val retrainSec = (System.nanoTime() - rtT0) / 1e9
+    val recallAfter = graft.operators.Ivf.recallAtK(
+      graft.streaming.StreamingIvfIndex.search(spark, ivfRtRoot,
+        driftProbes.select(col("probe_id"), col("pv")), 5, 1, IvfShards),
+      driftTruth, 5)
+    val retrainPass = recallAfter + 1e-9 >= recallBefore &&
+      recallAfter >= 0.95
+    println(f"[scale] ivf-index retrain-vs-drift ($driftN drift vecs): " +
+      f"recall@5(nprobe=1) before=$recallBefore%.4f after=$recallAfter%.4f " +
+      f"(retrain $retrainSec%.1f s) pass=$retrainPass")
+    if (!retrainPass) failed += "ivf_index_retrain_recovery"
+
     // Incremental join view at 30x: bulk epoch materializes the full
     // 4.5M-order x 15k-customer join, steady epochs ingest 40 orders
     // for 8 hot customers (epoch write must be the touched buckets'
@@ -746,7 +833,11 @@ object ScaleSmoke {
           .mkString("[", ",", "]")},"live_rows":$repLive,"steady_epoch_rows":$repSteadyRows,"o_touched_pass":$repPass},"dup_spans":${ScaleHarness
           .dupSpansJson(dupRes, DupBuckets)},"lsh_index":{"shards":$LshShards,"epochs":${lshEpochs
           .mkString("[", ",", "]")},"index_rows":$lshIndexRows,"dup_events":$lshEvents,"steady_epoch_rows":$lshSteadyRows,"steady_epoch_shards":$lshSteadyTouched,"slice_bound_rows":${math.round(lshSliceBound)},"o_touched_pass":$lshPass},"ivf_index":{"shards":$IvfShards,"epochs":${ivfEpochs
-          .mkString("[", ",", "]")},"index_rows":$ivfIdxRows,"search_parity_pass":${ivfGot == ivfWant},"steady_epoch_shards_max":$ivfSteadyTouchedMax,"o_touched_pass":$ivfPass},"join_view":{"buckets":$JvBuckets,"epochs":${jvEpochs
+          .mkString("[", ",", "]")},"index_rows":$ivfIdxRows,"search_parity_pass":${ivfGot == ivfWant},"steady_epoch_shards_max":$ivfSteadyTouchedMax,"o_touched_pass":$ivfPass,"recall_at5":${math
+          .round(ivfRecall * 10000) / 10000.0},"recall_threshold":0.30,"recall_pass":$ivfRecallPass,"retrain":{"drift_vectors":$driftN,"recall_before":${math
+          .round(recallBefore * 10000) / 10000.0},"recall_after":${math
+          .round(recallAfter * 10000) / 10000.0},"retrain_sec":${math
+          .round(retrainSec * 1000) / 1000.0},"recovery_pass":$retrainPass}},"join_view":{"buckets":$JvBuckets,"epochs":${jvEpochs
           .mkString("[", ",", "]")},"view_rows":$jvViewRows,"view_mass":$jvMass,"batch_join_rows":$jvTruth,"steady_epoch_rows":$jvSteadyRows,"parity_pass":$jvParity,"o_touched_pass":$jvPass},"sketch_reservoir":{"epochs":${sketchEpochs
           .mkString("[", ",", "]")},"strata":$gkGroups,"reservoir_rows":$rsRows,"state_bound_pass":$sketchPass},"novelty":{"buckets":64,"epochs":${nvEpochs
           .mkString("[", ",", "]")},"steady_epoch_sec_max":${math.round(nvSteadySecMax * 1000) / 1000.0},"parity_pass":$nvParity},"cdc_ivm_e2e":${ScaleHarness

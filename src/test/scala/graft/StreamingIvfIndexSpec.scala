@@ -124,6 +124,89 @@ class StreamingIvfIndexSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("retrain recovers recall lost to quantizer drift, deterministically, " +
+      "with exact parity against the retrained-codebook batch path") {
+    val root = Files.createTempDirectory("graft_ivfrt").toString + "/idx"
+    StreamingIvfIndex.materializer(spark, root, Shards)(embs(), 0L)
+
+    // drift epoch: a blob straddling the Voronoi boundary of the two
+    // CLOSEST frozen cells — convex centroid mixes 0.5±t tilted per
+    // member (alternating sides), plus a small common ramp so members'
+    // nearest neighbors interleave across the boundary. Under the
+    // frozen codebook the blob splits across both cells, so nprobe=1
+    // probes miss their minority-side neighbors; after Lloyd retrain
+    // the quantizer re-centers on the corpus it actually holds and the
+    // blob consolidates. All constants are deterministic in the frozen
+    // codebook (itself deterministic), so the spec is stable.
+    val cb = StreamingIvfIndex.codebook(spark, root)
+      .orderBy(col("cell_id")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    def dist(x: Array[Double], y: Array[Double]) =
+      math.sqrt(x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val (ia, ib, _) = (for (i <- cb.indices; j <- cb.indices if i < j)
+      yield (i, j, dist(cb(i)._2, cb(j)._2))).minBy(_._3)
+    val ca = cb(ia)._2; val cbv = cb(ib)._2
+    val dim = ca.length
+    val eta = 0.02 * dist(ca, cbv)
+    import spark.implicits._
+    val drift = (0 until 120).map { i =>
+      val s = if (i % 2 == 0) 0.05 else -0.05
+      val v = (0 until dim).map { d =>
+        val w = if (d % 2 == 0) 1.0 else -1.0
+        ((0.5 + s) * ca(d) + (0.5 - s) * cbv(d) +
+          i * eta * w / math.sqrt(dim)).toFloat
+      }
+      (900000L + i, 99, v)
+    }.toDF("vec_id", "label", "embedding")
+    assert(StreamingIvfIndex.materializer(spark, root, Shards)(drift, 1L))
+
+    val probes = StreamingIvfIndex.index(spark, root)
+      .filter(col("vec_id") >= 900000L)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("norm").as("pnorm")).localCheckpoint()
+    val truth = Ivf.bruteTopK(StreamingIvfIndex.index(spark, root),
+      probes, 5).localCheckpoint()
+    val before = Ivf.recallAtK(StreamingIvfIndex.search(spark, root,
+      probes.select(col("probe_id"), col("pv")), 5, 1, Shards), truth, 5)
+    assert(before < 0.99,
+      f"drift construction did not degrade frozen recall ($before%.4f) — " +
+        "the recovery assertion below would be vacuous")
+
+    val rt = root + "_rt"
+    assert(StreamingIvfIndex.retrain(spark, root, rt, Shards, rounds = 3))
+    val after = Ivf.recallAtK(StreamingIvfIndex.search(spark, rt,
+      probes.select(col("probe_id"), col("pv")), 5, 1, Shards), truth, 5)
+    assert(after > before && after >= 0.99,
+      f"retrain did not recover recall: before=$before%.4f after=$after%.4f")
+    // the retrained index holds exactly the same vectors
+    assert(StreamingIvfIndex.index(spark, rt).count() ==
+      StreamingIvfIndex.index(spark, root).count())
+
+    // parity: standing search over the retrained index == batch scan
+    // with the retrained codebook over the same corpus, bit-exact
+    val rtCents = StreamingIvfIndex.codebook(spark, rt)
+    val reNodes = StreamingIvfIndex.index(spark, root)
+      .select(col("vec_id"), col("v"), col("norm"))
+    val reIndexed = Ivf.assignCarrying(reNodes, rtCents)
+    val want = rows(Ivf.scanCandidates(reIndexed,
+      Ivf.routeProbes(rtCents, probes, 2), 10))
+    val got = rows(StreamingIvfIndex.search(spark, rt,
+      probes.select(col("probe_id"), col("pv")), 10, 2, Shards))
+    assert(want.nonEmpty && got == want,
+      "retrained standing search diverged from the retrained-codebook" +
+        " batch answer")
+
+    // determinism: a second retrain into a fresh root is bit-identical
+    val rt2 = root + "_rt2"
+    assert(StreamingIvfIndex.retrain(spark, root, rt2, Shards, rounds = 3))
+    assert(rows(StreamingIvfIndex.codebook(spark, rt2)) ==
+      rows(StreamingIvfIndex.codebook(spark, rt)))
+    assert(rows(StreamingIvfIndex.index(spark, rt2)) ==
+      rows(StreamingIvfIndex.index(spark, rt)))
+    // replay of the retrain epoch: fenced no-op
+    assert(!StreamingIvfIndex.retrain(spark, root, rt, Shards, rounds = 3))
+  }
+
   test("a grown index rebuckets to more shards and searches identically") {
     val root = Files.createTempDirectory("graft_ivfidx3").toString
     StreamingIvfIndex.materializer(spark, root, Shards)(embs(), 0L)

@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSession
   *
   *   sbt "runMain graft.IvmBucketsProfile /tmp/graft_scale100 64"
   *   sbt "runMain graft.IvmBucketsProfile /tmp/graft_scale100 256"
+  *   sbt "runMain graft.IvmBucketsProfile /tmp/graft_scale100 64 256"  # with mid-run migration
   *
   * Emits one JSON line per run; findings land in IVM_PROFILE_r14.md.
   */
@@ -25,6 +26,7 @@ object IvmBucketsProfile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_scale100")
     val buckets = args.lift(1).map(_.toInt).getOrElse(64)
+    val migrateTo = args.lift(2).map(_.toInt)
     HostLoad.awaitQuiet(threshold = 8.0, maxWaitSec = 180, tag = "ivmab")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -34,11 +36,12 @@ object IvmBucketsProfile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val res = ScaleHarness.runIvmE2E(spark, dir, buckets)
+    val res = ScaleHarness.runIvmE2E(spark, dir, buckets, migrateTo)
     val json = s"""{"metric":"ivm_buckets_ab","dir":"$dir","buckets":$buckets,""" +
       s""""steady_overhead_sec":${math.round(res.steadyOverheadSec * 1000) / 1000.0},""" +
       s""""ripple_epoch_sec_max":${math.round(res.rippleSecMax * 1000) / 1000.0},""" +
       s""""parity_pass":${res.parityPass},""" +
+      res.migrationJson.map(m => s""""migration":$m,""").getOrElse("") +
       s""""epochs":${res.epochsJson.mkString("[", ",", "]")}}"""
     println(json)
     spark.stop()

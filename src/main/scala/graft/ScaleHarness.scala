@@ -178,7 +178,8 @@ private[graft] object ScaleHarness {
       cascadeGot: Long,
       cascadeWant: Long,
       parityPass: Boolean,
-      migrationJson: Option[String] = None)
+      migrationJson: Option[String] = None,
+      steadyBuckets: Option[Int] = None)
 
   /** CDC → IVM end-to-end: ONE real readStream drives replay → enrich
     * → versioned replica → signed retraction deltas → signed rollup
@@ -435,7 +436,7 @@ private[graft] object ScaleHarness {
       f"steady_overhead_sec=$steadyOverheadSec%.2f pass=$parityPass")
     IvmResult(epochs.toSeq, steadyOverheadSec, rippleSecMax, rippleNegRows,
       repGot, repWant, rollGot.size, rollGot == rollWant,
-      cascadeGot, cascadeWant, parityPass, migrationJson)
+      cascadeGot, cascadeWant, parityPass, migrationJson, migrateTo)
   }
 
   /** JSON object for an [[IvmResult]] (the `cdc_ivm_e2e` artifact
@@ -444,9 +445,10 @@ private[graft] object ScaleHarness {
     * the `migration` object and `buckets_steady`.
     */
   def ivmJson(r: IvmResult, numBuckets: Int): String = {
-    val mig = r.migrationJson.map(m =>
-      s""","migration":$m,"buckets_steady":${m.split("\"to_buckets\":")(1)
-          .takeWhile(_.isDigit)}""").getOrElse("")
+    val mig = (r.migrationJson, r.steadyBuckets) match {
+      case (Some(m), Some(b)) => s""","migration":$m,"buckets_steady":$b"""
+      case _ => ""
+    }
     s"""{"buckets":$numBuckets$mig,"epochs":${r.epochsJson
         .mkString("[", ",", "]")},"replica_live_rows":${r.repGot},"replica_batch_restatement":${r.repWant},"rollup_groups":${r.rollupGroups},"rollup_parity":${r.rollupParity},"cascade_mass":${r.cascadeGot},"cascade_batch_restatement":${r.cascadeWant},"ripple_neg_rows":${r.rippleNegRows},"ripple_epoch_sec_max":${math
         .round(r.rippleSecMax * 1000) / 1000.0},"steady_overhead_sec":${math

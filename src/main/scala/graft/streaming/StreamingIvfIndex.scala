@@ -170,6 +170,12 @@ object StreamingIvfIndex {
     * sample). The src root stays intact for cutover/rollback; the dst
     * commits as ONE fenced epoch at `batchId`, so a torn retrain
     * replays to identical bytes. Returns the advance's fenced flag.
+    *
+    * Because the dst is rebuilt from scratch, `numShards` may differ
+    * from the src's — a retrain doubles as the shard-count migration
+    * for this index (it subsumes `rebucketState` when the quantizer is
+    * being refreshed anyway; use rebucketState alone to resize WITHOUT
+    * touching the frozen codebook).
     */
   def retrain(spark: SparkSession, srcRoot: String, dstRoot: String,
       numShards: Int = DefaultShards, rounds: Int = 2, retain: Int = 2,

@@ -358,6 +358,26 @@ object Bench {
     println(line)
     val compactQ = if (benchAll) "" else s""","queries":${jmap(ordered)}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec"$compactQ,"sf":"$sfDir","failed":${failedSet.size},"reps":${reps + rescues},"max_spread_pct":${math.round(maxSpreadPct * 10) / 10.0},"contended":$contended,"detail":"BENCH_LAST.json"}""")
+    // sweep capture-quality gate (r15 verdict item 2, the ScaleGates
+    // pattern): the committed sweep is every later round's comparison
+    // base, so a CONTENDED capture must never become one. With
+    // SPARK_GRAFT_SWEEP_OUT set, the artifact is written ONLY from a
+    // quiet capture; a contended one is refused and the run exits
+    // nonzero so no copy-the-file-anyway workflow can commit it
+    // silently.
+    sys.env.get("SPARK_GRAFT_SWEEP_OUT").foreach { out =>
+      if (contended) System.err.println(
+        f"[bench] REFUSING to write sweep artifact $out: contended " +
+          f"capture (max spread $maxSpreadPct%.1f%%, median sweep " +
+          f"deviation ${deviation.getOrElse(-1.0)}%.1f%%) — rerun on a " +
+          "quiet host")
+      else {
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(s"[bench] wrote sweep artifact $out (contended=false)")
+      }
+    }
     spark.stop()
+    if (contended && sys.env.contains("SPARK_GRAFT_SWEEP_OUT")) sys.exit(3)
   }
 }

@@ -190,14 +190,31 @@ object Scale100 {
     val sigMerged = cr.getAs[Long]("sig_merged")
     val sigMergedPairs = cr.getAs[Long]("sig_merged_pairs")
     val nLost = cr.getAs[Long]("lost")
-    // composed recovery: each lost cluster's rep doc's exact text group
-    // must hold at least the cluster's member count
-    val exactGroups = docs100.groupBy(col("tx")).agg(count(lit(1)).as("xn"))
-    val lostUnrecovered = perCluster.filter(col("hit_pairs") === 0)
-      .join(underClusters.select(col("th"), col("rep")), Seq("th"))
-      .join(docs100.select(col("doc_id").as("rep"), col("tx")), Seq("rep"))
-      .join(exactGroups, Seq("tx"))
-      .filter(col("xn") < col("s")).count()
+    // composed recovery, non-vacuous (r15 advice item 3): each lost
+    // cluster's members must land in ONE group actually EMITTED by the
+    // dedup_exact OPERATOR, with the operator's own n_copies covering
+    // the cluster. Membership (doc -> its group keeper doc) is derived
+    // from the corpus with the operator's normalization, but existence
+    // and size come from the operator output — so a broken exact-dedup
+    // (missing groups, under-counted copies) trips this gate instead
+    // of a by-construction tautology (the old form compared the corpus
+    // against itself: th-keyed clusters share text, so their tx group
+    // trivially covered them).
+    val exactOut = SparkEntry.queries("dedup_exact")(spark, dir)
+      .select(col("keeper_doc_id"), col("n_copies"))
+    val keeperOf = docs100.groupBy(col("tx"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"))
+    val lostUnrecovered = docs100
+      .join(perCluster.filter(col("hit_pairs") === 0)
+        .select(col("th"), col("s")), Seq("th"))
+      .join(keeperOf, Seq("tx"))
+      .groupBy(col("th"), col("s"))
+      .agg(countDistinct(col("keeper_doc_id")).as("nk"),
+        min(col("keeper_doc_id")).as("keeper_doc_id"))
+      .join(exactOut, Seq("keeper_doc_id"), "left")
+      .filter(col("nk") =!= 1 || col("n_copies").isNull ||
+        col("n_copies") < col("s"))
+      .count()
     val lostExactRecovered = lostUnrecovered == 0
     val clonePass = scopePairs > 0 && recallInScope >= 0.97 &&
       lostExactRecovered && cr.getAs[Long]("lost_in_scope") == 0
@@ -253,6 +270,94 @@ object Scale100 {
     // storage blocks inflate tiny-stage work)
     queries.DedupQueries.clearDerivationMemos(spark)
 
+    // ---- standing IVF index at 100x (r15 verdict item 4): the 30x
+    // arm's claims proven at the 200k-vector corpus — bulk epoch
+    // trains + freezes the codebook and folds every vector, steady
+    // epochs ingest 8 fresh vectors (touched shards only), search
+    // reads ONLY the routed cells' shards, recall@5 vs brute truth
+    // gated at the per-query ANN floor, and the retrain maintenance
+    // op runs at full corpus size.
+    val IvfShards = 64
+    val ivfRoot = s"$dir/ivf_index"
+    val hfs = ScaleHarness.hadoopFs(spark)
+    hfs.delete(new org.apache.hadoop.fs.Path(ivfRoot), true)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"${ivfRoot}_rt"), true)
+    val vecs100 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val maxVid = vecs100.agg(max(col("vec_id"))).head().getLong(0)
+    def ivfSteady(e: Int) = vecs100.orderBy(col("vec_id")).limit(8)
+      .withColumn("vec_id", col("vec_id") + lit(maxVid + e * 1000L))
+    val ivfEpochs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var ivfTouchedMax = 0
+    (0 to 2).foreach { e =>
+      val batch = if (e == 0) vecs100 else ivfSteady(e)
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingIvfIndex.materializer(
+        spark, ivfRoot, IvfShards)(batch, e.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val touched = {
+        val p = new org.apache.hadoop.fs.Path(s"$ivfRoot/state/state-$e")
+        if (!hfs.exists(p)) 0
+        else hfs.listStatus(p).count(_.getPath.getName.startsWith("__bucket="))
+      }
+      if (e > 0) ivfTouchedMax = math.max(ivfTouchedMax, touched)
+      ivfEpochs += s"""{"epoch":$e,"sec":${math.round(sec * 1000) / 1000.0},"shards_touched":$touched}"""
+      println(f"[scale] 100x ivf-index epoch $e: $sec%.1f s, " +
+        f"$touched/$IvfShards shards")
+    }
+    val ivfIdx = graft.streaming.StreamingIvfIndex.index(spark, ivfRoot)
+    val ivfIdxRows = ivfIdx.count()
+    val ivfProbes = ivfIdx.filter(
+        queries.SimilarityQueries.probePred(col("vec_id")))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("norm").as("pnorm")).localCheckpoint()
+    // shard-confined search: the candidate read's input files stay
+    // inside the probes' routed shard set (the dup-spans probe-
+    // confinement check, applied to the vector index)
+    val ivfCents = graft.streaming.StreamingIvfIndex.codebook(spark, ivfRoot)
+    val routedShards = graft.operators.Ivf.routeProbes(ivfCents, ivfProbes, 2)
+      .select(graft.operators.ExactlyOnce.bucketOf("cell_id", IvfShards)
+        .as("s")).distinct().collect().map(_.getInt(0)).toSet
+    val ivfSearchT0 = System.nanoTime()
+    val ivfRes = graft.streaming.StreamingIvfIndex.search(spark, ivfRoot,
+      ivfProbes.select(col("probe_id"), col("pv")), 5, 2, IvfShards)
+    val BucketLeaf = ".*/__bucket=(\\d+)/[^/]+$".r
+    val ivfFiles = ivfRes.inputFiles.filter(_.contains("__bucket="))
+    val ivfConfined = ivfFiles.nonEmpty && ivfFiles.forall(f =>
+      BucketLeaf.findFirstMatchIn(f)
+        .exists(m => routedShards.contains(m.group(1).toInt)))
+    val ivfTruth = graft.operators.Ivf.bruteTopK(ivfIdx, ivfProbes, 5)
+      .localCheckpoint()
+    val ivfRecall = graft.operators.Ivf.recallAtK(ivfRes, ivfTruth, 5)
+    val ivfSearchSec = (System.nanoTime() - ivfSearchT0) / 1e9
+    // retrain at the full 200k corpus: the quantizer-maintenance op's
+    // cost row one notch up, with recall preserved against the SAME
+    // brute truth (identical vector set in the retrained root)
+    val rtRoot = s"${ivfRoot}_rt"
+    val rtT0 = System.nanoTime()
+    graft.streaming.StreamingIvfIndex.retrain(spark, ivfRoot, rtRoot,
+      IvfShards, rounds = 2)
+    val ivfRetrainSec = (System.nanoTime() - rtT0) / 1e9
+    val ivfRecallRt = graft.operators.Ivf.recallAtK(
+      graft.streaming.StreamingIvfIndex.search(spark, rtRoot,
+        ivfProbes.select(col("probe_id"), col("pv")), 5, 2, IvfShards),
+      ivfTruth, 5)
+    val ivfPass = ivfIdxRows == nVecs + 16 && ivfTouchedMax > 0 &&
+      ivfTouchedMax < IvfShards && ivfConfined && ivfRecall >= 0.30 &&
+      ivfRecallRt >= 0.30 && ivfRecallRt + 0.05 >= ivfRecall
+    println(f"[scale] 100x ivf-index: $ivfIdxRows rows, steady shards " +
+      f"<= $ivfTouchedMax/$IvfShards, search confined=$ivfConfined, " +
+      f"recall@5=$ivfRecall%.4f (search+truth $ivfSearchSec%.1f s), " +
+      f"retrain $ivfRetrainSec%.1f s recall@5=$ivfRecallRt%.4f, " +
+      f"pass=$ivfPass")
+    if (!ivfPass) failed += "ivf_index_100x"
+    val ivfJson =
+      s"""{"shards":$IvfShards,"epochs":${ivfEpochs.mkString("[", ",", "]")},"index_rows":$ivfIdxRows,"steady_epoch_shards_max":$ivfTouchedMax,"search_confined":$ivfConfined,"recall_at5":${math
+          .round(ivfRecall * 10000) / 10000.0},"recall_threshold":0.30,"search_and_truth_sec":${math
+          .round(ivfSearchSec * 1000) / 1000.0},"retrain":{"vectors":$ivfIdxRows,"sec":${math
+          .round(ivfRetrainSec * 1000) / 1000.0},"recall_at5_after":${math
+          .round(ivfRecallRt * 10000) / 10000.0}},"pass":$ivfPass}"""
+
     // ---- dup-spans standing index at 100x (same harness as 30x) ----
     val DupBuckets = 256
     val docsIdx = spark.read.parquet(s"$dir/documents.parquet")
@@ -270,7 +375,7 @@ object Scale100 {
     val IvmBuckets = 64
     val IvmBucketsSteady = 256
     val ivmRes = ScaleHarness.runIvmE2E(spark, dir, IvmBuckets,
-      migrateTo = Some(IvmBucketsSteady))
+      migrateTo = Some(IvmBucketsSteady), migrationWaves = 4)
     if (!ivmRes.parityPass) failed += "cdc_ivm_e2e"
     if (!ScaleGates.ivm100SteadyOk(ivmRes.steadyOverheadSec)) {
       failed += "ivm100_steady_overhead_regression"
@@ -288,10 +393,14 @@ object Scale100 {
     val heapPools = java.lang.management.ManagementFactory
       .getMemoryPoolMXBeans.asScala
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
-    val oldGenPeakMb = heapPools
-      .filter(p => p.getName.contains("Old") || p.getName.contains("Tenured"))
-      .map(_.getPeakUsage.getUsed).sum >> 20
-    val poolPeakSumMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+    // old-gen via the harness's windowed accumulator: the migration
+    // phase resets the JVM peak counters to read its own window, so
+    // the run-wide number must fold the pre-reset floor back in
+    val oldGenPeakMb = ScaleHarness.oldGenPeakOverallMb
+    val poolPeakSumMb = (heapPools
+      .filterNot(p => p.getName.contains("Old") ||
+        p.getName.contains("Tenured"))
+      .map(_.getPeakUsage.getUsed).sum >> 20) + oldGenPeakMb
     val heapMaxMb = Runtime.getRuntime.maxMemory >> 20
     println(s"[scale] 100x old-gen peak ${oldGenPeakMb}MB of ${heapMaxMb}MB " +
       s"(headroom ${heapMaxMb - oldGenPeakMb}MB; pool-peak-sum upper " +
@@ -309,9 +418,9 @@ object Scale100 {
           .round(cloneRecall * 10000) / 10000.0},"clone_pairs_undercap":$nUnderPairs,"clone_recall_in_scope":${math
           .round(recallInScope * 10000) / 10000.0},"clone_pairs_in_scope":$scopePairs,"sig_merged_clusters":$sigMerged,"sig_merged_pairs":$sigMergedPairs,"lost_clusters":$nLost,"lost_all_exact_recovered":$lostExactRecovered,"clone_recall_threshold":0.97,"clone_recall_gated_on":"in_scope","clone_pass":$clonePass,"overcap_clusters":$nOverClusters,"overcap_cluster_size_min":$overSizeMin,"overcap_cluster_size_max":$overSizeMax,"overcap_docs":$overMass,"overcap_pairs_excluded":$nOverPairs,"overcap_pass":$overPass,"ann_recall_at5":${math
           .round(annRecall * 10000) / 10000.0},"ann_threshold":0.30,"ann_pass":$annPass},"materializers":{"dup_spans":${ScaleHarness
-          .dupSpansJson(dupRes, DupBuckets)},"cdc_ivm_e2e":${ScaleHarness
+          .dupSpansJson(dupRes, DupBuckets)},"ivf_index":$ivfJson,"cdc_ivm_e2e":${ScaleHarness
           .ivmJson(ivmRes, IvmBuckets)}},"memory":{"heap_max_mb":$heapMaxMb,"old_gen_peak_mb":$oldGenPeakMb,"headroom_mb":${heapMaxMb - oldGenPeakMb},"pool_peak_sum_mb_upper_bound":$poolPeakSumMb},"failed":${failed
-          .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"100x heavy families through the 30x harness code (ScaleHarness): derivations timed once per family (session cache), family ops post-derivation; corpus strata: 80% cloned 120x (over LSH bucket cap 64 - dropped from pair scope by design, recovered by the exact text-hash census), 10% cloned 30x (under-cap clone-recall truth), 10% salted singleton + near-dup variant; dup-spans probe pin and IVM parity via the identical 30x protocol; IVM chain: bulk epochs at 64 buckets, in-smoke rebucketState 64->256 migration at the epoch-3 frontier (stop query, migrate 8 states, resume from checkpoint), steady/ripple epochs at 256 with steady gated <= 3.5s (ScaleGates.Ivm100SteadyOverheadMaxSec)"}"""
+          .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"100x heavy families through the 30x harness code (ScaleHarness): derivations timed once per family (session cache), family ops post-derivation; corpus strata: 80% cloned 120x (over LSH bucket cap 64 - dropped from pair scope by design, recovered by the exact text-hash census), 10% cloned 30x (under-cap clone-recall truth), 10% salted singleton + near-dup variant; dup-spans probe pin and IVM parity via the identical 30x protocol; IVM chain: bulk epochs at 64 buckets, in-smoke rebucketState 64->256 WAVE migration at the epoch-3 frontier (stop query, 4 waves x 8 states with a migration-scoped old-gen peak window, resume from checkpoint), steady/ripple epochs at 256 with steady gated <= 3.5s (ScaleGates.Ivm100SteadyOverheadMaxSec); standing IVF index arm at 200k vectors (bulk + 8-vector steady epochs, shard-confined search, recall@5 >= 0.30 vs brute truth, retrain at full corpus)"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[scale] wrote $outPath")

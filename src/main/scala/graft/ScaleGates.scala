@@ -39,6 +39,21 @@ object ScaleGates {
     */
   val Ivm100SteadyOverheadMaxSec = 3.5
 
+  /** 30× novelty steady-epoch ceiling (r15 verdict item 5: the slowest
+    * UNGATED steady materializer — 4.84 s at 30× in SCALE_r15 — and
+    * ungated numbers are the ones that rot). Generous: losing the
+    * O(batch grams + touched buckets) retraction path re-reads the
+    * whole standing census per epoch, which lands well over 7 s; host
+    * noise measured ±0.5 s stays under it.
+    */
+  val NoveltySteadyMaxSec = 7.0
+
+  /** True iff the novelty steady-epoch max holds its bar (a zero or
+    * negative measurement fails — steady epochs must actually run).
+    */
+  def noveltySteadyOk(sec: Double): Boolean =
+    sec > 0 && sec <= NoveltySteadyMaxSec
+
   /** True iff the measured IVM steady-epoch overhead holds the bar.
     * A missing measurement (negative sentinel) FAILS — a smoke that
     * never produced steady epochs must not pass silently.

@@ -23,6 +23,35 @@ private[graft] object ScaleHarness {
   def dirRows(spark: SparkSession, p: String): Long =
     try spark.read.parquet(p).count() catch { case _: Throwable => 0L }
 
+  // ----------------------------------------------- old-gen peak windows
+  // The live-set proxy the smokes record. resetOldGenPeakWindow() lets a
+  // phase (the rebucket migration) read ITS OWN peak — the overall
+  // number stays correct because the pre-reset peak is accumulated into
+  // a floor that oldGenPeakOverallMb folds back in.
+  private def oldGenPools = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getType == java.lang.management.MemoryType.HEAP &&
+        (p.getName.contains("Old") || p.getName.contains("Tenured")))
+  }
+
+  private val oldGenPeakFloorMb = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def oldGenPeakNowMb: Long = oldGenPools.map(_.getPeakUsage.getUsed).sum >> 20
+
+  /** Fold the current peak into the overall floor, then reset the JVM
+    * peak counters so the next read is this window's own peak.
+    */
+  def resetOldGenPeakWindow(): Unit = {
+    val now = oldGenPeakNowMb
+    oldGenPeakFloorMb.updateAndGet(f => math.max(f, now))
+    oldGenPools.foreach(_.resetPeakUsage())
+  }
+
+  /** The run-wide old-gen peak: max over every window seen so far. */
+  def oldGenPeakOverallMb: Long =
+    math.max(oldGenPeakFloorMb.get, oldGenPeakNowMb)
+
   // --------------------------------------------------- 100× corpus build
   /** Build the 100× tables under `dir` from the sf fixtures — shared by
     * the 100× smoke ([[Scale100]]) and the LSH recall profiler
@@ -201,7 +230,8 @@ private[graft] object ScaleHarness {
     * advances.
     */
   def runIvmE2E(spark: SparkSession, dir: String,
-      numBuckets: Int, migrateTo: Option[Int] = None): IvmResult = {
+      numBuckets: Int, migrateTo: Option[Int] = None,
+      migrationWaves: Int = 1): IvmResult = {
     val hfs = hadoopFs(spark)
     val ivmFeed = s"$dir/ivm_feed"
     val ivmCkpt = s"$dir/ivm_ckpt"
@@ -335,6 +365,11 @@ private[graft] object ScaleHarness {
       // the materializers, RESUME from the same checkpoint. The
       // steady/ripple epochs below then measure the migrated shape.
       ivmQ.stop()
+      // the migration gets its OWN old-gen peak window (r15 verdict
+      // item 1: the monolithic epoch doubled the run peak to 17.6 GB —
+      // the wave form must show its peak is O(wave), and only a
+      // migration-scoped reading can show that)
+      resetOldGenPeakWindow()
       val t0 = System.nanoTime()
       val moves = Seq(
         (ivmRep, s"${ivmRep}_rb", "partitionKey"),
@@ -343,17 +378,21 @@ private[graft] object ScaleHarness {
           (s"$r/$c", s"${r}_rb/$c", "__jkey")))
       moves.foreach { case (src, dst, key) =>
         require(graft.operators.ExactlyOnce.rebucketState(
-          spark, src, dst, key, nb, batchId = 3L),
+          spark, src, dst, key, nb, batchId = 3L,
+          waves = migrationWaves),
           s"migration $src -> $dst unexpectedly fenced")
       }
       val migSec = (System.nanoTime() - t0) / 1e9
+      val migOldGenPeakMb = oldGenPeakNowMb
+      resetOldGenPeakWindow()
       ivmRep += "_rb"; ivmRoll += "_rb"; ivmV1 += "_rb"; ivmV2 += "_rb"
       buckets = nb
       migrationJson = Some(
-        s"""{"after_epoch":3,"from_buckets":$numBuckets,"to_buckets":$nb,"states_migrated":${moves.size},"sec":${math
-            .round(migSec * 1000) / 1000.0}}""")
+        s"""{"after_epoch":3,"from_buckets":$numBuckets,"to_buckets":$nb,"states_migrated":${moves.size},"waves":$migrationWaves,"sec":${math
+            .round(migSec * 1000) / 1000.0},"old_gen_peak_mb":$migOldGenPeakMb}""")
       println(f"[scale] ivm-e2e rebucket migration $numBuckets -> $nb " +
-        f"(${moves.size} states): $migSec%.1f s; resuming from checkpoint")
+        f"(${moves.size} states, $migrationWaves waves): $migSec%.1f s, " +
+        f"old-gen window peak ${migOldGenPeakMb}MB; resuming from checkpoint")
       ivmQ = startQ()
       ivmQ.processAllAvailable() // no new data: resume is a no-op
     }

@@ -799,6 +799,14 @@ object ScaleSmoke {
     println(f"[scale] novelty parity: symmetric-diff $nvDiff rows, " +
       f"steady_epoch_sec_max $nvSteadySecMax%.2f, pass=$nvPass")
     if (!nvPass) failed += "streaming_novelty"
+    // regression gate on the novelty steady epoch (r15 verdict item 5:
+    // the slowest ungated steady bar): losing the O(batch + touched)
+    // retraction path re-reads the whole census per epoch — over this
+    if (!ScaleGates.noveltySteadyOk(nvSteadySecMax)) {
+      failed += "novelty_steady_regression"
+      System.err.println(f"[scale] GATE: novelty steady epoch " +
+        f"$nvSteadySecMax%.2f s exceeds ${ScaleGates.NoveltySteadyMaxSec} s")
+    }
 
     // ---- CDC → IVM end-to-end at 30x (r7 verdict item 2): protocol,
     // parity restatements, and the steady-overhead accounting live in
@@ -840,9 +848,9 @@ object ScaleSmoke {
           .round(retrainSec * 1000) / 1000.0},"recovery_pass":$retrainPass}},"join_view":{"buckets":$JvBuckets,"epochs":${jvEpochs
           .mkString("[", ",", "]")},"view_rows":$jvViewRows,"view_mass":$jvMass,"batch_join_rows":$jvTruth,"steady_epoch_rows":$jvSteadyRows,"parity_pass":$jvParity,"o_touched_pass":$jvPass},"sketch_reservoir":{"epochs":${sketchEpochs
           .mkString("[", ",", "]")},"strata":$gkGroups,"reservoir_rows":$rsRows,"state_bound_pass":$sketchPass},"novelty":{"buckets":64,"epochs":${nvEpochs
-          .mkString("[", ",", "]")},"steady_epoch_sec_max":${math.round(nvSteadySecMax * 1000) / 1000.0},"parity_pass":$nvParity},"cdc_ivm_e2e":${ScaleHarness
+          .mkString("[", ",", "]")},"steady_epoch_sec_max":${math.round(nvSteadySecMax * 1000) / 1000.0},"steady_gate_sec":${ScaleGates.NoveltySteadyMaxSec},"steady_gate_pass":${ScaleGates.noveltySteadyOk(nvSteadySecMax)},"parity_pass":$nvParity},"cdc_ivm_e2e":${ScaleHarness
           .ivmJson(ivmRes, IvmBuckets)}},"failed":${failed
-          .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"single timed noop-sink pass per op (cold plans; 30x scale: 90% of texts cloned 30x, 10% stratum singleton + one-token near-dup variant), untimed count for cardinality; session derivation cache ON: the shared LSH signature/pair derivation is timed once as lsh_derivation and every dedup/graph family op's entry is its post-derivation cost (cold whole-pipeline = lsh_derivation + op); likewise dupspan_gram_derivation for txt_dup_spans{,_prefix} and gram_counts_derivation for dedup_ngram_jaccard/dedup_containment; regression gates (ScaleGates): ivm steady <= 3.5s, pagerank post-derivation <= 15s, dup-spans probe <= 52/256"}"""
+          .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"single timed noop-sink pass per op (cold plans; 30x scale: 90% of texts cloned 30x, 10% stratum singleton + one-token near-dup variant), untimed count for cardinality; session derivation cache ON: the shared LSH signature/pair derivation is timed once as lsh_derivation and every dedup/graph family op's entry is its post-derivation cost (cold whole-pipeline = lsh_derivation + op); likewise dupspan_gram_derivation for txt_dup_spans{,_prefix} and gram_counts_derivation for dedup_ngram_jaccard/dedup_containment; regression gates (ScaleGates): ivm steady <= 3.5s, pagerank post-derivation <= 15s, dup-spans probe <= 52/256, novelty steady <= 7s"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[scale] wrote $outPath")

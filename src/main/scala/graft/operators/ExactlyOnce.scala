@@ -799,96 +799,168 @@ object ExactlyOnce {
     if (paths.isEmpty) empty else spark.read.parquet(paths: _*)
   }
 
+  private val MigParamsRe = "^migparams-(\\d+)-(\\d+)$".r
+
   /** MAINTENANCE: migrate a bucketed state to a NEW bucket count — the
     * adoption path for the bucket-sizing lever (IVM_PROFILE_r14
     * measured it: a standing state whose per-bucket slice has grown
     * with the corpus pays the slice size on every touched-bucket
     * advance; at 256 buckets the 100× IVM chain ran BELOW the 30×
     * floor). Reads the src's live rows (newest committed version per
-    * bucket), folds them into `dstDir` as ONE fenced epoch under the
-    * new assignment, and pins `newBuckets` there — any later advance
-    * or pruned probe with a mismatched count fails loudly via the
-    * existing bucket-count guards, so a half-switched caller cannot
-    * silently read wrong buckets.
+    * bucket) and folds them into `dstDir` under the new assignment
+    * across `waves` fenced epochs, pinning `newBuckets` there — any
+    * later advance or pruned probe with a mismatched count fails
+    * loudly via the existing bucket-count guards, so a half-switched
+    * caller cannot silently read wrong buckets.
+    *
+    * WAVES (the O(wave) memory shape): wave `w` owns exactly the dst
+    * buckets `d` with `d % waves == w` and commits them as its own
+    * fenced epoch `batchId - waves + 1 + w` (the LAST wave commits at
+    * `batchId` itself). Each wave scans the src's live rows and keeps
+    * only the keys whose NEW bucket lands in its group, so every dst
+    * bucket is written exactly once (write amplification 1×, no
+    * cross-wave rewrite) and the per-epoch working set — shuffle
+    * buffers, write tasks — is O(state / waves), never O(state). The
+    * src is re-SCANNED per wave (columnar parquet read, no
+    * materialization), the deliberate trade for the bounded heap: the
+    * monolithic form pinned the whole live state via the advance's
+    * batch persist, which at the 100× smoke doubled old-gen to
+    * 17.6 GB of 32 GB — one notch up it does not fit. Queries keep
+    * reading the SRC throughout (it is never touched); the final
+    * `hwm-batchId` fence is the cutover point after which the dst is
+    * whole.
     *
     * Scope: LIVE state only. As-of history does not migrate — the src
     * dir is left intact and stays readable for time travel; retire it
     * once its retention window is no longer needed. `dstDir` must be
-    * fresh; re-running the SAME `batchId` after a mid-migration crash
-    * is a fenced no-op (returns false), the same at-least-once
-    * contract every epoch write carries.
+    * fresh; re-running the SAME parameters after a mid-wave crash
+    * resumes exactly where it stopped (committed waves are fenced
+    * no-ops, remaining waves run) and a fully-committed replay returns
+    * false — the same at-least-once contract every epoch write
+    * carries.
     *
     * Provenance: before migrating, the dst ledger gets a marker naming
-    * the src dir (a deterministic digest of its path). The fenced-
-    * replay path VERIFIES that marker and the pinned bucket count — a
-    * dst that happens to carry an unrelated state whose `batchId`
-    * committed is a mis-pointed migration, not a replay, and fails
-    * loudly instead of returning false as if the migration were done.
+    * the src dir (a deterministic digest of its path) plus a
+    * `migparams-<batchId>-<waves>` pin. The resumed/replayed path
+    * VERIFIES both and the pinned bucket count — a dst that happens to
+    * carry an unrelated state whose epochs committed is a mis-pointed
+    * migration, not a replay, and a re-run with a different epoch or
+    * wave split would interleave incompatible bucket-group
+    * assignments; both fail loudly instead of silently proceeding.
     *
     * Ledger tags: the src's non-structural ledger stamps (the packed-
     * key codec tag and any other operator-declared tags) are COPIED to
-    * the dst before the migration epoch — the materializer resuming on
-    * the dst would otherwise trip its own codec-stamp guard
+    * the dst before the migration epochs — the materializer resuming
+    * on the dst would otherwise trip its own codec-stamp guard
     * ("committed epochs but no codec stamp") on state this very op
     * produced from correctly-stamped input.
+    *
+    * After the last wave the dst fence rises to `hwm-batchId`
+    * IDEMPOTENTLY — on the normal path and on a replay that found
+    * every wave already committed — closing the crash window between
+    * the final wave's commit and the fence write: the migration
+    * reflects every src epoch ≤ batchId, so a resumed pipeline that
+    * replays any pre-migration epoch against the dst must be fenced,
+    * not double-applied.
     */
   def rebucketState(spark: SparkSession, srcDir: String, dstDir: String,
       keyCol: String, newBuckets: Int, batchId: Long = 0L,
-      retain: Int = 2): Boolean = {
+      retain: Int = 2, waves: Int = 1,
+      crashAfterWave: Option[Int] = None): Boolean = {
     require(srcDir != dstDir,
       "rebucket migrates into a NEW state dir; in-place would destroy" +
         " the fencing its own crash-safety rests on")
     require(hasCommittedState(spark, srcDir),
       s"no committed state at $srcDir to rebucket")
+    require(waves >= 1 && waves <= newBuckets,
+      s"waves must be in [1, newBuckets]; got $waves of $newBuckets")
+    require(batchId >= waves - 1,
+      s"batchId $batchId leaves no room for $waves wave epochs" +
+        " (wave epochs are batchId-waves+1..batchId and must be >= 0)")
     val provenance = "migsrc-" + java.util.UUID.nameUUIDFromBytes(
       srcDir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+    val migParams = s"migparams-$batchId-$waves"
     val fs = stateFs(spark, dstDir)
     val dstLedger = new org.apache.hadoop.fs.Path(s"$dstDir/_ledger")
     if (hasCommittedState(spark, dstDir)) {
-      // only a fenced replay of THIS migration may pass: the dst must
-      // name this src as its provenance AND already pin the new count
-      require(isEpochCommitted(spark, dstDir, batchId),
-        s"$dstDir already carries state from a different epoch —" +
-          " rebucket targets a fresh dir (a replay of the same batchId" +
-          " is a fenced no-op)")
+      // only a resumed/fenced replay of THIS migration may pass: the
+      // dst must name this src as its provenance, pin the same
+      // (batchId, waves) parameterization, and pin the new count
       val names = listLedger(fs, dstLedger).map(_.getPath.getName)
       if (!names.contains(provenance)) sys.error(
-        s"$dstDir has epoch $batchId committed but no provenance marker" +
+        s"$dstDir has committed epochs but no provenance marker" +
           s" for $srcDir — it holds an UNRELATED state, not a replay of" +
           " this migration; refusing to report it as fenced")
+      names.collectFirst { case MigParamsRe(b, w) => (b.toLong, w.toInt) }
+        .foreach { case (b, w) =>
+          require(b == batchId,
+            s"$dstDir carries a migration from a different epoch" +
+              s" (batchId $b, not $batchId) — a replay must use the" +
+              " SAME parameters; rebuild the dst to re-migrate")
+          if (w != waves) sys.error(
+            s"$dstDir was part-migrated with $w waves, not $waves — a" +
+              " different wave split would interleave incompatible" +
+              s" bucket-group epochs; resume with waves=$w or rebuild" +
+              " the dst")
+        }
       if (!pinnedInNames(names).contains(newBuckets)) sys.error(
         s"$dstDir carries provenance for $srcDir but is pinned" +
           s" ${pinnedInNames(names).getOrElse("un")}-bucketed, not" +
           s" $newBuckets — a half-committed or mis-parameterized" +
           " migration; rebuild the dst")
     }
-    // pre-advance, crash-safe order: marker + tags with no committed
-    // state are inert; the advance's own fence makes the commit atomic
+    // pre-advance, crash-safe order: markers + tags with no committed
+    // state are inert; each wave's own fence makes its commit atomic
     fs.mkdirs(dstLedger)
     fs.create(new org.apache.hadoop.fs.Path(dstLedger, provenance), true)
+      .close()
+    fs.create(new org.apache.hadoop.fs.Path(dstLedger, migParams), true)
       .close()
     val srcLedger = new org.apache.hadoop.fs.Path(s"$srcDir/_ledger")
     listLedger(stateFs(spark, srcDir), srcLedger).map(_.getPath.getName)
       .filterNot(n => EpochMarkerRe.matches(n) || HwmMarkerRe.matches(n) ||
         OwnersRe.matches(n) || CompactMarkerRe.matches(n) ||
-        n.startsWith("buckets-") || n.startsWith("migsrc-"))
+        n.startsWith("buckets-") || n.startsWith("migsrc-") ||
+        n.startsWith("migparams-"))
       .foreach(tag => fs.create(
         new org.apache.hadoop.fs.Path(dstLedger, tag), true).close())
-    val live = currentStateBucketed(spark, srcDir)(sys.error(
+    def live = currentStateBucketed(spark, srcDir)(sys.error(
       s"state at $srcDir is committed but every bucket is empty —" +
         " nothing to rebucket"))
-    val advanced = advanceStateBucketed(spark, dstDir, batchId, live,
-      keyCol, newBuckets, retain)(live.limit(0))(_.unionByName(live))
-    // raise the dst fence to hwm-batchId (keeping the epoch marker —
-    // it is the only ownership record this young ledger has): the
-    // migration epoch REFLECTS every src epoch <= batchId, so a
-    // resumed pipeline that replays any pre-migration epoch against
-    // the dst (a restarted stream behind the migration point) must be
-    // fenced, not double-applied. The marker itself folds away later
-    // through the normal retirement path, which snapshots owners first.
-    if (advanced)
-      atomicLedgerWrite(fs, dstLedger, s"hwm-$batchId", "")
-    advanced
+    var advancedAny = false
+    (0 until waves).foreach { w =>
+      val waveEpoch = batchId - waves + 1 + w
+      val group = (0 until newBuckets).filter(_ % waves == w).toSet
+      val waveRows =
+        if (waves == 1) live
+        else live.filter(
+          bucketExpr(keyCol, newBuckets) % lit(waves) === lit(w))
+      // knownTouched = the wave's whole bucket group (a superset of
+      // the rows' actual buckets, which is the contract): skips both
+      // the touched-bucket probe job AND the batch persist — the rows
+      // stream from the src scan straight through the bucket-
+      // clustering exchange into the write, so nothing state-sized is
+      // ever pinned in memory
+      val adv = advanceStateBucketed(spark, dstDir, waveEpoch, waveRows,
+        keyCol, newBuckets, retain, knownTouched = Some(group),
+        knownNarrow = Some(false))(waveRows.limit(0))(
+        _.unionByName(waveRows))
+      advancedAny ||= adv
+      // test seam: simulate a crash after this wave's commit and
+      // before anything later (the next wave, or the hwm fence)
+      crashAfterWave.filter(_ == w).foreach(_ => sys.error(
+        s"simulated crash after wave $w of $waves"))
+    }
+    // IDEMPOTENT cutover fence: written whenever the loop completes —
+    // whether this invocation advanced waves or found them all fenced.
+    // A crash between the last wave's commit and this write is healed
+    // by the replay's all-fenced pass reaching here and writing it.
+    // Content-free marker, so create-overwrite is the right atomicity
+    // (the tmp+rename path fails on an existing destination — exactly
+    // the healing-replay case).
+    fs.create(new org.apache.hadoop.fs.Path(dstLedger, s"hwm-$batchId"),
+      true).close()
+    advancedAny
   }
 
   /** [[currentStateBucketed]] restricted to a bucket subset — the read

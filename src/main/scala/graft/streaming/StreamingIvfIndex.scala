@@ -184,29 +184,63 @@ object StreamingIvfIndex {
       "retrain rebuilds into a NEW root; in-place would tear the live" +
         " index under its readers")
     require(rounds >= 1, "at least one Lloyd round")
+    // fence FIRST, before touching anything under dstRoot (r15 advice
+    // item 2): the 'replays to identical bytes' claim binds to the src
+    // content the committed run read — an at-least-once replay after
+    // the live src ingested more epochs would recompute a DIFFERENT
+    // codebook, and writing it while the state stays fenced at the old
+    // assignment leaves dst routing probes with centroids that don't
+    // match the stored cell assignments. A genuinely torn crash (some
+    // scratch/codebook written, state never committed) still replays
+    // through the codebook-then-state order below.
+    if (ExactlyOnce.isEpochCommitted(spark, stateDir(dstRoot), batchId))
+      return false
+    // src resolved ONCE (fixed file list; the retain grace keeps the
+    // files readable) and re-read from durable parquet per round — no
+    // localCheckpoint of the corpus-sized frame (r15 verdict item 3:
+    // a block-manager pin of the whole index dies with an executor and
+    // competes with the retrain's own shuffles for storage memory).
+    // Each round's codebook IS durably parquet-backed under dstRoot
+    // scratch, so round r+1's assignment never re-executes round r's
+    // aggregation and a lost executor recomputes from disk.
     val cur = index(spark, srcRoot)
       .select(col("vec_id"), col("cell_id"), col("v"), col("norm"))
-      .localCheckpoint()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dstRoot), spark.sparkContext.hadoopConfiguration)
+    def roundCb(r: Int) = s"$dstRoot/_retrain_codebook_$r"
     var assigned = cur
-    var cents: DataFrame = null
-    (1 to rounds).foreach { _ =>
-      cents = Ivf.codebook(
-        assigned.select(col("cell_id").as("label"), col("v")))
-        .localCheckpoint()
+    (1 to rounds).foreach { r =>
+      Ivf.codebook(assigned.select(col("cell_id").as("label"), col("v")))
+        .write.mode(SaveMode.Overwrite).parquet(roundCb(r))
       assigned = Ivf.assignCarrying(
-        cur.select(col("vec_id"), col("v"), col("norm")), cents)
+        cur.select(col("vec_id"), col("v"), col("norm")),
+        spark.read.parquet(roundCb(r)))
     }
     val out = assigned
       .select(col("vec_id"), col("cell_id"), col("v"), col("norm"))
-    // codebook first (deterministic bytes — a crash between this write
-    // and the state commit replays to the identical file), then the
-    // state as one fenced epoch
-    cents.write.mode(SaveMode.Overwrite).parquet(codebookDir(dstRoot))
-    ExactlyOnce.advanceStateBucketed(spark, stateDir(dstRoot), batchId,
-      out, "cell_id", numShards, retain)(emptyIndex(spark)) { current =>
+    // publish the final codebook first (deterministic bytes — a crash
+    // between this write and the state commit replays to the identical
+    // file), then the state as one fenced epoch
+    spark.read.parquet(roundCb(rounds)).write.mode(SaveMode.Overwrite)
+      .parquet(codebookDir(dstRoot))
+    // knownTouched = every shard (the rebuild writes the whole index —
+    // the superset contract): skips the touched-probe job AND the
+    // advance's batch persist, so the rows stream from the round
+    // parquet straight through the clustering exchange into the write
+    // with nothing index-sized pinned in storage memory
+    val advanced = ExactlyOnce.advanceStateBucketed(spark,
+      stateDir(dstRoot), batchId, out, "cell_id", numShards, retain,
+      knownTouched = Some((0 until numShards).toSet),
+      knownNarrow = Some(false))(
+      emptyIndex(spark)) { current =>
       current.join(out.select(col("vec_id")), Seq("vec_id"), "left_anti")
         .unionByName(out)
     }
+    // scratch cleanup only AFTER the advance (out's plan reads the
+    // last round's parquet); idempotent, crash leaves only dead files
+    (1 to rounds).foreach(r => fs.delete(
+      new org.apache.hadoop.fs.Path(roundCb(r)), true))
+    advanced
   }
 
   /** [[search]] with the probe sample drawn from the index itself

@@ -24,10 +24,12 @@ class IvmMigrationSpec extends SparkSpec {
     // $dir — stage the fixture's events there
     queries.Tables.events(spark, sf)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val res = ScaleHarness.runIvmE2E(spark, dir, 8, migrateTo = Some(32))
+    val res = ScaleHarness.runIvmE2E(spark, dir, 8, migrateTo = Some(32),
+      migrationWaves = 4)
     assert(res.migrationJson.nonEmpty, "migration was not recorded")
     assert(res.migrationJson.get.contains("\"to_buckets\":32"))
     assert(res.migrationJson.get.contains("\"states_migrated\":8"))
+    assert(res.migrationJson.get.contains("\"waves\":4"))
     assert(res.parityPass,
       s"post-migration parity broke: replica ${res.repGot}/${res.repWant}, " +
         s"rollup parity ${res.rollupParity}, cascade " +

@@ -138,6 +138,96 @@ class RebucketSpec extends SparkSpec {
     assert(readState(dst) == Map(77L -> 770L), "unrelated state disturbed")
   }
 
+  test("wave migration: waves partition the dst buckets, a mid-wave crash " +
+      "resumes fenced into the identical state, and the final fence " +
+      "blocks pre-migration epoch replays") {
+    val src = Files.createTempDirectory("graft_rbw_src").toString
+    val dst = Files.createTempDirectory("graft_rbw_dst").toString + "/s"
+    var model = Map.empty[Long, Long]
+    (0L until 4L).foreach { e =>
+      val vals = (1L to 100L).filter(k => (k + e) % 3 == 0)
+        .map(k => k -> (e * 1000 + k))
+      assert(upsert(src, 8, e, vals))
+      model = model ++ vals
+    }
+    // simulated crash after wave 1 of 4 (wave epochs 4..7: 4,5 are
+    // committed, 6,7 never ran, the hwm fence was never written)
+    val boom = intercept[RuntimeException](
+      ExactlyOnce.rebucketState(spark, src, dst, "k", 32, batchId = 7L,
+        waves = 4, crashAfterWave = Some(1)))
+    assert(boom.getMessage.contains("simulated crash"), boom.getMessage)
+    // resuming with a DIFFERENT wave split would interleave
+    // incompatible bucket-group epochs — loud failure, not silent mix
+    val wf = intercept[RuntimeException](
+      ExactlyOnce.rebucketState(spark, src, dst, "k", 32, batchId = 7L,
+        waves = 2))
+    assert(wf.getMessage.contains("4 waves, not 2"), wf.getMessage)
+    // ...and a different migration epoch is refused the same way
+    val ef = intercept[IllegalArgumentException](
+      ExactlyOnce.rebucketState(spark, src, dst, "k", 32, batchId = 9L,
+        waves = 4))
+    assert(ef.getMessage.contains("different epoch"), ef.getMessage)
+    // the resume with the SAME parameters: committed waves are fenced,
+    // remaining waves run, and the migrated state is exactly the src's
+    assert(ExactlyOnce.rebucketState(spark, src, dst, "k", 32,
+      batchId = 7L, waves = 4))
+    assert(readState(dst) == model, "wave migration lost or duplicated rows")
+    // each wave epoch wrote ONLY its own bucket group (d % 4 == w) —
+    // the O(wave) confinement the split exists for
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    (4L to 7L).foreach { e =>
+      val w = (e - 4).toInt
+      val p = new org.apache.hadoop.fs.Path(s"$dst/state-$e")
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName)
+        .collect { case s if s.startsWith("__bucket=") =>
+          s.stripPrefix("__bucket=").toInt }
+        .foreach(b => assert(b % 4 == w,
+          s"dst bucket $b written by wave $w's epoch $e"))
+    }
+    // the cutover fence: a resumed stream replaying any pre-migration
+    // epoch (0..3, all below the wave epochs) against the dst is a
+    // fenced no-op, not a double-apply
+    assert(!upsert(dst, 32, 2L, Seq(999L -> 9999L)))
+    assert(readState(dst) == model)
+    // a full replay of the whole migration is a fenced no-op
+    assert(!ExactlyOnce.rebucketState(spark, src, dst, "k", 32,
+      batchId = 7L, waves = 4))
+    assert(readState(dst) == model)
+  }
+
+  test("a crash between the final migration commit and the hwm fence is " +
+      "healed by the replay writing the fence idempotently") {
+    val src = Files.createTempDirectory("graft_rbh_src").toString
+    val dst = Files.createTempDirectory("graft_rbh_dst").toString + "/s"
+    var model = Map.empty[Long, Long]
+    (0L until 3L).foreach { e =>
+      val vals = (1L to 60L).filter(k => (k + e) % 4 == 0)
+        .map(k => k -> (e * 100 + k))
+      assert(upsert(src, 8, e, vals))
+      model = model ++ vals
+    }
+    // monolithic migration (waves=1) crashing right after its single
+    // epoch committed, BEFORE the hwm write — the r15-advice hazard:
+    // the old code only wrote the hwm when the advance returned true,
+    // so this replay path left pre-migration epochs unfenced forever
+    val boom = intercept[RuntimeException](
+      ExactlyOnce.rebucketState(spark, src, dst, "k", 32, batchId = 7L,
+        crashAfterWave = Some(0)))
+    assert(boom.getMessage.contains("simulated crash"), boom.getMessage)
+    // the hazard is real at this point: epoch 3 is NOT fenced on dst
+    assert(!ExactlyOnce.isEpochCommitted(spark, dst, 3L),
+      "precondition: crash window should leave pre-migration epochs open")
+    // the replay finds the epoch fenced (returns false) but must still
+    // write the fence — pre-migration replays are then no-ops
+    assert(!ExactlyOnce.rebucketState(spark, src, dst, "k", 32,
+      batchId = 7L))
+    assert(ExactlyOnce.isEpochCommitted(spark, dst, 3L),
+      "healing replay did not write the hwm fence")
+    assert(!upsert(dst, 32, 3L, Seq(777L -> 7L)))
+    assert(readState(dst) == model)
+  }
+
   test("non-structural ledger tags (codec stamps) migrate with the state " +
       "so the stamping materializer can resume on the dst") {
     import spark.implicits._

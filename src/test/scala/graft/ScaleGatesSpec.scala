@@ -24,6 +24,13 @@ class ScaleGatesSpec extends AnyFunSuite {
     assert(!ScaleGates.ivm100SteadyOk(-1.0)) // no steady epochs ran
   }
 
+  test("novelty steady-epoch gate holds the measured bar and trips past it") {
+    assert(ScaleGates.noveltySteadyOk(4.84)) // r15 measured (SCALE_r15)
+    assert(ScaleGates.noveltySteadyOk(7.0)) // the ceiling itself
+    assert(!ScaleGates.noveltySteadyOk(7.01)) // forced: lost O(touched) path
+    assert(!ScaleGates.noveltySteadyOk(0.0)) // steady epochs never ran
+  }
+
   test("pagerank post-derivation gate holds the won bar and trips past it") {
     assert(ScaleGates.pagerankOk(Some(10.06))) // r13 measured
     assert(ScaleGates.pagerankOk(Some(15.0)))

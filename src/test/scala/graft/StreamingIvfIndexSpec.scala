@@ -207,6 +207,33 @@ class StreamingIvfIndexSpec extends SparkSpec {
     assert(!StreamingIvfIndex.retrain(spark, root, rt, Shards, rounds = 3))
   }
 
+  test("a retrain replay AFTER the live src ingested more epochs is " +
+      "fenced BEFORE touching the dst codebook") {
+    val root = Files.createTempDirectory("graft_ivfrt3").toString + "/idx"
+    StreamingIvfIndex.materializer(spark, root, Shards)(embs(), 0L)
+    val rt = root + "_rt"
+    assert(StreamingIvfIndex.retrain(spark, root, rt, Shards, rounds = 2))
+    val cbCommitted = rows(StreamingIvfIndex.codebook(spark, rt))
+    // retrain scratch is cleaned up after the fenced commit
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$rt/_retrain_codebook_1")), "retrain left round scratch behind")
+    // the live src moves on: new, scaled vectors change what a
+    // recompute would train — the r15-advice hazard was the replay
+    // recomputing THIS different codebook and clobbering the dst while
+    // its state stayed fenced at the old assignment
+    val more = embs().orderBy(col("vec_id")).limit(64)
+      .withColumn("vec_id", col("vec_id") + lit(800000L))
+      .withColumn("embedding", transform(col("embedding"),
+        x => (x * lit(2.0f)).cast("float")))
+    assert(StreamingIvfIndex.materializer(spark, root, Shards)(more, 1L))
+    // the replay is fenced with the dst codebook bytes untouched
+    assert(!StreamingIvfIndex.retrain(spark, root, rt, Shards, rounds = 2))
+    assert(rows(StreamingIvfIndex.codebook(spark, rt)) == cbCommitted,
+      "fenced retrain replay clobbered the committed dst codebook")
+  }
+
   test("a grown index rebuckets to more shards and searches identically") {
     val root = Files.createTempDirectory("graft_ivfidx3").toString
     StreamingIvfIndex.materializer(spark, root, Shards)(embs(), 0L)

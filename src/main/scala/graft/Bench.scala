@@ -40,6 +40,28 @@ object Bench {
     "dedup_minhash_pairs", "dedup_ngram_jaccard",
     "sim_knn_brute", "txt_tokens")
 
+  /** Parse a bench artifact's flat `"queries":{"name":sec,...}` map,
+    * refusing an artifact captured at a different scale factor (a
+    * deviation against it would be pure sf ratio). No JSON dependency
+    * in the unmanaged-classpath build.
+    */
+  private def parseQueryMap(p: String): Option[Map[String, Double]] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val qre = """"queries"\s*:\s*\{([^}]*)\}""".r
+      val kv = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
+      val sfre = """"sf"\s*:\s*"([^"]*)"""".r
+      val refSf = sfre.findFirstMatchIn(txt).map(_.group(1))
+      if (!refSf.contains(sys.env.getOrElse(
+          "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))) None
+      else qre.findFirstMatchIn(txt).map { m =>
+        kv.findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => None }
+
   /** Newest committed sweep artifact, if any, as name -> seconds. */
   private def sweepRef(): Option[(String, Map[String, Double])] = {
     val explicit = sys.env.get("SPARK_GRAFT_SWEEP_REF")
@@ -49,27 +71,23 @@ object Bench {
         .filter(f => f.getName.matches("BENCH_SWEEP_r\\d+\\.json"))
         .sortBy(_.getName).lastOption.map(_.getPath)
     }
-    path.flatMap { p =>
-      try {
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
-          java.nio.charset.StandardCharsets.UTF_8)
-        // minimal extraction of the flat "queries":{"name":sec,...} object
-        // (no JSON dependency in the unmanaged-classpath build)
-        val qre = """"queries"\s*:\s*\{([^}]*)\}""".r
-        val kv = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
-        val sfre = """"sf"\s*:\s*"([^"]*)"""".r
-        val refSf = sfre.findFirstMatchIn(txt).map(_.group(1))
-        // a sweep at a different scale factor is not a comparable
-        // reference — deviations against it would be pure sf ratio
-        if (!refSf.contains(sys.env.getOrElse(
-            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))) None
-        else qre.findFirstMatchIn(txt).map { m =>
-          p -> kv.findAllMatchIn(m.group(1))
-            .map(x => x.group(1) -> x.group(2).toDouble).toMap
-        }
-      } catch { case _: Throwable => None }
-    }
+    path.flatMap(p => parseQueryMap(p).map(p -> _))
+  }
+
+  /** The PINNED per-query regression baseline (r16 verdict item 1):
+    * a frozen copy of the first trustworthy chunked-methodology sweep
+    * (BENCH_BASELINE.json = BENCH_SWEEP_r16), NOT the newest sweep —
+    * the newest-sweep reference drifts with every round, which is
+    * exactly how the r13–r15 capture issues lingered. Re-pin
+    * deliberately (copy a newer sweep over the file) only when a plan
+    * change makes the old shape non-comparable; record re-pins in
+    * SCALING.md.
+    */
+  private def pinnedBaseline(): Option[(String, Map[String, Double])] = {
+    val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "BENCH_BASELINE.json")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) None
+    else parseQueryMap(p).map(p -> _)
   }
 
   def main(args: Array[String]): Unit = {
@@ -356,6 +374,28 @@ object Bench {
     }.sum
     val contended = deviation.exists(_ > 20.0) || hotFrac > 0.10
 
+    // PINNED-baseline regression gate (r16 verdict item 1): mechanical
+    // per-query defense, judged only on QUIET captures — a contended
+    // window's excursions are already stamped and must not read as
+    // regressions. Enforced (nonzero exit) on the sweep-artifact path
+    // and when SPARK_GRAFT_BENCH_GATE=1; always reported.
+    val baseline = pinnedBaseline()
+    val regressions = baseline match {
+      case Some((_, base)) if !contended =>
+        ScaleGates.benchRegressions(finalMins, base)
+      case _ => Map.empty[String, Double]
+    }
+    val regressionGate =
+      if (baseline.isEmpty) "no-baseline"
+      else if (contended) "skipped-contended"
+      else if (regressions.nonEmpty) "fail" else "pass"
+    if (regressions.nonEmpty) System.err.println(
+      s"[bench] REGRESSION GATE: ${regressions.size} quiet-window query" +
+        s" min(s) exceed the pinned baseline by >" +
+        s" ${ScaleGates.BenchRegressionMaxPct}%: " +
+        regressions.toSeq.sortBy(-_._2)
+          .map { case (n, p) => f"$n +$p%.1f%%" }.mkString(", "))
+
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ordered = timedSet.map(_._1).collect {
@@ -370,8 +410,11 @@ object Bench {
       deviation.foreach(d =>
         extras ++= s""","sweep_deviation_pct":${math.round(d * 10) / 10.0}""")
     }
+    baseline.foreach { case (p, _) =>
+      extras ++= s""","baseline_ref":"$p","regression_gate":"$regressionGate","regressions":${jmap(regressions)}"""
+    }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(
-        ordered)},"shuffle_mb":${jmap(shuffleMb)},"sf":"$sfDir","failed":${failedSet.size},"materialization":"noop-sink","methodology":"per-query warm run, one discarded interleaved warm-up pass, then $reps interleaved timed reps, per-query min + median, spread over the fastest 3 samples (discarded slower reps counted in outlier_reps), contended = sweep deviation > 20% or > 10% of queries over 50% trimmed spread"$extras}"""
+        ordered)},"shuffle_mb":${jmap(shuffleMb)},"sf":"$sfDir","failed":${failedSet.size},"materialization":"noop-sink","methodology":"per-query warm run, one discarded interleaved warm-up pass, then $reps interleaved timed reps, per-query min + median, spread over the fastest 3 samples (discarded slower reps counted in outlier_reps), contended = sweep deviation > 20% or > 10% of queries over 50% trimmed spread; quiet captures gated per-query vs the pinned baseline (min > 25% over pinned min = fail); sweep artifact written only when contended=false AND hot_fraction=0"$extras}"""
     // stdout gets wrapped in sbt/log noise downstream — persist the
     // structured result to a well-known file too, so consumers that
     // fail to grep the line out of the tail still get the JSON
@@ -398,19 +441,35 @@ object Bench {
     // quiet capture; a contended one is refused and the run exits
     // nonzero so no copy-the-file-anyway workflow can commit it
     // silently.
+    // The sweep-out bar is STRICTER than the contended stamp (ADVICE
+    // r16): this artifact anchors every later round's comparison — and,
+    // when deliberately re-pinned, the regression gate itself — so the
+    // write path demands hotFrac == 0 (no query's fastest-3 unstable),
+    // not merely ≤ 10 %. A capture that is quiet-stamped but not
+    // sweep-writable is still a valid round reading; it just cannot
+    // become a baseline.
+    val sweepWritable = !contended && hotFrac == 0.0
     sys.env.get("SPARK_GRAFT_SWEEP_OUT").foreach { out =>
-      if (contended) System.err.println(
-        f"[bench] REFUSING to write sweep artifact $out: contended " +
-          f"capture (max spread $maxSpreadPct%.1f%%, median sweep " +
-          f"deviation ${deviation.getOrElse(-1.0)}%.1f%%) — rerun on a " +
-          "quiet host")
+      if (!sweepWritable) System.err.println(
+        f"[bench] REFUSING to write sweep artifact $out: " +
+          f"contended=$contended hot_fraction=${hotFrac * 100}%.1f%% " +
+          f"(max spread $maxSpreadPct%.1f%%, median sweep deviation " +
+          f"${deviation.getOrElse(-1.0)}%.1f%%) — the sweep artifact " +
+          "must come from a fully-stable window; rerun on a quiet host")
       else {
         java.nio.file.Files.write(java.nio.file.Paths.get(out),
           (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        println(s"[bench] wrote sweep artifact $out (contended=false)")
+        println(s"[bench] wrote sweep artifact $out (contended=false," +
+          " hot_fraction=0)")
       }
     }
     spark.stop()
-    if (contended && sys.env.contains("SPARK_GRAFT_SWEEP_OUT")) sys.exit(3)
+    if (!sweepWritable && sys.env.contains("SPARK_GRAFT_SWEEP_OUT"))
+      sys.exit(3)
+    // regression-gate enforcement (ScaleGates pattern): fail the run,
+    // after every artifact is written, on the gated paths
+    if (regressionGate == "fail" && (sys.env.contains("SPARK_GRAFT_SWEEP_OUT")
+        || sys.env.get("SPARK_GRAFT_BENCH_GATE").contains("1")))
+      sys.exit(4)
   }
 }

@@ -426,24 +426,11 @@ object Scale100 {
     println(s"[scale] wrote $outPath")
     println(json)
     // splice into the round's 30x artifact so SCALE_r{N}.json carries
-    // both scales
-    injectInto.map(java.nio.file.Paths.get(_)).filter(p =>
-      java.nio.file.Files.exists(p)).foreach { p =>
-      val base = new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      if (base.endsWith("}")) {
-        // idempotent: a re-run REPLACES an existing x100 section
-        // instead of appending a duplicate key (the splice always
-        // appends x100 last, so truncating at its key is exact)
-        val cut = base.indexOf(",\"x100\":")
-        val trunk = if (cut >= 0) base.substring(0, cut)
-          else base.dropRight(1)
-        val merged = trunk + ",\"x100\":" + json + "}"
-        java.nio.file.Files.write(p, merged.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-        println(s"[scale] spliced x100 section into $p" +
-          (if (cut >= 0) " (replaced prior x100)" else ""))
-      }
+    // both scales; JSON-parsed splice preserves an x300 section
+    // regardless of capture order (the r16 gotcha)
+    injectInto.map(java.nio.file.Paths.get(_)).foreach { p =>
+      if (ScaleHarness.spliceJsonSection(p, "x100", json))
+        println(s"[scale] spliced x100 section into $p")
     }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -75,22 +75,9 @@ object Scale300 {
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[scale] wrote $outPath")
     println(json)
-    injectInto.map(java.nio.file.Paths.get(_)).filter(p =>
-      java.nio.file.Files.exists(p)).foreach { p =>
-      val basej = new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      if (basej.endsWith("}")) {
-        // idempotent splice: x300 always lands LAST, so truncating at
-        // its key replaces a prior run's section exactly
-        val cut = basej.indexOf(",\"x300\":")
-        val trunk = if (cut >= 0) basej.substring(0, cut)
-          else basej.dropRight(1)
-        val merged = trunk + ",\"x300\":" + json + "}"
-        java.nio.file.Files.write(p, merged.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-        println(s"[scale] spliced x300 section into $p" +
-          (if (cut >= 0) " (replaced prior x300)" else ""))
-      }
+    injectInto.map(java.nio.file.Paths.get(_)).foreach { p =>
+      if (ScaleHarness.spliceJsonSection(p, "x300", json))
+        println(s"[scale] spliced x300 section into $p")
     }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -76,4 +76,29 @@ object ScaleGates {
   /** True iff the steady probe stayed within the pinned bucket set. */
   def dupSpansProbeOk(buckets: Int): Boolean =
     buckets > 0 && buckets <= DupSpansProbeBucketsMax
+
+  /** Per-query regression ceiling vs the PINNED bench baseline (r16
+    * verdict item 1: two rounds of judge-eyeball triage was the whole
+    * regression defense — make it mechanical). 25 %: far above the
+    * quiet-window per-query jitter the r16 captures measured (fastest-3
+    * spreads ≤ ~10 % on an idle box), far below the 2× driver bar, and
+    * under the +41 % single-query excursions that a HOT window
+    * produces — which is why the gate only judges QUIET captures
+    * (a contended capture is already stamped and never becomes a
+    * comparison base).
+    */
+  val BenchRegressionMaxPct = 25.0
+
+  /** Offending queries: present in both maps, baseline > 0, and the
+    * measured min exceeds the pinned min by more than `thresholdPct`.
+    * Returns name -> regression percent (rounded to 0.1).
+    */
+  def benchRegressions(mins: Map[String, Double],
+      base: Map[String, Double],
+      thresholdPct: Double = BenchRegressionMaxPct): Map[String, Double] =
+    mins.collect {
+      case (n, v) if base.get(n).exists(b =>
+          b > 0 && (v - b) / b * 100.0 > thresholdPct) =>
+        n -> math.round((v - base(n)) / base(n) * 1000.0) / 10.0
+    }
 }

@@ -11,6 +11,39 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object ScaleHarness {
 
+  /** Splice `sectionJson` into the JSON artifact at `path` under `key`,
+    * replacing any prior section. Parses and re-serializes the whole
+    * document — the raw-string truncation it replaces could match the
+    * key inside a string value and silently dropped any section a later
+    * tool had appended after it (the r16 x100-after-x300 gotcha). A
+    * file that does not exist or does not parse is left untouched and
+    * reported, never corrupted.
+    */
+  def spliceJsonSection(path: java.nio.file.Path, key: String,
+      sectionJson: String): Boolean = {
+    if (!java.nio.file.Files.exists(path)) return false
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    try {
+      val root = mapper.readTree(java.nio.file.Files.readAllBytes(path))
+      root match {
+        case obj: com.fasterxml.jackson.databind.node.ObjectNode =>
+          obj.set[com.fasterxml.jackson.databind.JsonNode](
+            key, mapper.readTree(sectionJson))
+          java.nio.file.Files.write(path, mapper.writeValueAsBytes(obj))
+          true
+        case _ =>
+          System.err.println(s"[scale] $path is not a JSON object;" +
+            s" refusing to splice $key")
+          false
+      }
+    } catch {
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        System.err.println(s"[scale] $path does not parse as JSON" +
+          s" (${e.getMessage}); refusing to splice $key")
+        false
+    }
+  }
+
   def hadoopFs(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
     org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)

@@ -891,18 +891,32 @@ object ExactlyOnce {
         s"$dstDir has committed epochs but no provenance marker" +
           s" for $srcDir — it holds an UNRELATED state, not a replay of" +
           " this migration; refusing to report it as fenced")
-      names.collectFirst { case MigParamsRe(b, w) => (b.toLong, w.toInt) }
-        .foreach { case (b, w) =>
-          require(b == batchId,
-            s"$dstDir carries a migration from a different epoch" +
-              s" (batchId $b, not $batchId) — a replay must use the" +
-              " SAME parameters; rebuild the dst to re-migrate")
-          if (w != waves) sys.error(
-            s"$dstDir was part-migrated with $w waves, not $waves — a" +
-              " different wave split would interleave incompatible" +
-              s" bucket-group epochs; resume with waves=$w or rebuild" +
-              " the dst")
-        }
+      // validate against ALL migparams markers — a stale marker from a
+      // crashed pre-commit attempt alongside the real one is a conflict
+      // we must surface, not a coin-flip for collectFirst to resolve
+      val pins = names.collect { case MigParamsRe(b, w) => (b.toLong, w.toInt) }
+      if (pins.isEmpty) {
+        // pre-marker dst (or a marker lost to a partial ledger): fall
+        // back to the strict pre-r16 fence — only a replay of the SAME
+        // final epoch may pass; a different batchId would run unfenced
+        // wave epochs on top of the completed migration
+        require(isEpochCommitted(spark, dstDir, batchId),
+          s"$dstDir has committed state and provenance for $srcDir but" +
+            s" no migparams pin and no committed epoch $batchId — a" +
+            " replay with different parameters on top of a completed" +
+            " migration would duplicate live state; rebuild the dst" +
+            " to re-migrate")
+      } else pins.foreach { case (b, w) =>
+        require(b == batchId,
+          s"$dstDir carries a migration from a different epoch" +
+            s" (batchId $b, not $batchId) — a replay must use the" +
+            " SAME parameters; rebuild the dst to re-migrate")
+        if (w != waves) sys.error(
+          s"$dstDir was part-migrated with $w waves, not $waves — a" +
+            " different wave split would interleave incompatible" +
+            s" bucket-group epochs; resume with waves=$w or rebuild" +
+            " the dst")
+      }
       if (!pinnedInNames(names).contains(newBuckets)) sys.error(
         s"$dstDir carries provenance for $srcDir but is pinned" +
           s" ${pinnedInNames(names).getOrElse("un")}-bucketed, not" +
@@ -910,8 +924,17 @@ object ExactlyOnce {
           " migration; rebuild the dst")
     }
     // pre-advance, crash-safe order: markers + tags with no committed
-    // state are inert; each wave's own fence makes its commit atomic
+    // state are inert; each wave's own fence makes its commit atomic.
+    // A crashed PRE-COMMIT attempt may have left stale migparams-*
+    // markers with different parameters — with no committed state they
+    // pinned nothing, so clear them before writing this run's pin (on
+    // the committed path the pins were just validated equal, so the
+    // only removal is a same-name overwrite-equivalent)
     fs.mkdirs(dstLedger)
+    listLedger(fs, dstLedger).map(_.getPath.getName)
+      .filter(n => n.startsWith("migparams-") && n != migParams)
+      .foreach(n => fs.delete(
+        new org.apache.hadoop.fs.Path(dstLedger, n), false))
     fs.create(new org.apache.hadoop.fs.Path(dstLedger, provenance), true)
       .close()
     fs.create(new org.apache.hadoop.fs.Path(dstLedger, migParams), true)

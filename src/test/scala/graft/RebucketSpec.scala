@@ -252,4 +252,64 @@ class RebucketSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 10L, "b" -> 5L, "c" -> 7L), got.toString)
   }
+
+  test("migparams lifecycle: stale pre-commit markers are cleared on the " +
+      "fresh path, conflicting pins fail, and a pin-less committed dst " +
+      "falls back to the strict epoch fence") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def ledger(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/_ledger")
+    def mark(dir: String, name: String): Unit = {
+      fs.mkdirs(ledger(dir))
+      fs.create(new org.apache.hadoop.fs.Path(ledger(dir), name), true)
+        .close()
+    }
+    def pins(dir: String): Seq[String] =
+      fs.listStatus(ledger(dir)).map(_.getPath.getName).toSeq
+        .filter(_.startsWith("migparams-")).sorted
+
+    // (a) a crashed PRE-COMMIT attempt left a marker with different
+    // params and no committed state — a legit run must clear it, not
+    // leave two pins for a later replay to coin-flip between
+    val src = Files.createTempDirectory("graft_rb5_src").toString
+    val dstA = Files.createTempDirectory("graft_rb5_a").toString + "/s"
+    assert(upsert(src, 8, 6L, Seq(1L -> 10L, 2L -> 20L, 33L -> 30L)))
+    mark(dstA, "migparams-99-2")
+    assert(ExactlyOnce.rebucketState(spark, src, dstA, "k", 32,
+      batchId = 7L, waves = 2))
+    assert(pins(dstA) == Seq("migparams-7-2"), pins(dstA).toString)
+    assert(!ExactlyOnce.rebucketState(spark, src, dstA, "k", 32,
+      batchId = 7L, waves = 2), "replay with the surviving pin must fence")
+
+    // (b) a committed dst carrying a CONFLICTING extra pin (pre-fix
+    // residue) is validated against ALL pins and fails loudly
+    val dstB = Files.createTempDirectory("graft_rb5_b").toString + "/s"
+    assert(ExactlyOnce.rebucketState(spark, src, dstB, "k", 32,
+      batchId = 7L, waves = 2))
+    mark(dstB, "migparams-99-2")
+    val eb = intercept[IllegalArgumentException](
+      ExactlyOnce.rebucketState(spark, src, dstB, "k", 32,
+        batchId = 7L, waves = 2))
+    assert(eb.getMessage.contains("different epoch"), eb.getMessage)
+
+    // (c) a committed dst with NO pin (pre-r16 migration): a replay
+    // with the SAME final epoch passes the strict fence as a no-op; a
+    // DIFFERENT batchId is refused instead of running unfenced waves
+    // on top of the completed migration
+    val dstC = Files.createTempDirectory("graft_rb5_c").toString + "/s"
+    assert(ExactlyOnce.rebucketState(spark, src, dstC, "k", 32,
+      batchId = 5L))
+    fs.delete(new org.apache.hadoop.fs.Path(ledger(dstC), "migparams-5-1"),
+      false)
+    val model = readState(dstC)
+    assert(!ExactlyOnce.rebucketState(spark, src, dstC, "k", 32,
+      batchId = 5L), "same-epoch replay of a pin-less dst must fence")
+    assert(readState(dstC) == model)
+    fs.delete(new org.apache.hadoop.fs.Path(ledger(dstC), "migparams-5-1"),
+      false) // the healing replay re-wrote it; drop again for the bad path
+    val ec = intercept[IllegalArgumentException](
+      ExactlyOnce.rebucketState(spark, src, dstC, "k", 32, batchId = 6L))
+    assert(ec.getMessage.contains("no migparams pin"), ec.getMessage)
+    assert(readState(dstC) == model, "refused replay disturbed the state")
+  }
 }

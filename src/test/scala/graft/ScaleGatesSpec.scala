@@ -45,4 +45,24 @@ class ScaleGatesSpec extends AnyFunSuite {
     assert(!ScaleGates.dupSpansProbeOk(53)) // forced failure: lost pruning
     assert(!ScaleGates.dupSpansProbeOk(0)) // probe never ran
   }
+
+  test("bench regression gate vs pinned baseline: offenders only, " +
+      "threshold exact, unshared and degenerate baselines ignored") {
+    val base = Map("a" -> 1.0, "b" -> 2.0, "c" -> 0.5, "zero" -> 0.0)
+    // within threshold: +25.0% exactly is NOT a regression
+    assert(ScaleGates.benchRegressions(
+      Map("a" -> 1.25, "b" -> 2.0, "c" -> 0.4), base).isEmpty)
+    // forced failure: one query over, reported with its percent
+    val r = ScaleGates.benchRegressions(
+      Map("a" -> 1.26, "b" -> 2.1, "c" -> 0.4), base)
+    assert(r.keySet == Set("a"), r.toString)
+    assert(r("a") == 26.0, r.toString)
+    // queries absent from the baseline (new this round) and degenerate
+    // zero baselines never fire the gate
+    assert(ScaleGates.benchRegressions(
+      Map("new_query" -> 99.0, "zero" -> 99.0), base).isEmpty)
+    // multiple offenders all reported
+    assert(ScaleGates.benchRegressions(
+      Map("a" -> 2.0, "b" -> 4.0), base).keySet == Set("a", "b"))
+  }
 }

@@ -307,10 +307,14 @@ object Scale100 {
     }
     val ivfIdx = graft.streaming.StreamingIvfIndex.index(spark, ivfRoot)
     val ivfIdxRows = ivfIdx.count()
-    val ivfProbes = ivfIdx.filter(
-        queries.SimilarityQueries.probePred(col("vec_id")))
+    // durable-parquet scratch instead of localCheckpoint (the retrain
+    // pattern, r16 verdict item 4-nit): the reused probe/truth frames
+    // re-read from disk, pinning nothing across the retrain measurement
+    ivfIdx.filter(queries.SimilarityQueries.probePred(col("vec_id")))
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("norm").as("pnorm")).localCheckpoint()
+        col("norm").as("pnorm"))
+      .write.mode("overwrite").parquet(s"$dir/ivf_probes.parquet")
+    val ivfProbes = spark.read.parquet(s"$dir/ivf_probes.parquet")
     // shard-confined search: the candidate read's input files stay
     // inside the probes' routed shard set (the dup-spans probe-
     // confinement check, applied to the vector index)
@@ -326,8 +330,9 @@ object Scale100 {
     val ivfConfined = ivfFiles.nonEmpty && ivfFiles.forall(f =>
       BucketLeaf.findFirstMatchIn(f)
         .exists(m => routedShards.contains(m.group(1).toInt)))
-    val ivfTruth = graft.operators.Ivf.bruteTopK(ivfIdx, ivfProbes, 5)
-      .localCheckpoint()
+    graft.operators.Ivf.bruteTopK(ivfIdx, ivfProbes, 5)
+      .write.mode("overwrite").parquet(s"$dir/ivf_truth.parquet")
+    val ivfTruth = spark.read.parquet(s"$dir/ivf_truth.parquet")
     val ivfRecall = graft.operators.Ivf.recallAtK(ivfRes, ivfTruth, 5)
     val ivfSearchSec = (System.nanoTime() - ivfSearchT0) / 1e9
     // retrain at the full 200k corpus: the quantizer-maintenance op's
@@ -366,22 +371,66 @@ object Scale100 {
       s"$dir/dupspans_state", s"$dir/dupspans_out", DupBuckets)
     if (!dupRes.pass) failed += "dupspans_materializer_o_touched_probe"
 
+    // ---- incremental join view at 100x (r16 verdict item 4): the
+    // standalone signed join-view arm — 100x orders (15M) against the
+    // 1x customer dim, bulk + hot-customer steady epochs + a customer
+    // retraction whose whole join fan-in must leave the view — at the
+    // state-proportional bucket count (15M view rows / ~58k per
+    // bucket), through the same harness code as the 30x smoke.
+    val JvBuckets = 256
+    val orders1x = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val orders100x = (0 until 100).map(i =>
+      orders1x.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i.toLong * 100000000L)))
+      .reduce(_ unionAll _)
+    val cust1x = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val jvRes = ScaleHarness.runJoinViewArm(spark, orders100x, cust1x,
+      s"$dir/joinview_state", JvBuckets)
+    if (!jvRes.pass) failed += "join_view_materializer"
+
+    // ---- streaming novelty at 100x (r16 verdict item 4): the gram
+    // census retraction path at ~500k docs, 256 buckets (~same
+    // per-bucket slice as the 30x/64 shape), same steady gate.
+    val NvBuckets = 256
+    val docsForNovelty = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val nvRes = ScaleHarness.runNoveltyArm(spark, docsForNovelty,
+      s"$dir/novelty_state", NvBuckets)
+    if (!nvRes.parityPass || nvRes.steadySecMax <= 0)
+      failed += "streaming_novelty"
+    if (!ScaleGates.noveltySteadyOk(nvRes.steadySecMax)) {
+      failed += "novelty_steady_regression"
+      System.err.println(f"[scale] GATE: 100x novelty steady epoch " +
+        f"${nvRes.steadySecMax}%.2f s exceeds " +
+        f"${ScaleGates.NoveltySteadyMaxSec} s")
+    }
+
     // ---- CDC → IVM chain at 100x: bulk at 64 buckets, then the
     // in-smoke rebucketState 64→256 migration (the r14 A/B's winning
     // arm, IVM_BUCKETS_AB_r14 2.10 s), steady/ripple epochs at 256 —
     // the maintenance op proven end to end in the shape a deployment
     // runs it, and the steady floor GATED at the state-proportional
-    // bucket shape (ScaleGates.Ivm100SteadyOverheadMaxSec).
+    // bucket shape (ScaleGates.Ivm100SteadyOverheadMaxSec). Parity
+    // restates per bucket group (r16 verdict item 2).
     val IvmBuckets = 64
     val IvmBucketsSteady = 256
     val ivmRes = ScaleHarness.runIvmE2E(spark, dir, IvmBuckets,
-      migrateTo = Some(IvmBucketsSteady), migrationWaves = 4)
+      migrateTo = Some(IvmBucketsSteady), migrationWaves = 4,
+      parityGroups = 4)
     if (!ivmRes.parityPass) failed += "cdc_ivm_e2e"
     if (!ScaleGates.ivm100SteadyOk(ivmRes.steadyOverheadSec)) {
       failed += "ivm100_steady_overhead_regression"
       System.err.println(f"[scale] GATE: 100x ivm steady overhead " +
         f"${ivmRes.steadyOverheadSec}%.2f s at $IvmBucketsSteady buckets " +
         f"exceeds ${ScaleGates.Ivm100SteadyOverheadMaxSec} s")
+    }
+    if (!ScaleGates.ivmRippleOk(ivmRes.rippleSecMax)) {
+      failed += "ivm100_ripple_regression"
+      System.err.println(f"[scale] GATE: 100x ivm ripple epoch " +
+        f"${ivmRes.rippleSecMax}%.2f s exceeds " +
+        f"${ScaleGates.IvmRippleMaxSec} s")
     }
 
     // ---- memory headroom (JVM heap-pool peaks) ----
@@ -418,9 +467,11 @@ object Scale100 {
           .round(cloneRecall * 10000) / 10000.0},"clone_pairs_undercap":$nUnderPairs,"clone_recall_in_scope":${math
           .round(recallInScope * 10000) / 10000.0},"clone_pairs_in_scope":$scopePairs,"sig_merged_clusters":$sigMerged,"sig_merged_pairs":$sigMergedPairs,"lost_clusters":$nLost,"lost_all_exact_recovered":$lostExactRecovered,"clone_recall_threshold":0.97,"clone_recall_gated_on":"in_scope","clone_pass":$clonePass,"overcap_clusters":$nOverClusters,"overcap_cluster_size_min":$overSizeMin,"overcap_cluster_size_max":$overSizeMax,"overcap_docs":$overMass,"overcap_pairs_excluded":$nOverPairs,"overcap_pass":$overPass,"ann_recall_at5":${math
           .round(annRecall * 10000) / 10000.0},"ann_threshold":0.30,"ann_pass":$annPass},"materializers":{"dup_spans":${ScaleHarness
-          .dupSpansJson(dupRes, DupBuckets)},"ivf_index":$ivfJson,"cdc_ivm_e2e":${ScaleHarness
+          .dupSpansJson(dupRes, DupBuckets)},"ivf_index":$ivfJson,"join_view":${ScaleHarness
+          .joinViewJson(jvRes, JvBuckets)},"novelty":${ScaleHarness
+          .noveltyJson(nvRes, NvBuckets)},"cdc_ivm_e2e":${ScaleHarness
           .ivmJson(ivmRes, IvmBuckets)}},"memory":{"heap_max_mb":$heapMaxMb,"old_gen_peak_mb":$oldGenPeakMb,"headroom_mb":${heapMaxMb - oldGenPeakMb},"pool_peak_sum_mb_upper_bound":$poolPeakSumMb},"failed":${failed
-          .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"100x heavy families through the 30x harness code (ScaleHarness): derivations timed once per family (session cache), family ops post-derivation; corpus strata: 80% cloned 120x (over LSH bucket cap 64 - dropped from pair scope by design, recovered by the exact text-hash census), 10% cloned 30x (under-cap clone-recall truth), 10% salted singleton + near-dup variant; dup-spans probe pin and IVM parity via the identical 30x protocol; IVM chain: bulk epochs at 64 buckets, in-smoke rebucketState 64->256 WAVE migration at the epoch-3 frontier (stop query, 4 waves x 8 states with a migration-scoped old-gen peak window, resume from checkpoint), steady/ripple epochs at 256 with steady gated <= 3.5s (ScaleGates.Ivm100SteadyOverheadMaxSec); standing IVF index arm at 200k vectors (bulk + 8-vector steady epochs, shard-confined search, recall@5 >= 0.30 vs brute truth, retrain at full corpus)"}"""
+          .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"100x heavy families through the 30x harness code (ScaleHarness): derivations timed once per family (session cache), family ops post-derivation; corpus strata: 80% cloned 120x (over LSH bucket cap 64 - dropped from pair scope by design, recovered by the exact text-hash census), 10% cloned 30x (under-cap clone-recall truth), 10% salted singleton + near-dup variant; dup-spans probe pin and IVM parity via the identical 30x protocol; IVM chain: bulk epochs at 64 buckets, in-smoke rebucketState 64->256 WAVE migration at the epoch-3 frontier (stop query, 4 waves x 8 states with a migration-scoped old-gen peak window, resume from checkpoint), steady/ripple epochs at 256 with steady gated <= 3.5s (ScaleGates.Ivm100SteadyOverheadMaxSec); standing IVF index arm at 200k vectors (bulk + 8-vector steady epochs, shard-confined search, recall@5 >= 0.30 vs brute truth, retrain at full corpus); join-view arm at 15M orders x 15k customers (bulk + hot-customer steady + customer retract/re-insert, mass == batch join); novelty arm at ~500k docs with the 30x steady gate; IVM parity restated per 4 bucket groups (count + content hash, live side bucket-pruned); ripple epoch gated <= 8s (ScaleGates.IvmRippleMaxSec)"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[scale] wrote $outPath")

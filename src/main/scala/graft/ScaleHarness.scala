@@ -227,6 +227,168 @@ private[graft] object ScaleHarness {
         .mkString("[", ",", "]")},"delta_rows_total":${r.deltaTotal},"corpus_distinct_pairs":${r.distinctPairs},"o_batch_write_pass":${r.deltaTotal == r.distinctPairs},"steady_probe_buckets_max":${r.steadyTouchedMax},"steady_probe_confined":${r.steadyConfined},"steady_epoch_sec_max":${math
         .round(r.steadySecMax * 1000) / 1000.0},"o_touched_probe_pass":${r.pass}}"""
 
+  // ------------------------------------------------ incremental join view
+  case class JoinViewResult(
+      epochsJson: Seq[String],
+      steadyRows: Long,
+      viewRows: Long,
+      mass: Long,
+      truth: Long,
+      parityPass: Boolean,
+      pass: Boolean)
+
+  /** Incremental join view arm (shared 30×/100×): bulk epoch
+    * materializes the full orders ⋈ customer join, steady epochs ingest
+    * 40 orders for 8 hot customers (the epoch write must be the touched
+    * buckets' slice of the view, never the view), one epoch RETRACTS a
+    * customer — its entire join fan-in leaves the view — and the next
+    * re-inserts it. Exactness gate: sum of view multiplicities == the
+    * from-scratch batch join count over everything ingested. `orders`
+    * needs (o_orderkey, o_custkey, o_totalprice); `cust` needs
+    * (c_custkey, c_name).
+    */
+  def runJoinViewArm(spark: SparkSession, orders: DataFrame,
+      cust: DataFrame, stateDir: String, numBuckets: Int): JoinViewResult = {
+    val hfs = hadoopFs(spark)
+    hfs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
+    val hotCust = (1L to 8L).map(_ * 11 + 3)
+    val retractedCust = hotCust.head
+    def steadyOrders(e: Int) = {
+      import spark.implicits._
+      (0 until 40).map { i =>
+        (90000000L + e * 1000L + i, hotCust(i % 8),
+          1000.0 + i) }.toDF("o_orderkey", "o_custkey", "o_totalprice")
+    }
+    def custRows(ck: Long, sign: Int) =
+      cust.filter(col("c_custkey") === ck).withColumn("s", lit(sign))
+    val jv = graft.streaming.StreamingJoinView
+    val epochs = scala.collection.mutable.ArrayBuffer.empty[String]
+    // captured INSIDE the loop: later epochs touch the same hot
+    // buckets, so retirement (keep-2 grace) sweeps epoch 1's version
+    // dirs before the loop ends — reading state-1 afterwards would
+    // measure the sweep, not the write
+    var steadyRows = 0L
+    (0 to 3).foreach { e =>
+      val (lb, rb) = e match {
+        case 0 => (orders.withColumn("s", lit(1)),
+          cust.withColumn("s", lit(1)))
+        case 2 => (steadyOrders(e).withColumn("s", lit(1)),
+          custRows(retractedCust, -1))
+        case 3 => (steadyOrders(e).withColumn("s", lit(1)),
+          custRows(retractedCust, 1))
+        case _ => (steadyOrders(e).withColumn("s", lit(1)),
+          cust.limit(0).withColumn("s", lit(1)))
+      }
+      val t0 = System.nanoTime()
+      jv.materializerSigned(spark, stateDir, Seq("o_custkey"),
+        Seq("c_custkey"), Some("s"), Some("s"), numBuckets)(lb, rb, e.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = dirRows(spark, s"$stateDir/view/state-$e")
+      val bytes = dirBytes(spark, s"$stateDir/view/state-$e")
+      val touched = {
+        val p = new org.apache.hadoop.fs.Path(s"$stateDir/view/state-$e")
+        if (!hfs.exists(p)) 0
+        else hfs.listStatus(p).count(_.getPath.getName.startsWith("__bucket="))
+      }
+      epochs += s"""{"epoch":$e,"sec":${math.round(sec * 1000) / 1000.0},"view_rows_written":$rows,"view_bytes_written":$bytes,"view_buckets_touched":$touched}"""
+      if (e == 1) steadyRows = rows
+      println(f"[scale] join-view epoch $e: $sec%.1f s, $rows view rows / " +
+        f"$bytes bytes, $touched/$numBuckets buckets")
+    }
+    val view = jv.view(spark, stateDir)
+    val mass = view.agg(sum(col("__m"))).head().getLong(0)
+    val allOrders = orders
+      .unionByName(steadyOrders(1)).unionByName(steadyOrders(2))
+      .unionByName(steadyOrders(3))
+    val truth = allOrders.join(cust,
+      col("o_custkey") === col("c_custkey")).count()
+    val viewRows = view.count()
+    val parity = mass == truth
+    val pass = steadyRows > 0 && steadyRows < viewRows / 4 && parity
+    println(s"[scale] join-view: mass $mass vs batch-join $truth " +
+      s"(parity=$parity), steady epoch wrote $steadyRows of " +
+      s"$viewRows view rows, pass=$pass")
+    JoinViewResult(epochs.toSeq, steadyRows, viewRows, mass, truth,
+      parity, pass)
+  }
+
+  /** JSON object for a [[JoinViewResult]] (the `join_view` artifact
+    * section both smokes emit).
+    */
+  def joinViewJson(r: JoinViewResult, numBuckets: Int): String =
+    s"""{"buckets":$numBuckets,"epochs":${r.epochsJson
+        .mkString("[", ",", "]")},"view_rows":${r.viewRows},"view_mass":${r.mass},"batch_join_rows":${r.truth},"steady_epoch_rows":${r.steadyRows},"parity_pass":${r.parityPass},"o_touched_pass":${r.pass}}"""
+
+  // -------------------------------------------------- streaming novelty
+  case class NoveltyResult(
+      epochsJson: Seq[String],
+      steadySecMax: Double,
+      parityPass: Boolean)
+
+  /** Streaming novelty arm (shared 30×/100×): bulk epoch folds the
+    * whole dup-saturated corpus into the standing gram census, steady
+    * epochs ingest 8 cloned docs — every clone gram hits the census, so
+    * the epoch exercises the RETRACTION path (owners of still-novel
+    * grams lose them) at O(batch grams + touched buckets), and the
+    * standing table must equal the batch txt_novelty restatement over
+    * everything ingested. `docs` needs (doc_id, text).
+    */
+  def runNoveltyArm(spark: SparkSession, docs: DataFrame,
+      stateDir: String, numBuckets: Int): NoveltyResult = {
+    hadoopFs(spark).delete(new org.apache.hadoop.fs.Path(stateDir), true)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    def steady(e: Int) = docs.orderBy(col("doc_id"))
+      .limit(8).withColumn("doc_id", col("doc_id") + lit(maxId + e * 1000L))
+    val epochs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var steadySecMax = 0.0
+    (0 to 2).foreach { e =>
+      val batch = if (e == 0) docs else steady(e)
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingNovelty.materializer(spark, stateDir,
+        numBuckets)(batch, e.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (e > 0) steadySecMax = math.max(steadySecMax, sec)
+      epochs += s"""{"epoch":$e,"sec":${math.round(sec * 1000) / 1000.0}}"""
+      println(f"[scale] novelty epoch $e: $sec%.1f s")
+    }
+    val ingested = docs.unionByName(steady(1)).unionByName(steady(2))
+    val truth = {
+      val grams = ingested
+        .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(
+          expr("""transform(sequence(0, size(toks) - 5),
+                  i -> concat_ws(' ', slice(toks, i + 1, 5)))""")))
+          .as("phrase"))
+        .select(col("doc_id"), xxhash64(col("phrase")).as("gh1"),
+          xxhash64(lit(0x9e3779b9L), col("phrase")).as("gh2"))
+      val dfc = grams.groupBy(col("gh1"), col("gh2"))
+        .agg(count(lit(1)).as("dfc"))
+      grams.join(dfc, Seq("gh1", "gh2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("dfc") === 1, 1L).otherwise(0L)).as("n_novel"))
+    }
+    val got = graft.streaming.StreamingNovelty.novelty(spark, stateDir)
+      .select(col("doc_id"), col("n_grams"), col("n_novel"))
+    val diff = got.unionByName(truth).distinct().count() * 2 -
+      got.count() - truth.count()
+    val parity = diff == 0
+    println(f"[scale] novelty parity: symmetric-diff $diff rows, " +
+      f"steady_epoch_sec_max $steadySecMax%.2f, " +
+      f"pass=${parity && steadySecMax > 0}")
+    NoveltyResult(epochs.toSeq, steadySecMax, parity)
+  }
+
+  /** JSON object for a [[NoveltyResult]] (the `novelty` artifact
+    * section both smokes emit).
+    */
+  def noveltyJson(r: NoveltyResult, numBuckets: Int): String =
+    s"""{"buckets":$numBuckets,"epochs":${r.epochsJson
+        .mkString("[", ",", "]")},"steady_epoch_sec_max":${math
+        .round(r.steadySecMax * 1000) / 1000.0},"steady_gate_sec":${ScaleGates.NoveltySteadyMaxSec},"steady_gate_pass":${ScaleGates
+        .noveltySteadyOk(r.steadySecMax)},"parity_pass":${r.parityPass}}"""
+
   // ------------------------------------------------- CDC → IVM pipeline
   case class IvmResult(
       epochsJson: Seq[String],
@@ -241,7 +403,10 @@ private[graft] object ScaleHarness {
       cascadeWant: Long,
       parityPass: Boolean,
       migrationJson: Option[String] = None,
-      steadyBuckets: Option[Int] = None)
+      steadyBuckets: Option[Int] = None,
+      parityGroups: Int = 1,
+      replicaHashMatch: Boolean = true,
+      migrationOldGenPeakMb: Option[Long] = None)
 
   /** CDC → IVM end-to-end: ONE real readStream drives replay → enrich
     * → versioned replica → signed retraction deltas → signed rollup
@@ -264,7 +429,7 @@ private[graft] object ScaleHarness {
     */
   def runIvmE2E(spark: SparkSession, dir: String,
       numBuckets: Int, migrateTo: Option[Int] = None,
-      migrationWaves: Int = 1): IvmResult = {
+      migrationWaves: Int = 1, parityGroups: Int = 1): IvmResult = {
     val hfs = hadoopFs(spark)
     val ivmFeed = s"$dir/ivm_feed"
     val ivmCkpt = s"$dir/ivm_ckpt"
@@ -389,6 +554,7 @@ private[graft] object ScaleHarness {
     var ivmQ = startQ()
     ivmQ.processAllAvailable() // bulk epochs 0..3
     var migrationJson: Option[String] = None
+    var migrationPeakMb: Option[Long] = None
     migrateTo.foreach { nb =>
       // the bucket-sizing lever END TO END, in the shape a deployment
       // runs it: STOP the query at its committed frontier (epoch 3),
@@ -417,6 +583,7 @@ private[graft] object ScaleHarness {
       }
       val migSec = (System.nanoTime() - t0) / 1e9
       val migOldGenPeakMb = oldGenPeakNowMb
+      migrationPeakMb = Some(migOldGenPeakMb)
       resetOldGenPeakWindow()
       ivmRep += "_rb"; ivmRoll += "_rb"; ivmV1 += "_rb"; ivmV2 += "_rb"
       buckets = nb
@@ -446,20 +613,65 @@ private[graft] object ScaleHarness {
     ivmQ.stop()
 
     // parity rows, each against a from-scratch batch restatement of
-    // EVERYTHING the stream ingested (feed dir includes steady files)
-    val enrAll = {
+    // EVERYTHING the stream ingested (feed dir includes steady files).
+    // The restatement input is written ONCE to durable parquet and every
+    // consumer streams from it (the retrain pattern) — the corpus-sized
+    // MEMORY_AND_DISK persist this replaces was the single biggest
+    // old-gen term of the 300× run (26.5 GB of 32, r16 verdict item 2):
+    // a verification-harness cost, now bounded like the engine's own.
+    val enrPath = s"$dir/parity_enr.parquet"
+    locally {
       implicit val ss: SparkSession = spark
       import spark.implicits._
       graft.operators.CdcEnrichment.enrichMySql(
         graft.sources.CdcReplay.batch(spark, ivmFeed).as[String],
         queries.CdcQueries.config).toDF()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .write.mode("overwrite").parquet(enrPath)
     }
-    val repGot = graft.operators.CdcApply.replicaVersioned(spark, ivmRep)
-      .count()
-    val repWant = graft.operators.CdcApply.applyBatchVersioned(
-      graft.operators.CdcApply.emptyVersioned(spark), enrAll)
-      .filter(!col("deleted")).count()
+    def enrAll = spark.read.parquet(enrPath)
+    // replica parity PER BUCKET GROUP (r16 verdict item 2): the state is
+    // already bucketed, so the verifier restates one dst-bucket group at
+    // a time — (count, order-free content hash) per group, live side
+    // read bucket-pruned — and its working set obeys the same
+    // O(state/groups) rule the wave migration bounded the migrator to.
+    // Strictly STRONGER than the old single total-count parity: a
+    // same-count content difference, or rows parked in the wrong
+    // bucket, now fails the group they land in.
+    val groupCount = math.max(1, parityGroups)
+    val contentHash = xxhash64(col("partitionKey"), col("ts_ms"),
+      col("pos"), to_json(map_from_entries(
+        array_sort(map_entries(col("after"))))))
+    def replicaSig(df: DataFrame): (Long, BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(contentHash.cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+    var repGot = 0L
+    var repWant = 0L
+    var repHashMatch = true
+    (0 until groupCount).foreach { g =>
+      val groupBuckets = (0 until buckets).filter(_ % groupCount == g).toSet
+      val (gotN, gotH) = replicaSig(
+        graft.operators.ExactlyOnce.currentStateBuckets(spark, ivmRep,
+          groupBuckets, expectedBuckets = Some(buckets))(
+          graft.operators.CdcApply.emptyVersioned(spark))
+          .filter(!col("deleted")).drop("deleted"))
+      val (wantN, wantH) = replicaSig(
+        graft.operators.CdcApply.applyBatchVersioned(
+          graft.operators.CdcApply.emptyVersioned(spark),
+          enrAll.filter(graft.operators.ExactlyOnce
+            .bucketOf("partitionKey", buckets) % lit(groupCount) === lit(g)))
+          .filter(!col("deleted")).drop("deleted"))
+      repGot += gotN; repWant += wantN
+      if (gotN != wantN || gotH != wantH) {
+        repHashMatch = false
+        println(s"[scale] ivm-e2e replica parity MISMATCH in bucket group" +
+          s" $g/$groupCount: live ($gotN, $gotH) vs restated" +
+          s" ($wantN, $wantH)")
+      }
+    }
     val deltasAll = graft.operators.CdcDeltas.signedDeltas(enrAll)
       .select(col("image").getItem("event_type").as("event_type"),
         col("image").getItem("value").as("value"), col("sign"))
@@ -487,7 +699,7 @@ private[graft] object ScaleHarness {
       .agg(coalesce(sum(col("m")), lit(0L))).head().getLong(0)
     val cascadeGot = graft.streaming.StreamingJoinView.view(spark, ivmV2)
       .agg(coalesce(sum(col("__m")), lit(0L))).head().getLong(0)
-    enrAll.unpersist()
+    hfs.delete(new org.apache.hadoop.fs.Path(enrPath), true)
     // fixed overhead = the facts-only near-empty epochs (6-9); the
     // dim-ripple epochs (4-5) do real incremental work (the cascade
     // re-derives every standing row of the retracted category) and
@@ -499,16 +711,20 @@ private[graft] object ScaleHarness {
     val rippleSecMax = epochSecs
       .filter(t => t._1 == 4 || t._1 == 5).map(_._2)
       .maxOption.getOrElse(-1.0)
-    val parityPass = repGot == repWant && rollGot == rollWant &&
-      cascadeGot == cascadeWant && rippleNegRows > 0
-    println(s"[scale] ivm-e2e parity: replica $repGot/$repWant rollup " +
-      s"${rollGot.size}/${rollWant.size} groups (match=${rollGot == rollWant}) " +
+    val parityPass = repGot == repWant && repHashMatch &&
+      rollGot == rollWant && cascadeGot == cascadeWant && rippleNegRows > 0
+    println(s"[scale] ivm-e2e parity: replica $repGot/$repWant " +
+      s"(content-hash match=$repHashMatch over $groupCount bucket groups) " +
+      s"rollup ${rollGot.size}/${rollWant.size} groups " +
+      s"(match=${rollGot == rollWant}) " +
       s"cascade mass $cascadeGot/$cascadeWant ripple_neg_rows=$rippleNegRows " +
       f"ripple_epoch_sec_max=$rippleSecMax%.2f " +
       f"steady_overhead_sec=$steadyOverheadSec%.2f pass=$parityPass")
     IvmResult(epochs.toSeq, steadyOverheadSec, rippleSecMax, rippleNegRows,
       repGot, repWant, rollGot.size, rollGot == rollWant,
-      cascadeGot, cascadeWant, parityPass, migrationJson, migrateTo)
+      cascadeGot, cascadeWant, parityPass, migrationJson, migrateTo,
+      parityGroups = groupCount, replicaHashMatch = repHashMatch,
+      migrationOldGenPeakMb = migrationPeakMb)
   }
 
   /** JSON object for an [[IvmResult]] (the `cdc_ivm_e2e` artifact
@@ -522,7 +738,7 @@ private[graft] object ScaleHarness {
       case _ => ""
     }
     s"""{"buckets":$numBuckets$mig,"epochs":${r.epochsJson
-        .mkString("[", ",", "]")},"replica_live_rows":${r.repGot},"replica_batch_restatement":${r.repWant},"rollup_groups":${r.rollupGroups},"rollup_parity":${r.rollupParity},"cascade_mass":${r.cascadeGot},"cascade_batch_restatement":${r.cascadeWant},"ripple_neg_rows":${r.rippleNegRows},"ripple_epoch_sec_max":${math
+        .mkString("[", ",", "]")},"replica_live_rows":${r.repGot},"replica_batch_restatement":${r.repWant},"parity_groups":${r.parityGroups},"replica_hash_match":${r.replicaHashMatch},"rollup_groups":${r.rollupGroups},"rollup_parity":${r.rollupParity},"cascade_mass":${r.cascadeGot},"cascade_batch_restatement":${r.cascadeWant},"ripple_neg_rows":${r.rippleNegRows},"ripple_epoch_sec_max":${math
         .round(r.rippleSecMax * 1000) / 1000.0},"steady_overhead_sec":${math
         .round(r.steadyOverheadSec * 1000) / 1000.0},"parity_pass":${r.parityPass}}"""
   }

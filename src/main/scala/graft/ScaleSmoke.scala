@@ -534,10 +534,13 @@ object ScaleSmoke {
     // search == frozen-codebook batch path, but not its quality — gate
     // the same recall@5 vs brute-force truth the per-query operator is
     // gated on (ann_recall_at5 >= 0.30), over the standing index.
-    val ivfIdxNodes = graft.streaming.StreamingIvfIndex
-      .index(spark, ivfRoot).localCheckpoint()
-    val ivfTruth = graft.operators.Ivf.bruteTopK(ivfIdxNodes,
-      ivfProbes, 5).localCheckpoint()
+    // no localCheckpoint here (r16 verdict item 4-nit): the index read
+    // is already parquet-backed and each frame below is consumed once —
+    // the pins held index-sized blocks on the heap for zero reuse; the
+    // operator's own retrain dropped the pattern for cause last round
+    val ivfTruth = graft.operators.Ivf.bruteTopK(
+      graft.streaming.StreamingIvfIndex.index(spark, ivfRoot),
+      ivfProbes, 5)
     val ivfRecall = graft.operators.Ivf.recallAtK(
       graft.streaming.StreamingIvfIndex.searchSelf(spark, ivfRoot, 5, 2,
         IvfShards), ivfTruth, 5)
@@ -588,14 +591,21 @@ object ScaleSmoke {
     }
     graft.streaming.StreamingIvfIndex.materializer(
       spark, ivfRoot, IvfShards)(drift, 3L)
-    val driftProbes = graft.streaming.StreamingIvfIndex
+    // durable-parquet scratch instead of localCheckpoint (the retrain
+    // pattern): the reused probe/truth frames re-read from disk, so the
+    // smoke pins nothing index-shaped across the retrain measurement
+    graft.streaming.StreamingIvfIndex
       .index(spark, ivfRoot).filter(col("vec_id") >= 900000000L)
       .filter(col("vec_id") % 20 === 0) // bounded probe sample
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("norm").as("pnorm")).localCheckpoint()
-    val driftTruth = graft.operators.Ivf.bruteTopK(
+        col("norm").as("pnorm"))
+      .write.mode("overwrite").parquet(s"$dir/ivf_drift_probes.parquet")
+    val driftProbes = spark.read.parquet(s"$dir/ivf_drift_probes.parquet")
+    graft.operators.Ivf.bruteTopK(
       graft.streaming.StreamingIvfIndex.index(spark, ivfRoot),
-      driftProbes, 5).localCheckpoint()
+      driftProbes, 5)
+      .write.mode("overwrite").parquet(s"$dir/ivf_drift_truth.parquet")
+    val driftTruth = spark.read.parquet(s"$dir/ivf_drift_truth.parquet")
     val recallBefore = graft.operators.Ivf.recallAtK(
       graft.streaming.StreamingIvfIndex.search(spark, ivfRoot,
         driftProbes.select(col("probe_id"), col("pv")), 5, 1, IvfShards),
@@ -625,74 +635,13 @@ object ScaleSmoke {
     // re-inserts it. Exactness gate: sum of view multiplicities ==
     // the from-scratch batch join count over everything ingested.
     val JvBuckets = 64
-    val jvDir = s"$dir/joinview_state"
-    hfs.delete(new org.apache.hadoop.fs.Path(jvDir), true)
     val orders30x = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val cust1x = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_name"))
-    val hotCust = (1L to 8L).map(_ * 11 + 3)
-    val retractedCust = hotCust.head
-    def steadyOrders(e: Int) = {
-      import spark.implicits._
-      (0 until 40).map { i =>
-        (90000000L + e * 1000L + i, hotCust(i % 8),
-          1000.0 + i) }.toDF("o_orderkey", "o_custkey", "o_totalprice")
-    }
-    def custRows(ck: Long, sign: Int) = {
-      import spark.implicits._
-      cust1x.filter(col("c_custkey") === ck)
-        .withColumn("s", lit(sign))
-    }
-    val jv = graft.streaming.StreamingJoinView
-    val jvEpochs = scala.collection.mutable.ArrayBuffer.empty[String]
-    // captured INSIDE the loop: later epochs touch the same hot
-    // buckets, so retirement (keep-2 grace) sweeps epoch 1's version
-    // dirs before the loop ends — reading state-1 afterwards would
-    // measure the sweep, not the write
-    var jvSteadyRows = 0L
-    (0 to 3).foreach { e =>
-      val (lb, rb) = e match {
-        case 0 => (orders30x.withColumn("s", lit(1)),
-          cust1x.withColumn("s", lit(1)))
-        case 2 => (steadyOrders(e).withColumn("s", lit(1)),
-          custRows(retractedCust, -1))
-        case 3 => (steadyOrders(e).withColumn("s", lit(1)),
-          custRows(retractedCust, 1))
-        case _ => (steadyOrders(e).withColumn("s", lit(1)),
-          cust1x.limit(0).withColumn("s", lit(1)))
-      }
-      val t0 = System.nanoTime()
-      jv.materializerSigned(spark, jvDir, Seq("o_custkey"),
-        Seq("c_custkey"), Some("s"), Some("s"), JvBuckets)(lb, rb, e.toLong)
-      val sec = (System.nanoTime() - t0) / 1e9
-      val rows = dirRows(s"$jvDir/view/state-$e")
-      val bytes = dirBytes(s"$jvDir/view/state-$e")
-      val touched = {
-        val p = new org.apache.hadoop.fs.Path(s"$jvDir/view/state-$e")
-        if (!hfs.exists(p)) 0
-        else hfs.listStatus(p).count(_.getPath.getName.startsWith("__bucket="))
-      }
-      jvEpochs += s"""{"epoch":$e,"sec":${math.round(sec * 1000) / 1000.0},"view_rows_written":$rows,"view_bytes_written":$bytes,"view_buckets_touched":$touched}"""
-      if (e == 1) jvSteadyRows = rows
-      println(f"[scale] join-view epoch $e: $sec%.1f s, $rows view rows / " +
-        f"$bytes bytes, $touched/$JvBuckets buckets")
-    }
-    val jvView = jv.view(spark, jvDir)
-    val jvMass = jvView.agg(sum(col("__m"))).head().getLong(0)
-    val allOrders = orders30x
-      .unionByName(steadyOrders(1)).unionByName(steadyOrders(2))
-      .unionByName(steadyOrders(3))
-    val jvTruth = allOrders.join(cust1x,
-      col("o_custkey") === col("c_custkey")).count()
-    val jvViewRows = jvView.count()
-    val jvParity = jvMass == jvTruth
-    val jvPass = jvSteadyRows > 0 && jvSteadyRows < jvViewRows / 4 &&
-      jvParity
-    println(s"[scale] join-view: mass $jvMass vs batch-join $jvTruth " +
-      s"(parity=$jvParity), steady epoch wrote $jvSteadyRows of " +
-      s"$jvViewRows view rows, pass=$jvPass")
-    if (!jvPass) failed += "join_view_materializer"
+    val jvRes = ScaleHarness.runJoinViewArm(spark, orders30x, cust1x,
+      s"$dir/joinview_state", JvBuckets)
+    if (!jvRes.pass) failed += "join_view_materializer"
 
     // Grouped-KMV sketch + stratified reservoir at 30x: bulk epoch
     // folds the full corpus, steady epochs ingest 8 fresh docs — the
@@ -752,60 +701,20 @@ object ScaleSmoke {
     // still-novel grams lose them) at O(batch grams + touched
     // buckets), and the standing table must equal the batch
     // txt_novelty restatement over everything ingested.
-    val nvRoot = s"$dir/novelty_state"
-    hfs.delete(new org.apache.hadoop.fs.Path(nvRoot), true)
     val docsForNovelty = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val maxNvId = docsForNovelty.agg(max(col("doc_id"))).head().getLong(0)
-    def noveltySteady(e: Int) = docsForNovelty.orderBy(col("doc_id"))
-      .limit(8).withColumn("doc_id", col("doc_id") + lit(maxNvId + e * 1000L))
-    val nvEpochs = scala.collection.mutable.ArrayBuffer.empty[String]
-    var nvSteadySecMax = 0.0
-    (0 to 2).foreach { e =>
-      val batch = if (e == 0) docsForNovelty else noveltySteady(e)
-      val t0 = System.nanoTime()
-      graft.streaming.StreamingNovelty.materializer(spark, nvRoot, 64)(
-        batch, e.toLong)
-      val sec = (System.nanoTime() - t0) / 1e9
-      if (e > 0) nvSteadySecMax = math.max(nvSteadySecMax, sec)
-      nvEpochs += s"""{"epoch":$e,"sec":${math.round(sec * 1000) / 1000.0}}"""
-      println(f"[scale] novelty epoch $e: $sec%.1f s")
-    }
-    val nvIngested = docsForNovelty
-      .unionByName(noveltySteady(1)).unionByName(noveltySteady(2))
-    val nvTruth = {
-      val grams = nvIngested
-        .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
-        .filter(size(col("toks")) >= 5)
-        .select(col("doc_id"), explode(array_distinct(
-          expr("""transform(sequence(0, size(toks) - 5),
-                  i -> concat_ws(' ', slice(toks, i + 1, 5)))""")))
-          .as("phrase"))
-        .select(col("doc_id"), xxhash64(col("phrase")).as("gh1"),
-          xxhash64(lit(0x9e3779b9L), col("phrase")).as("gh2"))
-      val dfc = grams.groupBy(col("gh1"), col("gh2"))
-        .agg(count(lit(1)).as("dfc"))
-      grams.join(dfc, Seq("gh1", "gh2"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("dfc") === 1, 1L).otherwise(0L)).as("n_novel"))
-    }
-    val nvGot = graft.streaming.StreamingNovelty.novelty(spark, nvRoot)
-      .select(col("doc_id"), col("n_grams"), col("n_novel"))
-    val nvDiff = nvGot.unionByName(nvTruth).distinct().count() * 2 -
-      nvGot.count() - nvTruth.count()
-    val nvParity = nvDiff == 0
-    val nvPass = nvParity && nvSteadySecMax > 0
-    println(f"[scale] novelty parity: symmetric-diff $nvDiff rows, " +
-      f"steady_epoch_sec_max $nvSteadySecMax%.2f, pass=$nvPass")
-    if (!nvPass) failed += "streaming_novelty"
+    val nvRes = ScaleHarness.runNoveltyArm(spark, docsForNovelty,
+      s"$dir/novelty_state", 64)
+    if (!nvRes.parityPass || nvRes.steadySecMax <= 0)
+      failed += "streaming_novelty"
     // regression gate on the novelty steady epoch (r15 verdict item 5:
     // the slowest ungated steady bar): losing the O(batch + touched)
     // retraction path re-reads the whole census per epoch — over this
-    if (!ScaleGates.noveltySteadyOk(nvSteadySecMax)) {
+    if (!ScaleGates.noveltySteadyOk(nvRes.steadySecMax)) {
       failed += "novelty_steady_regression"
       System.err.println(f"[scale] GATE: novelty steady epoch " +
-        f"$nvSteadySecMax%.2f s exceeds ${ScaleGates.NoveltySteadyMaxSec} s")
+        f"${nvRes.steadySecMax}%.2f s exceeds " +
+        f"${ScaleGates.NoveltySteadyMaxSec} s")
     }
 
     // ---- CDC → IVM end-to-end at 30x (r7 verdict item 2): protocol,
@@ -822,6 +731,12 @@ object ScaleSmoke {
       System.err.println(f"[scale] GATE: ivm steady overhead " +
         f"${ivmRes.steadyOverheadSec}%.2f s exceeds " +
         f"${ScaleGates.IvmSteadyOverheadMaxSec} s")
+    }
+    if (!ScaleGates.ivmRippleOk(ivmRes.rippleSecMax)) {
+      failed += "ivm_ripple_regression"
+      System.err.println(f"[scale] GATE: ivm ripple epoch " +
+        f"${ivmRes.rippleSecMax}%.2f s exceeds " +
+        f"${ScaleGates.IvmRippleMaxSec} s")
     }
 
     // ---- artifact ----
@@ -845,10 +760,10 @@ object ScaleSmoke {
           .round(ivfRecall * 10000) / 10000.0},"recall_threshold":0.30,"recall_pass":$ivfRecallPass,"retrain":{"drift_vectors":$driftN,"recall_before":${math
           .round(recallBefore * 10000) / 10000.0},"recall_after":${math
           .round(recallAfter * 10000) / 10000.0},"retrain_sec":${math
-          .round(retrainSec * 1000) / 1000.0},"recovery_pass":$retrainPass}},"join_view":{"buckets":$JvBuckets,"epochs":${jvEpochs
-          .mkString("[", ",", "]")},"view_rows":$jvViewRows,"view_mass":$jvMass,"batch_join_rows":$jvTruth,"steady_epoch_rows":$jvSteadyRows,"parity_pass":$jvParity,"o_touched_pass":$jvPass},"sketch_reservoir":{"epochs":${sketchEpochs
-          .mkString("[", ",", "]")},"strata":$gkGroups,"reservoir_rows":$rsRows,"state_bound_pass":$sketchPass},"novelty":{"buckets":64,"epochs":${nvEpochs
-          .mkString("[", ",", "]")},"steady_epoch_sec_max":${math.round(nvSteadySecMax * 1000) / 1000.0},"steady_gate_sec":${ScaleGates.NoveltySteadyMaxSec},"steady_gate_pass":${ScaleGates.noveltySteadyOk(nvSteadySecMax)},"parity_pass":$nvParity},"cdc_ivm_e2e":${ScaleHarness
+          .round(retrainSec * 1000) / 1000.0},"recovery_pass":$retrainPass}},"join_view":${ScaleHarness
+          .joinViewJson(jvRes, JvBuckets)},"sketch_reservoir":{"epochs":${sketchEpochs
+          .mkString("[", ",", "]")},"strata":$gkGroups,"reservoir_rows":$rsRows,"state_bound_pass":$sketchPass},"novelty":${ScaleHarness
+          .noveltyJson(nvRes, 64)},"cdc_ivm_e2e":${ScaleHarness
           .ivmJson(ivmRes, IvmBuckets)}},"failed":${failed
           .map("\"" + _ + "\"").mkString("[", ",", "]")},"materialization":"noop-sink","methodology":"single timed noop-sink pass per op (cold plans; 30x scale: 90% of texts cloned 30x, 10% stratum singleton + one-token near-dup variant), untimed count for cardinality; session derivation cache ON: the shared LSH signature/pair derivation is timed once as lsh_derivation and every dedup/graph family op's entry is its post-derivation cost (cold whole-pipeline = lsh_derivation + op); likewise dupspan_gram_derivation for txt_dup_spans{,_prefix} and gram_counts_derivation for dedup_ngram_jaccard/dedup_containment; regression gates (ScaleGates): ivm steady <= 3.5s, pagerank post-derivation <= 15s, dup-spans probe <= 52/256, novelty steady <= 7s"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -25,8 +25,12 @@ class IvmMigrationSpec extends SparkSpec {
     queries.Tables.events(spark, sf)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val res = ScaleHarness.runIvmE2E(spark, dir, 8, migrateTo = Some(32),
-      migrationWaves = 4)
+      migrationWaves = 4, parityGroups = 4)
     assert(res.migrationJson.nonEmpty, "migration was not recorded")
+    assert(res.migrationOldGenPeakMb.exists(_ > 0),
+      "migration-window old-gen peak was not measured")
+    assert(res.replicaHashMatch,
+      "bucket-group content-hash parity broke post-migration")
     assert(res.migrationJson.get.contains("\"to_buckets\":32"))
     assert(res.migrationJson.get.contains("\"states_migrated\":8"))
     assert(res.migrationJson.get.contains("\"waves\":4"))
@@ -39,6 +43,8 @@ class IvmMigrationSpec extends SparkSpec {
     val json = ScaleHarness.ivmJson(res, 8)
     assert(json.contains("\"buckets\":8"))
     assert(json.contains("\"buckets_steady\":32"))
+    assert(json.contains("\"parity_groups\":4"))
+    assert(json.contains("\"replica_hash_match\":true"))
     // the migrated dirs are pinned at the new count: a stale-count
     // advance must trip the pin, not silently mis-bucket
     implicit val ss: org.apache.spark.sql.SparkSession = spark

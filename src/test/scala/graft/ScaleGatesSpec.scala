@@ -46,6 +46,23 @@ class ScaleGatesSpec extends AnyFunSuite {
     assert(!ScaleGates.dupSpansProbeOk(0)) // probe never ran
   }
 
+  test("ivm ripple-epoch gate holds the measured bars and trips past " +
+      "the ceiling") {
+    assert(ScaleGates.ivmRippleOk(3.35)) // 300x measured
+    assert(ScaleGates.ivmRippleOk(8.0))
+    assert(!ScaleGates.ivmRippleOk(8.01)) // forced: lost bucket pruning
+    assert(!ScaleGates.ivmRippleOk(0.0)) // ripple epochs never ran
+    assert(!ScaleGates.ivmRippleOk(-1.0))
+  }
+
+  test("migration-window old-gen gate holds the 100x reading and trips " +
+      "past the O(state/waves) ceiling") {
+    assert(ScaleGates.migrationWindowOk(3774L)) // 100x 4-wave window
+    assert(ScaleGates.migrationWindowOk(12288L))
+    assert(!ScaleGates.migrationWindowOk(12289L)) // forced: O(state) term
+    assert(!ScaleGates.migrationWindowOk(0L)) // window never measured
+  }
+
   test("bench regression gate vs pinned baseline: offenders only, " +
       "threshold exact, unshared and degenerate baselines ignored") {
     val base = Map("a" -> 1.0, "b" -> 2.0, "c" -> 0.5, "zero" -> 0.0)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,67 +28,106 @@ object Ivf {
     * makes the codebook bit-reproducible across engines/runs (shuffle
     * order no longer leaks into the cell assignment).
     */
+  /** Embedding dimensionality — uniform across every fixture,
+    * scale-smoke corpus, and retrain input (the declared-query oracles
+    * hardcode `range(1, 65)` for the same reason). The one-pass
+    * aggregate below relies on it: per-dim sums as 64 parallel
+    * aggregate expressions in ONE HashAggregate instead of a
+    * posexplode (64× the rows through a Generate) followed by TWO
+    * keyed exchanges ((cell, pos) then cell) and a
+    * collect_list/array_sort rebuild (r17, guide §2.3/§2.4: one
+    * exchange of k wide rows replaces two exchanges of k·64 rows plus
+    * a 64× row explosion). Sums stay exact decimal(28,14) — order
+    * independent — so the centroids are bit-identical to the explode
+    * formulation on uniform-dims input.
+    */
+  val Dims = 64
+
   def codebook(vecs: DataFrame): DataFrame = {
-    val cents = vecs
-      .select(col("label").as("cell_id"), posexplode(col("v")))
-      .groupBy(col("cell_id"), col("pos"))
-      .agg(round(sum(col("col").cast("decimal(28,14)")).cast("double")
-        / count(lit(1)), 6).as("m"))
-      .groupBy(col("cell_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+    val sums = (1 to Dims).map(i =>
+      sum(element_at(col("v"), i).cast("decimal(28,14)")).as(s"_s$i"))
+    vecs
+      .groupBy(col("label").as("cell_id"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("_n")): _*)
       .select(col("cell_id"),
-        expr("transform(pm, x -> x.m)").as("c"))
-    cents.withColumn("cnorm", l2Norm(col("c")))
+        array((1 to Dims).map(i =>
+          round(col(s"_s$i").cast("double") / col("_n"), 6)): _*).as("c"))
+      .withColumn("cnorm", l2Norm(col("c")))
+  }
+
+  /** Driver-collected (cell_id, centroid) rows of a codebook frame —
+    * k tiny rows (iteration/plan control, the same class as the
+    * KMeans convergence snapshot; never data movement).
+    */
+  private[graft] def codebookRows(cents: DataFrame): Seq[(Any, Seq[Double])] =
+    cents.select(col("cell_id"), col("c")).collect()
+      .map(r => (r.get(0), r.getSeq[Double](1))).toSeq
+
+  /** Per-row nearest-cell entry over collected codebook rows:
+    * `least` over one codegen'd `struct(score, cell_id)` per cell,
+    * score = c·c − 2·v·c with c·c folded to a driver-side literal
+    * (bit-identical fold order to the runtime `array_dot(c,c)`).
+    * Exactly the `min_by(cell_id, struct(score, cell_id))` ordering —
+    * lexicographic with the tie on cell_id — so the assignment is
+    * bit-identical to the old crossJoin(broadcast) + min_by shape
+    * while running as a ZERO-exchange map (guide §2.4; the old shape
+    * paid a corpus-wide hash(vec_id) exchange + SortAggregate pair).
+    */
+  private[graft] def nearestCell(rows: Seq[(Any, Seq[Double])],
+      v: Column): Column = {
+    require(rows.nonEmpty, "empty codebook")
+    val entries = rows.map { case (cid, c) =>
+      struct(
+        (lit(KMeans.selfDot(c)) - arrayDot(v, typedlit(c)) * 2).as("score"),
+        lit(cid).as("cell_id"))
+    }
+    (if (entries.size == 1) entries.head else least(entries: _*))
+      .getField("cell_id")
   }
 
   /** Assign each vector to its nearest-centroid cell (L2 argmin via
     * -2·v·c + c·c; v·v is constant per vector). Deterministic tie-break
-    * on cell_id.
+    * on cell_id. Collects the k-row codebook and assigns PER ROW —
+    * zero exchange (see [[nearestCell]]); eager on `cents` (k rows).
     */
   def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("score",
-        arrayDot(col("c"), col("c")) - arrayDot(col("v"), col("c")) * 2)
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cell_id"), struct(col("score"), col("cell_id")))
-        .as("cell_id"))
+    vecs.select(col("vec_id"),
+      nearestCell(codebookRows(cents), col("v")).as("cell_id"))
 
-  /** [[assign]] carrying the vector columns THROUGH the argmin
-    * aggregate (constant per vec_id, so first() is deterministic): the
-    * index no longer re-joins the corpus against the assignment — the
-    * sort-merge join and its two exchanges are deleted, the same
-    * carried-vector pattern verified at 30× for [[KMeans]]
-    * (sim_kmeans 11.3 → 7.9 s).
+  /** [[assign]] carrying the vector columns through (no aggregate
+    * anymore — the per-row argmin keeps every input column in place;
+    * the name survives for its call sites and the scaladoc history:
+    * the r13 carried-vector aggregate already deleted the corpus
+    * re-join, and the r17 per-row argmin deletes the aggregate's own
+    * hash(vec_id) exchange too).
     */
   private[graft] def assignCarrying(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("score",
-        arrayDot(col("c"), col("c")) - arrayDot(col("v"), col("c")) * 2)
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cell_id"), struct(col("score"), col("cell_id")))
-        .as("cell_id"), first(col("v")).as("v"),
-        first(col("norm")).as("norm"))
+    vecs.select(col("vec_id"),
+      nearestCell(codebookRows(cents), col("v")).as("cell_id"),
+      col("v"), col("norm"))
 
   /** Top-k per probe over its nprobe nearest cells.
     *
-    * Plan discipline (round-13 exchange diet, 23 → single digits):
-    * the node frame, the codebook, and the assigned index each
-    * localCheckpoint once per derivation — `vecs` feeds the codebook
-    * AND the assignment, `cents` broadcasts twice (assignment + probe
-    * routing), `indexed` feeds the probe filter AND the candidate
-    * scan; without the checkpoints every consumer re-derives the whole
-    * upstream chain (stage reuse covers only the exchange below it).
-    * The candidate scan BROADCASTS the probe-routing side — at most
-    * MaxProbes × nprobe ≈ 128 rows by construction — so the index is
-    * scanned in place instead of being shuffled on cell_id: at 100 TB
-    * the probes ship to the cells, never the reverse.
+    * Plan discipline (round-13 exchange diet, then the r17 per-row
+    * argmin): the node frame localCheckpoints once (it feeds the
+    * codebook aggregation AND the final scan); the codebook is
+    * COLLECTED (k tiny rows — the same bounded class as the KMeans
+    * convergence snapshot) and re-enters the plan as a LocalRelation
+    * for probe routing and as per-row argmin literals for the index —
+    * so the assignment is a zero-exchange map fused into the candidate
+    * scan, and the old cents/indexed checkpoints (two extra jobs) and
+    * the assignment's hash(vec_id) exchange are gone. The candidate
+    * scan BROADCASTS the probe-routing side — at most MaxProbes ×
+    * nprobe ≈ 128 rows by construction — so the index is scanned in
+    * place instead of being shuffled on cell_id: at 100 TB the probes
+    * ship to the cells, never the reverse.
     *
     * Checkpoint lifecycle: each `search` call localCheckpoints the
-    * corpus, codebook, and index fresh and does NOT unpersist them —
-    * the single-shot-query contract every declared query follows (the
-    * harness owns the session and sweeps storage between operators;
-    * ScaleSmoke's per-op unpersist already covers the bench path). A
-    * long-lived session issuing repeated searches should either sweep
+    * corpus fresh and does NOT unpersist it — the single-shot-query
+    * contract every declared query follows (the harness owns the
+    * session and sweeps storage between operators; ScaleSmoke's
+    * per-op unpersist already covers the bench path). A long-lived
+    * session issuing repeated searches should either sweep
     * `getPersistentRDDs` between calls or build the index ONCE and
     * reuse it — and on a real cluster a standing index belongs in the
     * bucketed materializer (durable, executor-loss-safe), not in
@@ -102,18 +141,23 @@ object Ivf {
         col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", l2Norm(col("v")))
       .localCheckpoint()
-    val cents = codebook(vecs).localCheckpoint() // k tiny rows
-    // vec_id, cell_id, v, norm — assignment argmin with the vector
-    // carried through (no corpus re-join)
-    val indexed = assignCarrying(vecs, cents).localCheckpoint()
+    val cb = codebook(vecs)
+    val centRows = cb.collect() // k tiny rows, ONE job
+    val centsLocal = spark.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), cb.schema)
+    val rows = centRows.map(r => (r.get(0), r.getSeq[Double](1))).toSeq
+    // vec_id, cell_id, v, norm — zero-exchange per-row assignment,
+    // fused into the candidate-scan stage (no standalone index job)
+    val indexed = vecs.select(col("vec_id"),
+      nearestCell(rows, col("v")).as("cell_id"), col("v"), col("norm"))
 
     // probe routing: nprobe nearest cells per probe — bounded probe
     // sample (at most SimilarityQueries.MaxProbes at any corpus size)
-    val probes = indexed.filter(
+    val probes = vecs.filter(
         graft.queries.SimilarityQueries.probePred(col("vec_id")))
       .select(col("vec_id").as("probe_id"),
         col("v").as("pv"), col("norm").as("pnorm"))
-    scanCandidates(indexed, routeProbes(cents, probes, nprobe), k)
+    scanCandidates(indexed, routeProbes(centsLocal, probes, nprobe), k)
   }
 
   /** Probe routing: the nprobe nearest cells per probe row

@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps.arrayDot
@@ -21,69 +20,112 @@ import graft.functions.VectorOps.arrayDot
   * sums divided as double and quantized to 6 dp, so shuffle order never
   * leaks into the next iteration's assignment.
   *
-  * Scale (100 TB): centroids are k tiny rows — BROADCAST to the
-  * assignment map, so each iteration is one scan + one partial-aggregated
-  * shuffle keyed on (cluster, dim) for the means. Nothing is ever
-  * collected to the driver; iteration count is a fixed small constant
+  * Scale (100 TB): centroids are k tiny rows, and k is a fixed small
+  * constant — so the argmin is evaluated PER ROW against a
+  * driver-collected centroid snapshot (`least` over k codegen'd
+  * score structs), never as a crossJoin × groupBy(vec) aggregate: the
+  * assignment stage is a pure map with ZERO exchange at any corpus
+  * size (r17 optimization, guide §2.4 — the old crossJoin(broadcast) +
+  * min_by shape paid a corpus-wide hash(vec_id) shuffle carrying the
+  * full vector payload per Lloyd round). The k-row snapshot collect is
+  * iteration CONTROL (the same k rows the convergence probe always
+  * collected), not data movement; each Lloyd round is exactly ONE
+  * distributed job (the partial-aggregated means shuffle, keyed on
+  * (cluster, dim)). Iteration count is a fixed small constant
   * (Lloyd's converges in quality, not correctness — training pipelines
   * run 5-25 iterations regardless of corpus size).
   */
 object KMeans {
 
-  /** Deterministic seed centroids: the k lowest-id vectors, cluster
-    * id = rank 0..k-1. The global window runs over k rows only (the
-    * limit is applied first).
+  /** Driver-side left-to-right self-dot — bit-identical to the codegen
+    * [[graft.functions.ArrayDot]] loop (same element order, same
+    * doubles), so a literal c·c equals the old runtime `array_dot(c,c)`
+    * exactly.
     */
-  def seed(vecs: DataFrame, k: Int): DataFrame =
-    vecs.orderBy(col("vec_id")).limit(k)
-      .withColumn("cluster",
-        (row_number().over(graft.queries.Tables.tinyGlobalWindow(
-          col("vec_id"))) - 1).cast("long"))
-      .select(col("cluster"), col("v").as("c"))
+  private[graft] def selfDot(c: Seq[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
 
-  /** Nearest-centroid assignment: vec_id → cluster. */
-  def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("score",
-        arrayDot(col("c"), col("c")) - arrayDot(col("v"), col("c")) * 2)
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cluster"), struct(col("score"), col("cluster")))
-        .as("cluster"))
-
-  /** [[assign]] with the vector carried THROUGH the argmin aggregate
-    * (constant per vec_id, so first() is deterministic): the Lloyd
-    * means no longer re-join the corpus against the assignment — one
-    * join and one hash(vec_id) exchange deleted per training round,
-    * the same normalizer-fold-out pattern as the round-10 model
-    * aggregates and the round-11 dedup_semantic membership.
+  /** Per-row nearest-centroid entry over a driver-collected centroid
+    * snapshot: `least` over one `struct(score, cluster[, c])` per
+    * centroid, score = c·c − 2·v·c with c·c folded to a literal.
+    * `least(struct(...))` is the exact `min_by(_, struct(score,
+    * cluster))` ordering (lexicographic; cluster ids are distinct, so
+    * the tie-break never reaches a later field) — results are
+    * bit-identical to the old crossJoin + min_by argmin, with zero
+    * exchange and whole-stage codegen throughout ([[ArrayDot]] is a
+    * codegen expression; `least`/`struct` are codegen-native).
+    *
+    * @param carryCentroid also carry the winning centroid vector as
+    *   field `c` (the consumer-side fold that deletes the
+    *   centroid re-join in dedup_semantic).
     */
-  private def assignCarrying(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("score",
-        arrayDot(col("c"), col("c")) - arrayDot(col("v"), col("c")) * 2)
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cluster"), struct(col("score"), col("cluster")))
-        .as("cluster"), first(col("v")).as("v"))
+  private[graft] def nearest(snap: Seq[(Long, Seq[Double])], v: Column,
+      carryCentroid: Boolean = false): Column = {
+    require(snap.nonEmpty, "empty centroid snapshot")
+    val entries = snap.sortBy(_._1).map { case (cid, c) =>
+      val score = (lit(selfDot(c)) - arrayDot(v, typedlit(c)) * 2).as("score")
+      val base = Seq(score, lit(cid).as("cluster"))
+      struct(
+        (if (carryCentroid) base :+ typedlit(c).as("c") else base): _*)
+    }
+    if (entries.size == 1) entries.head else least(entries: _*)
+  }
+
+  /** Deterministic seed snapshot: the k lowest-`vec_id` vectors,
+    * cluster id = rank 0..k-1 (driver-side sort of the collected k
+    * rows pins the order independent of TakeOrdered's internals).
+    */
+  private def seedSnapshot(vecs: DataFrame, k: Int): Seq[(Long, Seq[Double])] =
+    vecs.select(col("vec_id"), col("v")).orderBy(col("vec_id")).limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+      .zipWithIndex
+      .map { case ((_, v0), i) => (i.toLong, v0) }
+      .toSeq
+
+  /** Nearest-centroid assignment: vec_id → cluster (per-row argmin,
+    * zero exchange). Kept for API parity with the old DataFrame-cents
+    * signature via [[fit]]; spec instrument.
+    */
+  private[graft] def assign(vecs: DataFrame,
+      snap: Seq[(Long, Seq[Double])]): DataFrame =
+    vecs.select(col("vec_id"),
+      nearest(snap, col("v")).getField("cluster").as("cluster"))
 
   /** Recomputed per-cluster means (exact decimal, 6 dp-quantized) —
-    * same centroid contract as [[Ivf.codebook]]. Clusters that lose
-    * every member simply drop out (deterministic in both engines).
-    * `asn` must carry the member vector (`v`) alongside `cluster`.
+    * same centroid contract as [[Ivf.codebook]], and the same r17
+    * one-pass shape: per-dim decimal sums as [[Ivf.Dims]] parallel
+    * aggregate expressions in ONE HashAggregate — one exchange of k
+    * wide rows instead of a posexplode (64× rows through a Generate)
+    * plus two keyed exchanges and a collect_list/array_sort rebuild.
+    * Decimal sums are order-independent, so centroids are
+    * bit-identical to the explode formulation on uniform-dims input.
+    * Clusters that lose every member simply drop out (deterministic
+    * in both engines). `asn` must carry the member vector (`v`)
+    * alongside `cluster`.
     */
-  def means(asn: DataFrame): DataFrame =
+  def means(asn: DataFrame): DataFrame = {
+    val sums = (1 to Ivf.Dims).map(i =>
+      sum(element_at(col("v"), i).cast("decimal(28,14)")).as(s"_s$i"))
     asn
-      .select(col("cluster"), posexplode(col("v")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg(round(sum(col("col").cast("decimal(28,14)")).cast("double")
-        / count(lit(1)), 6).as("m"))
       .groupBy(col("cluster"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cluster"), expr("transform(pm, x -> x.m)").as("c"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("_n")): _*)
+      .select(col("cluster"),
+        array((1 to Ivf.Dims).map(i =>
+          round(col(s"_s$i").cast("double") / col("_n"), 6)): _*).as("c"))
+  }
 
-  /** `iters` Lloyd rounds from the deterministic seed; returns the
-    * final (assignment, centroids). Centroids are localCheckpoint'ed
-    * per round (k rows — pennies) so the lineage stays one-iteration
-    * deep instead of nesting the full scan `iters` times.
+  /** `iters` Lloyd rounds from the deterministic seed, as centroid
+    * SNAPSHOTS: each round is one distributed job (the means
+    * aggregation, collected — k·dims tiny values) over a per-row
+    * assignment of the previous snapshot. No per-round checkpoint, no
+    * lineage growth — round n's plan reads the corpus once against
+    * literal centroids.
     *
     * Convergence early-exit (the PageRank Δ=0 argument, applied to
     * Lloyd's): the next centroid set is a deterministic function of
@@ -91,25 +133,31 @@ object KMeans {
     * if round k reproduces round k−1's centroids bit-for-bit, every
     * later round reproduces them too, so stopping emits exactly what
     * the full `iters` rounds (and the round-unrolled oracle) would.
-    * The probe collects k tiny rows to the driver — iteration control,
-    * not data movement (k ≪ 1000 regardless of corpus size). On the
-    * fixture both k-means consumers settle well before their round
-    * budget; a corpus that keeps drifting runs all `iters` rounds,
-    * exactly as before.
     */
-  def fit(vecs: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
-    def snapshot(c: DataFrame): Seq[(Long, Seq[Double])] =
-      c.orderBy(col("cluster")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    var cents = seed(vecs, k).localCheckpoint()
-    var prev = snapshot(cents)
+  private[graft] def fitSnapshot(vecs: DataFrame, k: Int,
+      iters: Int): Seq[(Long, Seq[Double])] = {
+    var prev = seedSnapshot(vecs, k)
     var converged = false
     for (_ <- 1 to iters if !converged) {
-      cents = means(assignCarrying(vecs, cents)).localCheckpoint()
-      val cur = snapshot(cents)
+      val asn = vecs.select(
+        nearest(prev, col("v")).getField("cluster").as("cluster"), col("v"))
+      val cur = means(asn).orderBy(col("cluster")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
       converged = cur == prev
       prev = cur
     }
-    (assign(vecs, cents), cents)
+    prev
+  }
+
+  /** `iters` Lloyd rounds from the deterministic seed; returns the
+    * final (assignment, centroids). The assignment is the zero-exchange
+    * per-row argmin; the centroid frame is rebuilt from the final
+    * snapshot (k tiny local rows — no lineage at all).
+    */
+  def fit(vecs: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val snap = fitSnapshot(vecs, k, iters)
+    val session = vecs.sparkSession
+    import session.implicits._
+    (assign(vecs, snap), snap.toDF("cluster", "c"))
   }
 }

@@ -649,9 +649,17 @@ object AnalyticsQueries {
           .withColumn("session_id", sum(col("new_session")).over(wRun))
           .groupBy(col("user_id"), col("session_id"))
           .agg(min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
-        val perSec = sess.select(col("start_sec").as("sec"), lit(1L).as("delta"))
-          .unionAll(sess.select((col("end_sec") + 1).as("sec"),
-            lit(-1L).as("delta")))
+        // both deltas from ONE scan of the sessionization subtree
+        // (r17, guide §2.3/§2.4): the unionAll form evaluated the
+        // user-window + groupBy session derivation twice (one copy per
+        // branch — exchange reuse covers only the shuffle below it,
+        // not the window/aggregate stages above); the in-row explode
+        // emits the identical (sec, delta) multiset from a single pass
+        val perSec = sess.select(explode(array(
+            struct(col("start_sec").as("sec"), lit(1L).as("delta")),
+            struct((col("end_sec") + 1).as("sec"), lit(-1L).as("delta"))))
+            .as("e"))
+          .select(col("e.sec").as("sec"), col("e.delta").as("delta"))
           .groupBy(col("sec")).agg(sum(col("delta")).as("nd"))
           .withColumn("hour", expr("sec div 3600"))
         val wIn = Window.partitionBy(col("hour")).orderBy(col("sec"))

@@ -104,24 +104,19 @@ object ClusteringQueries {
     "dedup_semantic" -> QueryDef(
       (s, dir) => {
         val vecs = vectors(s, dir)
-        val (_, cents) = KMeans.fit(vecs, K, Iters)
-        // membership = the assignment argmin itself, with the payload
-        // (v, norm — constant per vec_id, so first() is deterministic)
-        // AND the winning centroid vector carried THROUGH the
-        // aggregate: folding them here deletes the vecs⋈assignment
-        // re-join and the broadcast(cents) re-join the per-cluster
-        // stats used to pay (r10 verdict item 6 — the assignment
-        // explode was computed twice). The argmin key is unchanged
-        // (score, cluster), so membership is bit-identical to
-        // KMeans.assign ∘ join.
-        val members = vecs.crossJoin(broadcast(cents))
-          .withColumn("score",
-            arrayDot(col("c"), col("c")) - arrayDot(col("v"), col("c")) * 2)
-          .groupBy(col("vec_id"))
-          .agg(
-            min_by(struct(col("cluster"), col("c")),
-              struct(col("score"), col("cluster"))).as("a"),
-            first(col("v")).as("v"), first(col("norm")).as("norm"))
+        val snap = KMeans.fitSnapshot(vecs, K, Iters)
+        // membership = the per-row argmin against the final centroid
+        // snapshot, with the winning centroid vector carried as a
+        // struct field (r17, guide §2.4): the old
+        // crossJoin(broadcast(cents)) + groupBy(vec_id) min_by shape
+        // paid a corpus-wide hash(vec_id) exchange carrying the full
+        // vector payload (and a SortAggregate pair around it) just to
+        // pick each row's own argmin. The argmin key is unchanged
+        // (score, cluster) with the identical score expression, so
+        // membership is bit-identical — now a zero-exchange map.
+        val members = vecs
+          .withColumn("a", KMeans.nearest(snap, col("v"),
+            carryCentroid = true))
           .select(col("vec_id"), col("v"), col("norm"),
             col("a.cluster").as("cluster"), col("a.c").as("c"))
         // representative: the member nearest its centroid — full

@@ -43,6 +43,7 @@ object SimilarityQueries {
       col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", graft.functions.VectorOps.l2Norm(col("v")))
 
+
   private def cosCol = graft.functions.VectorOps
     .arrayDot(org.apache.spark.sql.functions.col("p.v"),
       org.apache.spark.sql.functions.col("e.v"))
@@ -213,6 +214,11 @@ object SimilarityQueries {
           .select(col("cell_id"), col("x.s").as("s"), col("x.sc").as("cs"))
         def dot(a: Column, b: Column) =
           graft.functions.VectorOps.arrayDot(a, b)
+        // r17 note: an A/B against a collected-codebook per-row argmin
+        // encoder (zero-exchange, +1 bounded collect job) measured the
+        // job barrier LARGER than the exchange it removes at sf0.1
+        // (2.13 vs 1.43 s pinned) — the single-job broadcast shape
+        // stays; the win here is the one-pass codebook (Ivf.codebook).
         val codes = subs.join(broadcast(csubs), "s")
           .withColumn("score", dot(col("cs"), col("cs")) -
             dot(col("vs"), col("cs")) * 2)
@@ -321,6 +327,13 @@ object SimilarityQueries {
                 s -> struct(s AS s, slice(c, s * $SubDim + 1, $SubDim) AS sc))"""))
             .as("x"))
           .select(col("cell_id"), col("x.s").as("s"), col("x.sc").as("cs"))
+        // r17 note: single-job broadcast shape kept deliberately — the
+        // collected-codebook per-row encoder (zero-exchange) was
+        // A/B-measured 2.13 vs 1.43 s pinned at sf0.1: the extra
+        // bounded collect job costs more than the narrow
+        // (vec_id, s, partial-argmin) exchange it deletes. The r17 win
+        // lands in Ivf.codebook (one-pass aggregate, −1 exchange,
+        // no posexplode).
         subs.join(broadcast(csubs), "s")
           .withColumn("score",
             graft.functions.VectorOps.arrayDot(col("cs"), col("cs")) -

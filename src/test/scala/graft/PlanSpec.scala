@@ -137,14 +137,20 @@ class PlanSpec extends SparkSpec {
     assert(tv.contains("TakeOrderedAndProject"), tv)
   }
 
-  test("sim_kmeans: centroids broadcast to the assignment argmin, " +
-      "which partial-aggregates before its exchange") {
+  test("sim_kmeans: per-row argmin against snapshot centroids — " +
+      "zero-exchange assignment, no join, no aggregate") {
     val p = plan("sim_kmeans")
-    assert(p.contains("BroadcastExchange"), p)
+    // r17 shape: the final assignment is least(struct(score, cluster))
+    // over driver-collected centroid literals — a pure map. No
+    // crossJoin (the old BNLJ), no min_by aggregate, no hash(vec_id)
+    // exchange; the only exchanges are the rebalance repartition and
+    // the ORDER BY range partitioning.
     assert(!p.contains("CartesianProduct"), p)
-    // the argmin min_by runs map-side (partial) before the vec_id
-    // exchange — the earlier Lloyd rounds sit behind localCheckpoints
-    assert(p.contains("partial_min_by"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("min_by"), p)
+    assert(p.contains("least("), p)
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
   }
 
   test("pagerank past the broadcast gate: co-partitioned edges+rank " +

@@ -31,8 +31,9 @@ class PlanSweepSpec extends SparkSpec {
     "evt_anomaly",        // broadcast per-series stats onto the dense spine
     "rel_histogram",      // broadcast 1-row min/max bounds
     "samp_temperature",   // crossJoin(broadcast(1-row normalizer))
-    "sim_kmeans",         // broadcast k-centroid crossJoin (assignment argmin)
-    "dedup_semantic",     // same k-centroid assignment + broadcast k-row reps
+    // sim_kmeans / dedup_semantic left the list in r17: the k-centroid
+    // crossJoin became a per-row argmin over snapshot literals (zero
+    // exchange, no BNLJ)
     "rel_skew_report",    // crossJoin(broadcast(1-row key-count stats))
     "cdc_snapshot_chunks", // crossJoin(broadcast(1-row PK-range stats))
     "lake_zorder",        // crossJoin(broadcast(1-row min/max bounds))

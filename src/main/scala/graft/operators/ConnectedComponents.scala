@@ -53,16 +53,27 @@ object ConnectedComponents {
   def hintIf(smallEnough: Boolean): DataFrame => DataFrame =
     if (smallEnough) (df: DataFrame) => broadcast(df) else identity
 
-  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame =
-    runCounted(vertices, edges, maxIter)._1
+  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20,
+      knownVertexCount: Option[Long] = None): DataFrame =
+    runCounted(vertices, edges, maxIter,
+      knownVertexCount = knownVertexCount)._1
 
   /** [[run]] plus the number of propagation rounds executed (diameter
     * rounds to converge + one round that observes zero changes).
+    *
+    * `knownVertexCount`: the broadcast gate needs only |V|; a caller
+    * whose vertex set is a base-table projection can pass the parquet
+    * footer count ([[graft.queries.Tables.parquetRowCount]]) and skip
+    * the gate's cluster count() job (r17 — the job floor is the
+    * dominant cost of a gate probe at bench scale, and a driver-side
+    * metadata read is free at any scale).
     */
   def runCounted(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 20,
-      broadcastNodeLimit: Long = BroadcastNodeLimit): (DataFrame, Int) = {
-    val underGate = vertices.count() <= broadcastNodeLimit
+      broadcastNodeLimit: Long = BroadcastNodeLimit,
+      knownVertexCount: Option[Long] = None): (DataFrame, Int) = {
+    val underGate =
+      knownVertexCount.getOrElse(vertices.count()) <= broadcastNodeLimit
     // the label table is one row per NODE (≪ edges for candidate
     // graphs) — broadcasting it keeps the cached edge set unshuffled
     // every round. The hint is GATED on the node count (see
@@ -156,13 +167,17 @@ object ConnectedComponents {
     * executor memory. At the fixed point every component is a star
     * rooted at its minimum id.
     */
-  def runStar(vertices: DataFrame, edges: DataFrame, maxIter: Int = 35): DataFrame =
-    runStarCounted(vertices, edges, maxIter)._1
+  def runStar(vertices: DataFrame, edges: DataFrame, maxIter: Int = 35,
+      knownVertexCount: Option[Long] = None): DataFrame =
+    runStarCounted(vertices, edges, maxIter,
+      knownVertexCount = knownVertexCount)._1
 
-  /** [[runStar]] plus the number of large+small alternations executed. */
+  /** [[runStar]] plus the number of large+small alternations executed.
+    * `knownVertexCount`: see [[runCounted]]. */
   def runStarCounted(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 35,
-      broadcastNodeLimit: Long = BroadcastNodeLimit): (DataFrame, Int) = {
+      broadcastNodeLimit: Long = BroadcastNodeLimit,
+      knownVertexCount: Option[Long] = None): (DataFrame, Int) = {
     // canonical orientation: u > v, self-loops dropped
     var e = edges
       .select(greatest(col("a"), col("b")).as("u"),
@@ -173,7 +188,8 @@ object ConnectedComponents {
     // minNbr/minS are bounded by the (shrinking) node set — gate their
     // broadcast hints on the initial vertex count (BroadcastNodeLimit:
     // an over-ceiling hint fails, it does not degrade)
-    val bh = hintIf(vertices.count() <= broadcastNodeLimit)
+    val bh = hintIf(
+      knownVertexCount.getOrElse(vertices.count()) <= broadcastNodeLimit)
     var iter = 0
     var converged = e.isEmpty
     var prevCount = -1L

@@ -392,7 +392,7 @@ object DedupQueries {
         // broadcast hard cap and fail the job rather than fall back
         // (the triangle-close pair broadcast uses the same derating)
         val bh = graft.operators.ConnectedComponents.hintIf(
-          Tables.documents(s, dir).count() <=
+          Tables.documentsRowCount(s, dir) <=
             graft.operators.ConnectedComponents.BroadcastNodeLimit / 8)
         val aSide = sig.select(col("doc_id").as("doc_a") +:
           (0 until NumBands).map(b => col(s"band$b").as(s"a_band$b")): _*)
@@ -500,7 +500,8 @@ object DedupQueries {
           .select(col("doc_id").as("id"))
         val pairs = minhashPairs(s, dir)
           .select(col("doc_a").as("a"), col("doc_b").as("b"))
-        graft.operators.ConnectedComponents.run(docs, pairs)
+        graft.operators.ConnectedComponents.run(docs, pairs,
+            knownVertexCount = Some(Tables.documentsRowCount(s, dir)))
           .select(col("id").as("doc_id"), col("cluster_id"))
           .orderBy(col("doc_id"))
       },
@@ -517,7 +518,8 @@ object DedupQueries {
           .select(col("doc_id").as("id"))
         val pairs = minhashPairs(s, dir)
           .select(col("doc_a").as("a"), col("doc_b").as("b"))
-        graft.operators.ConnectedComponents.runStar(docs, pairs)
+        graft.operators.ConnectedComponents.runStar(docs, pairs,
+            knownVertexCount = Some(Tables.documentsRowCount(s, dir)))
           .select(col("id").as("doc_id"), col("cluster_id"))
           .orderBy(col("doc_id"))
       },
@@ -633,7 +635,7 @@ object DedupQueries {
         // count (an upper bound on graph nodes): past the gate the
         // hints drop for two shuffles instead of failing the job.
         val bh = graft.operators.ConnectedComponents.hintIf(
-          Tables.documents(s, dir).count() <=
+          Tables.documentsRowCount(s, dir) <=
             graft.operators.ConnectedComponents.BroadcastNodeLimit)
         // the oriented edge set is consumed twice by the wedge
         // self-join (e1/e2); an explicit localCheckpoint here was
@@ -696,7 +698,8 @@ object DedupQueries {
           .select(col("doc_id").as("id"))
         val pairs = minhashPairs(s, dir)
           .select(col("doc_a").as("a"), col("doc_b").as("b"))
-        graft.operators.ConnectedComponents.run(docs, pairs)
+        graft.operators.ConnectedComponents.run(docs, pairs,
+            knownVertexCount = Some(Tables.documentsRowCount(s, dir)))
           .groupBy(col("cluster_id"))
           .agg(count(lit(1)).as("size"))
           .groupBy(col("size"))
@@ -728,7 +731,8 @@ object DedupQueries {
         val pairs = minhashPairs(s, dir)
           .select(col("doc_a").as("a"), col("doc_b").as("b"))
         graft.operators.ConnectedComponents
-          .run(docs.select(col("id")), pairs)
+          .run(docs.select(col("id")), pairs,
+            knownVertexCount = Some(Tables.documentsRowCount(s, dir)))
           .join(docs, "id")
           .groupBy(col("cluster_id"))
           .agg(

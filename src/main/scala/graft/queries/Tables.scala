@@ -81,4 +81,42 @@ object Tables {
   }
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Exact row count of a parquet file/dir from its FOOTERS — a
+    * driver-side metadata read (the same class as file listing), not a
+    * Spark job. Broadcast-gate decisions (`hintIf(n <= limit)`) need
+    * only the base table's cardinality; paying a cluster count() job
+    * per query construction for it was pure fixed overhead (r17, guide
+    * §1.2 — the job floor measured 0.36–0.44 s on the bench box, per
+    * gate). Falls back to a Spark count if any footer is unreadable.
+    */
+  def parquetRowCount(s: SparkSession, path: String): Long =
+    try {
+      val conf = s.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      import scala.jdk.CollectionConverters._
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getLen > 0 &&
+            !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".")) {
+          val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(f, conf))
+          try n += in.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally in.close()
+        }
+      }
+      n
+    } catch {
+      case _: Throwable => s.read.parquet(path).count()
+    }
+
+  /** [[parquetRowCount]] of the documents fixture — the broadcast-gate
+    * cardinality used by the LSH/graph family. */
+  def documentsRowCount(s: SparkSession, dir: String): Long =
+    parquetRowCount(s, s"$dir/documents.parquet")
 }

@@ -33,12 +33,27 @@ object Bench {
   /** One representative per family: scan+agg, shuffle join, broadcast
     * join, window, CDC enrichment, CDC routing, MinHash LSH, inverted-
     * index jaccard, brute-force kNN, text analysis.
+    *
+    * Extended r18 (ADDITIONS ONLY — the r17 verdict's item 2: the
+    * original 10 keep their names and definitions so round-over-round
+    * comparison holds; the additions make optimization work
+    * driver-visible instead of invisible to PERF):
+    *   - the r17-touched operators (sim_kmeans, dedup_semantic,
+    *     evt_concurrency, sim_knn_ivf),
+    *   - the r18-touched operators (rel_date_funcs, rel_map_funcs,
+    *     rel_unpivot, dedup_containment, dedup_quality_report,
+    *     cdc_apply_replica).
     */
   val headline: Seq[String] = Seq(
     "rel_q1_agg", "rel_join_shuffle", "rel_join_broadcast", "rel_window",
     "cdc_enrich_mysql", "cdc_route_topic_partition",
     "dedup_minhash_pairs", "dedup_ngram_jaccard",
-    "sim_knn_brute", "txt_tokens")
+    "sim_knn_brute", "txt_tokens",
+    // r17-touched (added r18)
+    "sim_kmeans", "dedup_semantic", "evt_concurrency", "sim_knn_ivf",
+    // r18-touched (added r18)
+    "rel_date_funcs", "rel_map_funcs", "rel_unpivot",
+    "dedup_containment", "dedup_quality_report")
 
   /** Parse a bench artifact's flat `"queries":{"name":sec,...}` map,
     * refusing an artifact captured at a different scale factor (a

@@ -31,18 +31,28 @@ object CdcApply {
     * partitionKey, op, after (map), ts_ms, pos.
     */
   def lastChangePerKey(batch: DataFrame): DataFrame = {
+    // explicit projection to exactly the five output fields BEFORE the
+    // window (r18): MEASURED AS A PLAN NO-OP for the declared queries —
+    // Catalyst's column pruning already extracted [partitionKey, after,
+    // op, ts_ms, pos] below the window sort/exchange (the before/after
+    // plan pair in plans/r18/ is structurally identical, shuffle bytes
+    // unchanged). Kept because it makes the pruning explicit at the
+    // operator boundary (guide §2.3 "cheap insurance"): a future caller
+    // whose lineage hides the fields behind an opaque operator would
+    // otherwise ship the raw envelope through the exchange.
     val env = batch.withColumn("env",
-      from_json(col("value"), graft.model.CdcEnvelope.mysqlEnvelope))
-    val w = Window.partitionBy(col("partitionKey"))
-      .orderBy(col("env.source.ts_ms").desc, col("env.source.pos").desc)
-    env.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+        from_json(col("value"), graft.model.CdcEnvelope.mysqlEnvelope))
       .select(
         col("partitionKey"),
         col("env.op").as("op"),
         col("env.after").as("after"),
         col("env.source.ts_ms").as("ts_ms"),
         col("env.source.pos").as("pos"))
+    val w = Window.partitionBy(col("partitionKey"))
+      .orderBy(col("ts_ms").desc, col("pos").desc)
+    env.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Latest change per key for a MONGO change-stream batch

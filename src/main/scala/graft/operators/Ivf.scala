@@ -43,10 +43,23 @@ object Ivf {
     */
   val Dims = 64
 
+  /** Loud dims guard (r17 verdict item 3): [[Dims]] is load-bearing for
+    * the one-pass centroid aggregates — `sum(element_at(v, i))` silently
+    * SKIPS a null element, so a short vector would produce wrong
+    * centroids instead of failing where the old posexplode form degraded
+    * visibly. Gating every summed vector on `size(v) = Dims` turns the
+    * latent silent-wrong into an immediate task failure. Cost: one
+    * codegen size() comparison per row.
+    */
+  private[graft] def dimsChecked(v: Column): Column =
+    when(size(v) === Dims, v).otherwise(raise_error(concat(
+      lit(s"expected $Dims-dim vector, got size "), size(v).cast("string"))))
+
   def codebook(vecs: DataFrame): DataFrame = {
     val sums = (1 to Dims).map(i =>
       sum(element_at(col("v"), i).cast("decimal(28,14)")).as(s"_s$i"))
     vecs
+      .withColumn("v", dimsChecked(col("v")))
       .groupBy(col("label").as("cell_id"))
       .agg(sums.head, (sums.tail :+ count(lit(1)).as("_n")): _*)
       .select(col("cell_id"),

@@ -113,6 +113,9 @@ object KMeans {
     val sums = (1 to Ivf.Dims).map(i =>
       sum(element_at(col("v"), i).cast("decimal(28,14)")).as(s"_s$i"))
     asn
+      // loud dims guard — see [[Ivf.dimsChecked]]: a short vector must
+      // fail the task, not silently skip its null tail out of the sums
+      .withColumn("v", Ivf.dimsChecked(col("v")))
       .groupBy(col("cluster"))
       .agg(sums.head, (sums.tail :+ count(lit(1)).as("_n")): _*)
       .select(col("cluster"),

@@ -51,18 +51,30 @@ object AnalyticsQueries {
 
     // ------------------------------------------------- unpivot
     // Wide lineitem measures → long (metric, value) rows, aggregated
-    // per metric with exact decimal sums. The stack generator is a
-    // projection — rows multiply 4x but nothing shuffles until the
-    // 4-group aggregate.
+    // per metric with exact decimal sums.
+    //
+    // r18 (guide §1.2/§2.3): aggregate FIRST, stack the 4 totals after.
+    // The old shape ran the stack generator below the aggregate — a 4×
+    // row explosion (2.4 M rows at sf0.1) hashed by a STRING key just
+    // to compute 4 column sums. One scan with 4 parallel decimal sums
+    // + one count produces the identical rows: per-metric n is
+    // count(*) (stack emits a row per metric per input row regardless
+    // of value nulls), per-metric total is the same order-independent
+    // exact-decimal sum of the same cast values, and the stack over
+    // the 1-row aggregate keeps the wide→long reshape while the
+    // Generate multiplies 1 row, not the corpus. Oracle unchanged —
+    // rows bit-identical.
     "rel_unpivot" -> QueryDef(
       (s, dir) => {
         Tables.lineitem(s, dir)
-          .selectExpr("stack(4, " +
-            "'quantity', l_quantity, 'extendedprice', l_extendedprice, " +
-            "'discount', l_discount, 'tax', l_tax) AS (metric, value)")
-          .groupBy(col("metric"))
           .agg(count(lit(1)).as("n"),
-            sum(dec2(col("value"))).cast("double").as("total"))
+            sum(dec2(col("l_quantity"))).cast("double").as("t_qty"),
+            sum(dec2(col("l_extendedprice"))).cast("double").as("t_ep"),
+            sum(dec2(col("l_discount"))).cast("double").as("t_disc"),
+            sum(dec2(col("l_tax"))).cast("double").as("t_tax"))
+          .selectExpr("stack(4, " +
+            "'quantity', n, t_qty, 'extendedprice', n, t_ep, " +
+            "'discount', n, t_disc, 'tax', n, t_tax) AS (metric, n, total)")
           .orderBy(col("metric"))
       },
       Some("""WITH u AS (

@@ -234,9 +234,20 @@ object DedupQueries {
         col("text"), 2, concat(col("lang"), lit("|"))))
       .select(col("doc_id"), col("ghs"))
       .localCheckpoint()
-    val inv = grams
-      .select(col("doc_id"), size(col("ghs")).as("sz"),
-        explode(col("ghs")).as("gh"))
+    // SIZE-FREE postings (r18, guide §2.3/§8: shuffle keys and
+    // metadata, not payloads): the posting row the inverted-index
+    // self-join exchanges is (doc_id, gh) — the per-doc gram count
+    // `sz` no longer rides every posting (before: carried through the
+    // self-join exchange AND the pair aggregation's grouping key, Σ df²
+    // rows at scale). Doc sizes are a node-sized (doc_id, sz) side
+    // table — one row per DOCUMENT, derived from the same checkpointed
+    // leaf — joined back onto the AGGREGATED pair table, which is
+    // orders of magnitude smaller than the posting stream. The join
+    // takes the gated broadcast hint (footer row count, limit/8
+    // derated like the signature-lookup gate: these rows are ~16 B);
+    // past the gate it degrades to a keyed join against the pair
+    // table, never against postings.
+    val inv = grams.select(col("doc_id"), explode(col("ghs")).as("gh"))
     val hot = inv.groupBy(col("gh"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > NgramDfCap)
@@ -245,13 +256,23 @@ object DedupQueries {
         sum(col("df")).as("dropped_rows"))
       .select(col("gh"))
     val kept = inv.join(broadcast(hot), Seq("gh"), "left_anti")
-    kept.as("a").join(kept.as("b"),
+    val counts = kept.as("a").join(kept.as("b"),
         col("a.gh") === col("b.gh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("sa"), col("b.sz").as("sb"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
+    // both lookups are the IDENTICAL projection over the checkpointed
+    // leaf (aliases only), so the physical broadcast exchange is built
+    // once and the second join takes a ReusedExchange
+    val sizes = grams.select(col("doc_id"), size(col("ghs")).as("sz"))
+    val bh = graft.operators.ConnectedComponents.hintIf(
+      Tables.documentsRowCount(s, dir) <=
+        graft.operators.ConnectedComponents.BroadcastNodeLimit / 8)
+    counts
+      .join(bh(sizes.as("sza")), col("doc_a") === col("sza.doc_id"))
+      .join(bh(sizes.as("szb")), col("doc_b") === col("szb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        col("sza.sz").as("sa"), col("szb.sz").as("sb"), col("shared"))
   }
 
   /** [[sharedGramCounts]] behind the session derivation cache: the
@@ -441,17 +462,28 @@ object DedupQueries {
     // inherit their caps (bucket cap, df cap) so it runs at any scale.
     "dedup_quality_report" -> QueryDef(
       (s, dir) => {
-        val cand = minhashPairs(s, dir).withColumn("is_cand", lit(1L))
+        // union + ONE pair-keyed aggregate instead of a full-outer join
+        // (r18, guide §2.4): both pair sets are distinct by
+        // construction (the LSH pairs end in .distinct(); the gram
+        // counts group by the pair), so FULL OUTER JOIN + flag sums ==
+        // union the flagged sides, max the flags per pair, sum the
+        // flags globally. The join shape exchanged BOTH sides on
+        // (doc_a, doc_b) and sorted them into an SMJ; the union shape
+        // pays one hash exchange of the same rows and no sort.
+        val cand = minhashPairs(s, dir)
+          .select(col("doc_a"), col("doc_b"),
+            lit(1L).as("is_cand"), lit(0L).as("is_true"))
         val truth = sharedGramCounts(s, dir, "quality_df_cap")
           .filter(col("shared").cast("double") /
             (col("sa") + col("sb") - col("shared")).cast("double") >= 0.12)
-          .select(col("doc_a"), col("doc_b"))
-          .withColumn("is_true", lit(1L))
-        cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
-          .agg(sum(coalesce(col("is_cand"), lit(0L))).as("n_candidates"),
-            sum(coalesce(col("is_true"), lit(0L))).as("n_true"),
-            sum(when(col("is_cand").isNotNull && col("is_true").isNotNull,
-              1L).otherwise(0L)).as("n_hits"))
+          .select(col("doc_a"), col("doc_b"),
+            lit(0L).as("is_cand"), lit(1L).as("is_true"))
+        cand.unionAll(truth)
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(max(col("is_cand")).as("c"), max(col("is_true")).as("t"))
+          .agg(sum(col("c")).as("n_candidates"),
+            sum(col("t")).as("n_true"),
+            sum(col("c") * col("t")).as("n_hits"))
           // null-safe ratios: on a fully dup-saturated corpus the df cap
           // can empty the truth set (every gram goes stop-hot — found by
           // the 30x scale smoke, where ANSI mode turned this into a

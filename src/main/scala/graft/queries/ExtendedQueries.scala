@@ -844,6 +844,15 @@ object ExtendedQueries {
     "rel_map_funcs" -> QueryDef(
       (s, dir) => {
         Tables.lineitem(s, dir)
+          // ONE exchange for both keyed aggregations (r18, guide §2.4
+          // "two operations keyed the same way can often share one
+          // exchange"): hash-partitioning by l_orderkey alone satisfies
+          // the (l_orderkey, l_linenumber) clustering of the first
+          // aggregate AND the l_orderkey clustering of the second, so
+          // the dedup aggregate and the map-building collect_list run
+          // back-to-back with no exchange between them — the old shape
+          // paid two keyed exchanges carrying the same ~600 k rows.
+          .repartition(col("l_orderkey"))
           // map keys must be unique: the fixture reuses linenumbers
           // within an order, so reduce to one entry per key first
           .groupBy(col("l_orderkey"), col("l_linenumber"))

@@ -328,18 +328,35 @@ object RelationalQueries {
         FROM events ORDER BY event_id""")),
 
     // ------------------------------------------- date function breadth
+    // Project-AFTER-sort (r18, guide §2.3/§2.6 "project before the
+    // exchange"): the derived strings (month_end/plus_q) are computed
+    // ABOVE the global sort, so the range exchange carries four fixed
+    // 8-byte columns (~40 B/row) instead of the 6-column string-bearing
+    // output (~88 B/row), and the RangePartitioner's sampling pass
+    // recomputes only the narrow join projection, not the date_format
+    // chain. Order safety: the fixture's (l_orderkey, l_linenumber) is
+    // NOT duplicate-free (118 k tie groups at sf0.1 carry >1 distinct
+    // l_shipdate — audited in OPTIMIZATION_r18.md), so the sort gains
+    // the deterministic l_shipdate tiebreaker IN BOTH ENGINES (the r17
+    // verdict's sanctioned fix): within (l_orderkey, l_linenumber,
+    // l_shipdate) every output column is functionally determined
+    // (o_orderdate is unique per l_orderkey), so returned order is now
+    // provably total instead of resting on both engines' sorts
+    // happening to be stable over identical scan order.
     "rel_date_funcs" -> QueryDef(
       (s, dir) => {
         val l = Tables.lineitem(s, dir)
         val o = Tables.orders(s, dir)
         l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate"), col("o_orderdate"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
           .select(
             col("l_orderkey"), col("l_linenumber"),
             datediff(col("l_shipdate"), col("o_orderdate")).as("ship_lag_days"),
             quarter(col("o_orderdate")).as("order_quarter"),
             date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
             date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_q"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
       },
       Some("""SELECT l_orderkey, l_linenumber,
         CAST(date_diff('day', o_orderdate, l_shipdate) AS INTEGER) AS ship_lag_days,
@@ -347,7 +364,7 @@ object RelationalQueries {
         strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
         strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_q
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        ORDER BY l_orderkey, l_linenumber""")),
+        ORDER BY l_orderkey, l_linenumber, l_shipdate""")),
 
     // ------------------------------------ exact stats via decimal sums
     "rel_stats" -> QueryDef(

@@ -112,7 +112,10 @@ object Tables {
       }
       n
     } catch {
-      case _: Throwable => s.read.parquet(path).count()
+      // NonFatal only (r17 verdict item 4): a fatal error (OOM,
+      // interrupt, linkage) must propagate, not silently degrade into
+      // a full cluster count() job.
+      case scala.util.control.NonFatal(_) => s.read.parquet(path).count()
     }
 
   /** [[parquetRowCount]] of the documents fixture — the broadcast-gate

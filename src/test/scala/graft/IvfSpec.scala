@@ -59,4 +59,32 @@ class IvfSpec extends SparkSpec {
       assert(rows.forall(_.getLong(1) != probe), "self-hit leaked")
     }
   }
+
+  // r17 verdict item 3: Ivf.Dims=64 is load-bearing for the one-pass
+  // centroid aggregates (sum(element_at) silently skips nulls) — a
+  // short vector must fail LOUDLY, not produce a silently-wrong mean.
+  test("dims guard: a non-64-dim vector fails the centroid aggregates loudly") {
+    import spark.implicits._
+    def messages(t: Throwable): String = {
+      var cur: Throwable = t
+      val sb = new StringBuilder
+      while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+      sb.toString
+    }
+    val bad = Seq(
+      (1L, "a", Seq(1.0, 2.0)),
+      (2L, "a", Seq.fill(Ivf.Dims)(0.5))).toDF("vec_id", "label", "v")
+    val eCb = intercept[Throwable] { Ivf.codebook(bad).collect() }
+    assert(messages(eCb).contains(s"expected ${Ivf.Dims}-dim vector"),
+      s"codebook failed for the wrong reason: ${messages(eCb).take(500)}")
+    val eMeans = intercept[Throwable] {
+      graft.operators.KMeans.means(
+        bad.select(lit(0L).as("cluster"), col("v"))).collect()
+    }
+    assert(messages(eMeans).contains(s"expected ${Ivf.Dims}-dim vector"),
+      s"means failed for the wrong reason: ${messages(eMeans).take(500)}")
+    // and conforming input still aggregates (the guard is pass-through)
+    assert(Ivf.codebook(
+      bad.filter(col("vec_id") === 2L)).collect().length == 1)
+  }
 }

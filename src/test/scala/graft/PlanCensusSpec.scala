@@ -31,16 +31,7 @@ class PlanCensusSpec extends SparkSpec {
   /** query -> reason, for plan changes made deliberately this round
     * (empty once the census is regenerated to the new baseline).
     */
-  private val explainedChanges: Map[String, String] = Map(
-    "dedup_ngram_jaccard" -> ("r18 size-free postings: the posting " +
-      "exchange narrowed to (doc_id, gh); doc sizes re-enter via two " +
-      "gated BroadcastExchanges on the aggregated pair table (+2 " +
-      "broadcast exchanges, strictly less shuffled data)"),
-    "dedup_containment" -> ("r18 size-free postings (same shared " +
-      "sharedGramCounts change as dedup_ngram_jaccard)"),
-    "dedup_quality_report" -> ("r18 size-free postings on the truth " +
-      "side (+2 broadcast exchanges) while the full-outer join became " +
-      "union + one pair-keyed aggregate (-1 exchange, -1 SMJ)"))
+  private val explainedChanges: Map[String, String] = Map.empty
 
   private case class Census(exchanges: Int, bhj: Int, smj: Int, bnlj: Int,
       cartesian: Int)
